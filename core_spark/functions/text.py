@@ -1,0 +1,127 @@
+"""Text analysis functions for the documents pipeline — all JVM-side column
+expressions (whole-stage codegen), zero Python UDFs.
+
+These are the training-data-pipeline operators (language ID, quality
+scoring, token counting, fingerprinting) expressed so the identical logic
+is writable in ANSI SQL for the DuckDB oracle. Every function returns a
+Column usable in select/filter/groupBy at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier. Word-boundary regexes so the same pattern string is
+# valid in both Spark (Java regex) and DuckDB (RE2) oracles.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in|that|it|was|for)\b",
+    "es": r"\b(el|la|de|que|y|los|las|una|por|con)\b",
+    "fr": r"\b(le|la|les|des|est|une|dans|pour|que|avec)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "zh": r"[一-鿿]",
+}
+# Deterministic tie-break: fixed priority order.
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    lower = F.lower(text)
+    return {
+        lang: F.size(F.regexp_extract_all(lower, F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker-hit count; 'und' when nothing matches.
+
+    Ties resolve by LANG_ORDER (first wins) — the oracle SQL encodes the
+    same ladder, so results are deterministic across engines.
+    """
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty string counts 0."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish regex tokens: word pieces, numbers, or single non-space
+    punctuation — the standard pretokenizer shape."""
+    return F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Heuristic document quality signals (length, alpha/punct/space ratios,
+    mean word length) — the usual pre-training corpus filters."""
+    n = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(text, r"[^ ]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", "")).cast("double")
+    words = token_count(text).cast("double")
+    safe_n = F.when(n > 0, n)
+    return {
+        "n_chars": n,
+        "n_words": words,
+        "alpha_ratio": F.round(alpha / safe_n, 6),
+        "digit_ratio": F.round(digit / safe_n, 6),
+        "space_ratio": F.round(space / safe_n, 6),
+        "punct_ratio": F.round(punct / safe_n, 6),
+        "mean_word_len": F.round(
+            F.when(words > 0, (n - space) / words), 6
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score from the metric bundle; monotone in
+    alpha ratio, penalizes digit/punct overload and degenerate word length."""
+    m = quality_metrics(text)
+    word_len_ok = (
+        F.when((m["mean_word_len"] >= 2.5) & (m["mean_word_len"] <= 12.0), 1.0)
+        .otherwise(0.0)
+    )
+    raw = (
+        m["alpha_ratio"] * 0.5
+        + (1.0 - F.least(m["digit_ratio"] * 4.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(m["punct_ratio"] * 4.0, F.lit(1.0))) * 0.1
+        + word_len_ok * 0.2
+    )
+    return F.round(raw, 6)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint = md5 of the normalized text (md5 exists in both
+    Spark and DuckDB => oracle-checkable exact dedup key)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct character k-shingles of the normalized text, for Jaccard /
+    MinHash. Pure built-ins: sequence + transform + substring."""
+    norm = normalize_text(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))

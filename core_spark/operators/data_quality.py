@@ -1,0 +1,249 @@
+"""Data-quality operators, distributed re-expressions of the reference's
+``pipelines/data_quality`` + ``pipelines/monitoring`` components.
+
+Every operator here is a pure DataFrame transform (no driver collect loops —
+the reference's interval_filtering.py:65-122 collect() loop and
+missing_value_imputation.py per-tag Python loops are deliberately replaced,
+see SURVEY §7.5). Grouped sequential logic uses ``applyInPandas`` so work is
+Arrow-batched per tag partition and scales with executors.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .timeseries import TAG, TS, VAL, ST, TSSpec, scan
+
+
+def duplicate_detection(df: DataFrame, pk_cols: Sequence[str]) -> DataFrame:
+    """dropDuplicates on primary-key columns
+    (reference duplicate_detection.py:75-80). Streaming variant:
+    ``dropDuplicatesWithinWatermark`` — see streaming.sink."""
+    return df.dropDuplicates(list(pk_cols))
+
+
+def k_sigma_anomaly_filter(
+    df: DataFrame,
+    spec: TSSpec,
+    k: float = 3.0,
+    use_median: bool = False,
+) -> DataFrame:
+    """Keep rows within mean±k*sigma (or median±k*MAD)
+    (reference k_sigma_anomaly_detection.py:102-146).
+
+    Bounds are computed per tag with a single hash aggregate and joined
+    back broadcast — not collected to the driver, so the operator works
+    at any tag cardinality.
+    """
+    base = scan(df, spec)
+    if use_median:
+        med = base.groupBy(TAG).agg(
+            F.percentile_approx(VAL, 0.5).alias("__m")
+        )
+        mad = (
+            base.join(F.broadcast(med), TAG)
+            .withColumn("__ad", F.abs(F.col(VAL) - F.col("__m")))
+            .groupBy(TAG)
+            .agg(F.percentile_approx("__ad", 0.5).alias("__s"), F.first("__m").alias("__m"))
+        )
+        bounds = mad.select(
+            TAG,
+            (F.col("__m") - k * 1.4826 * F.col("__s")).alias("__lo"),
+            (F.col("__m") + k * 1.4826 * F.col("__s")).alias("__hi"),
+        )
+    else:
+        stats = base.groupBy(TAG).agg(
+            F.avg(VAL).alias("__mu"), F.stddev(VAL).alias("__sd")
+        )
+        bounds = stats.select(
+            TAG,
+            (F.col("__mu") - k * F.col("__sd")).alias("__lo"),
+            (F.col("__mu") + k * F.col("__sd")).alias("__hi"),
+        )
+    return (
+        base.join(F.broadcast(bounds), TAG)
+        .filter(F.col(VAL).between(F.col("__lo"), F.col("__hi")))
+        .select(TAG, TS, VAL, ST)
+    )
+
+
+def out_of_range_filter(
+    df: DataFrame,
+    spec: TSSpec,
+    min_value: float,
+    max_value: float,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Bound-predicate delete (reference out_of_range_value_filter.py:112,
+    check_value_ranges.py:132-150)."""
+    base = scan(df, spec)
+    if inclusive:
+        cond = F.col(VAL).between(min_value, max_value)
+    else:
+        cond = (F.col(VAL) > min_value) & (F.col(VAL) < max_value)
+    return base.filter(cond)
+
+
+def flatline_runs(
+    df: DataFrame,
+    spec: TSSpec,
+    min_run_length: int = 3,
+    flat_values: Sequence[float] = (0.0,),
+) -> DataFrame:
+    """Detect runs of 'flat' values (null/zero by default) of length >= N
+    per tag (reference flatline_detection.py:130-200).
+
+    lag-based change flag -> running sum run-id -> groupBy(run): two
+    per-tag window passes + one aggregate, no driver loop.
+    """
+    base = scan(df, spec)
+    w = Window.partitionBy(TAG).orderBy(TS)
+    is_flat = F.col(VAL).isNull() | F.col(VAL).isin(list(flat_values))
+    marked = base.withColumn("__flat", is_flat)
+    changed = (
+        F.col("__flat").cast("int")
+        != F.coalesce(F.lag("__flat").over(w).cast("int"), F.lit(-1))
+    ).cast("int")
+    runs = marked.withColumn(
+        "__run", F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.filter(F.col("__flat"))
+        .groupBy(TAG, "__run")
+        .agg(
+            F.min(TS).alias("run_start"),
+            F.max(TS).alias("run_end"),
+            F.count(F.lit(1)).alias("run_length"),
+        )
+        .filter(F.col("run_length") >= min_run_length)
+        .select(TAG, "run_start", "run_end", "run_length")
+    )
+
+
+def flatline_filter(
+    df: DataFrame,
+    spec: TSSpec,
+    min_run_length: int = 3,
+    flat_values: Sequence[float] = (0.0,),
+) -> DataFrame:
+    """Remove rows belonging to flatline runs (reference flatline_filter.py:83)."""
+    runs = flatline_runs(df, spec, min_run_length, flat_values)
+    base = scan(df, spec)
+    cond = (
+        (base[TAG] == runs[TAG])
+        & (base[TS] >= runs["run_start"])
+        & (base[TS] <= runs["run_end"])
+    )
+    return base.join(F.broadcast(runs), cond, "left_anti")
+
+
+def missing_data_intervals(
+    df: DataFrame,
+    spec: TSSpec,
+    expected_interval_seconds: float,
+    tolerance_seconds: float = 0.0,
+) -> DataFrame:
+    """Report gaps where ts - lag(ts) > expected + tolerance per tag
+    (reference identify_missing_data_interval.py:118-141).
+
+    This lag-gap rule is also the session-boundary detector used by
+    streaming.sessions.
+    """
+    base = scan(df, spec)
+    w = Window.partitionBy(TAG).orderBy(TS)
+    prev = F.lag(TS).over(w)
+    gap = F.unix_timestamp(TS).cast("double") - F.unix_timestamp(prev).cast("double")
+    return (
+        base.withColumn("gap_start", prev)
+        .withColumn("gap_seconds", F.round(gap, 3))
+        .filter(F.col("gap_seconds") > expected_interval_seconds + tolerance_seconds)
+        .select(TAG, F.col("gap_start"), F.col(TS).alias("gap_end"), "gap_seconds")
+    )
+
+
+def interval_filtering(
+    df: DataFrame,
+    spec: TSSpec,
+    min_interval_seconds: float,
+) -> DataFrame:
+    """Thin each tag's series to rows >= min_interval apart.
+
+    The keep/drop decision depends on the previous *kept* row, which no
+    window function expresses; the reference does a driver-side collect()
+    loop (interval_filtering.py:65-122) — here it is an Arrow-batched
+    sequential pass per tag via applyInPandas (parallel across tags,
+    the natural unit of this operator).
+    """
+    base = scan(df, spec)
+
+    def thin(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(TS)
+        keep = []
+        last_kept = None
+        for t in pdf[TS]:
+            if last_kept is None or (t - last_kept).total_seconds() >= min_interval_seconds:
+                keep.append(True)
+                last_kept = t
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return base.groupBy(TAG).applyInPandas(
+        thin, schema=f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string"
+    )
+
+
+def moving_average(
+    df: DataFrame,
+    spec: TSSpec,
+    window_size: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rolling mean over the trailing N rows per tag
+    (reference moving_average.py:120-136)."""
+    base = scan(df, spec)
+    w = (
+        Window.partitionBy(TAG)
+        .orderBy(TS)
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    return base.withColumn("moving_avg", F.round(F.avg(VAL).over(w), round_digits))
+
+
+def normalize_zscore(df: DataFrame, spec: TSSpec, round_digits: int = 6) -> DataFrame:
+    """Per-tag z-score. The reference collects global stats to the driver
+    (normalization_zscore.py:49-50); here stats stay distributed via a
+    broadcast self-join so the operator composes into larger plans."""
+    base = scan(df, spec)
+    stats = base.groupBy(TAG).agg(
+        F.avg(VAL).alias("__mu"), F.stddev(VAL).alias("__sd")
+    )
+    return (
+        base.join(F.broadcast(stats), TAG)
+        .withColumn(
+            "value_norm",
+            F.round((F.col(VAL) - F.col("__mu")) / F.col("__sd"), round_digits),
+        )
+        .select(TAG, TS, VAL, "value_norm")
+    )
+
+
+def normalize_minmax(df: DataFrame, spec: TSSpec, round_digits: int = 6) -> DataFrame:
+    """Per-tag min-max scaling (reference normalization_minmax.py:49-78)."""
+    base = scan(df, spec)
+    stats = base.groupBy(TAG).agg(F.min(VAL).alias("__lo"), F.max(VAL).alias("__hi"))
+    return (
+        base.join(F.broadcast(stats), TAG)
+        .withColumn(
+            "value_norm",
+            F.round(
+                (F.col(VAL) - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+                round_digits,
+            ),
+        )
+        .select(TAG, TS, VAL, "value_norm")
+    )

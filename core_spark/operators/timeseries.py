@@ -1,0 +1,616 @@
+"""Time-series query verbs, Spark-first.
+
+Re-implements the query semantics of the reference's TimeSeriesQueryBuilder
+(reference: src/sdk/python/rtdip_sdk/queries/time_series/_time_series_query_builder.py,
+cited below as TSQB:<line>) as composable DataFrame transforms instead of SQL
+text generation. Semantics preserved; physical strategy left to Catalyst.
+
+Scale notes (100 TB posture):
+- Every verb starts from ``scan`` which pushes the time-range + tag predicates
+  into the source (parquet/Iceberg partition + row-group pruning: the filters
+  are plain ``col BETWEEN`` / ``col IN`` so they land in PushedFilters).
+- Bucketing uses ``F.window`` (epoch-aligned, identical math batch and
+  streaming) — never a theta/range join. The reference needs a Databricks
+  RANGE_JOIN hint for its bucket assignment (TSQB:820,1452); expressing the
+  bucket as a column makes it a plain hash aggregate here.
+- Time grids (interpolation) are generated with ``sequence``+``explode`` per
+  tag — grid size = |tags| x |buckets|, independent of event count, and joins
+  against aggregated (already reduced) data, so the expensive side is the
+  events scan, which aggregates map-side before shuffling.
+- All window functions are partitioned by tag — no global ORDER BY windows
+  (the reference's unpartitioned ``LEAD() OVER (ORDER BY ts)`` at TSQB:1451
+  is a single-partition bottleneck and is deliberately not reproduced).
+
+Output column names are lowercase snake_case so results hash identically
+across Spark and ANSI-SQL oracles (DuckDB lowercases unquoted identifiers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TSSpec:
+    """Column binding for a tall/narrow event table.
+
+    Mirrors the reference's rebindable source columns
+    (time_series_query_builder.py:82-125): ``status_col=None`` synthesizes
+    'Good' (TSQB:119-122).
+    """
+
+    tag_col: str = "TagName"
+    ts_col: str = "EventTime"
+    value_col: str = "Value"
+    status_col: str | None = "Status"
+
+
+# Canonical internal/output names.
+TAG, TS, VAL, ST = "tagname", "event_time", "value", "status"
+
+
+def scan(
+    df: DataFrame,
+    spec: TSSpec,
+    start: str | None = None,
+    end: str | None = None,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = True,
+    widen_seconds: int = 0,
+) -> DataFrame:
+    """Normalized raw scan: project + predicate, all pushdown-friendly.
+
+    Reference semantics: ms-truncate event time (TSQB:99), ``BETWEEN``
+    time-range predicate (TSQB:138-149), tag IN-list (TSQB:151-166),
+    ``Status <> 'Bad'`` gate (TSQB:168-169), scan widening for verbs that
+    need boundary events (TSQB:1440-1442).
+    """
+    ts = F.date_trunc("millisecond", F.col(spec.ts_col))
+    status = (
+        F.col(spec.status_col).cast("string")
+        if spec.status_col is not None
+        else F.lit("Good")
+    )
+    out = df.select(
+        F.col(spec.tag_col).cast("string").alias(TAG),
+        ts.alias(TS),
+        F.col(spec.value_col).cast("double").alias(VAL),
+        status.alias(ST),
+    )
+    if start is not None:
+        lo = F.to_timestamp(F.lit(start)) - F.expr(f"INTERVAL {widen_seconds} SECOND")
+        out = out.filter(F.col(TS) >= lo)
+    if end is not None:
+        hi = F.to_timestamp(F.lit(end)) + F.expr(f"INTERVAL {widen_seconds} SECOND")
+        out = out.filter(F.col(TS) < hi)
+    if tags is not None:
+        out = out.filter(F.col(TAG).isin(list(tags)))
+    if not include_bad:
+        out = out.filter(F.col(ST) != "Bad")
+    return out
+
+
+def raw(
+    df: DataFrame,
+    spec: TSSpec,
+    start: str | None = None,
+    end: str | None = None,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = True,
+    distinct: bool = True,
+) -> DataFrame:
+    """Raw events verb (TSQB:493-588). DISTINCT dedup as in TSQB:92-93."""
+    out = scan(df, spec, start, end, tags, include_bad)
+    if distinct:
+        out = out.dropDuplicates()
+    return out
+
+
+def _bucket(every_seconds: int, offset_seconds: int = 0) -> Column:
+    """Tumbling bucket start for one event — epoch-aligned like F.window.
+
+    The reference aligns buckets to ``start_date % interval`` via a window
+    start-offset (TSQB:43-63,111); ``offset_seconds`` carries that here.
+    Expressed as arithmetic (not the window() struct) so exactly the same
+    expression works in batch, streaming group keys, and the SQL oracle.
+    """
+    e = F.unix_timestamp(F.col(TS)) - F.lit(offset_seconds)
+    return F.timestamp_seconds(
+        (F.floor(e / F.lit(every_seconds)) * every_seconds) + offset_seconds
+    )
+
+
+_AGGS = {
+    "avg": lambda: F.avg(VAL),
+    "min": lambda: F.min(VAL),
+    "max": lambda: F.max(VAL),
+    "sum": lambda: F.sum(VAL),
+    "count": lambda: F.count(VAL),
+    "first": lambda: F.min_by(VAL, TS),
+    "last": lambda: F.max_by(VAL, TS),
+}
+
+
+def resample(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    agg_method: str = "avg",
+    start: str | None = None,
+    end: str | None = None,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+    offset_seconds: int = 0,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Time-bucket aggregate (TSQB:183-239).
+
+    first/last use ``min_by``/``max_by`` on event time (deterministic),
+    not Spark's ordering-dependent first()/last(). One shuffle on
+    (tag, bucket); partial aggregation happens map-side for avg/min/max/
+    sum/count. Empty buckets absent (see ``resample_filled``).
+    """
+    if agg_method not in _AGGS:
+        raise ValueError(f"agg_method must be one of {sorted(_AGGS)}")
+    base = scan(df, spec, start, end, tags, include_bad)
+    if agg_method == "avg":
+        base = base.dropDuplicates()  # TSQB:539-548 dedups before avg
+    v = _AGGS[agg_method]()
+    if round_digits is not None and agg_method != "count":
+        v = F.round(v, round_digits)
+    return (
+        base.withColumn("__b", _bucket(every_seconds, offset_seconds))
+        .groupBy(TAG, F.col("__b").alias(TS))
+        .agg(v.cast("double").alias(VAL))
+    )
+
+
+def _grid(
+    df_tags: DataFrame,
+    start: str,
+    end: str,
+    every_seconds: int,
+    offset_seconds: int = 0,
+) -> DataFrame:
+    """tags x timestamps grid via sequence+explode (TSQB:213,262,783).
+
+    ``df_tags`` is the (tiny) distinct-tag frame; the exploded grid is
+    broadcast-joined downstream. End-exclusive to match bucket semantics.
+    """
+    seq = F.sequence(
+        F.to_timestamp(F.lit(start)) + F.expr(f"INTERVAL {offset_seconds} SECOND"),
+        F.to_timestamp(F.lit(end)),
+        F.expr(f"INTERVAL {every_seconds} SECOND"),
+    )
+    return (
+        df_tags.select(TAG)
+        .distinct()
+        .select(F.col(TAG), F.explode(seq).alias(TS))
+        .filter(F.col(TS) < F.to_timestamp(F.lit(end)))
+    )
+
+
+def resample_filled(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    start: str,
+    end: str,
+    agg_method: str = "avg",
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+    offset_seconds: int = 0,
+) -> DataFrame:
+    """Resample with empty buckets materialized as NULL rows (TSQB:207-229).
+
+    Grid LEFT-join pattern: aggregate first (reduces the big side), then
+    left-join the small generated grid. Grid side is broadcast — no shuffle
+    of the aggregated data beyond the groupBy itself.
+    """
+    agg = resample(
+        df, spec, every_seconds, agg_method, start, end, tags, include_bad,
+        offset_seconds,
+    )
+    tag_src = df.select(F.col(spec.tag_col).alias(TAG))
+    if tags is not None:
+        tag_src = tag_src.filter(F.col(TAG).isin(list(tags)))
+    grid = _grid(tag_src, start, end, every_seconds, offset_seconds)
+    return F.broadcast(grid).join(agg, [TAG, TS], "left_outer").select(TAG, TS, VAL)
+
+
+def interpolate(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    start: str,
+    end: str,
+    method: str = "linear",
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+    offset_seconds: int = 0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Resample then fill empty buckets (TSQB:269-301,908-1042).
+
+    method: 'linear' — prev + (next-prev)*(t-prev_t)/(next_t-prev_t)
+    (TSQB:282); exact bucket value wins; only-prev => forward fill; no
+    prev => NULL. 'ffill' / 'bfill' — directional fills via
+    last/first IGNORE NULLS (TSQB:1453-1454 pattern).
+
+    Window functions are partitioned per tag; state per partition is the
+    bucket series (bounded by the query range), not raw events.
+    """
+    filled = resample_filled(
+        df, spec, every_seconds, start, end, "avg", tags, include_bad,
+        offset_seconds,
+    )
+    w = Window.partitionBy(TAG).orderBy(TS)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    v = F.col(VAL)
+    if method == "ffill":
+        out = filled.withColumn(VAL, F.last(v, ignorenulls=True).over(w_prev))
+    elif method == "bfill":
+        out = filled.withColumn(VAL, F.first(v, ignorenulls=True).over(w_next))
+    elif method == "linear":
+        obs = F.when(v.isNotNull(), F.struct(F.col(TS).alias("t"), v.alias("v")))
+        prev = F.last(obs, ignorenulls=True).over(w_prev)
+        nxt = F.first(obs, ignorenulls=True).over(w_next)
+        t = F.unix_timestamp(TS).cast("double")
+        pt = F.unix_timestamp(prev["t"]).cast("double")
+        nt = F.unix_timestamp(nxt["t"]).cast("double")
+        interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - pt) / (nt - pt)
+        out = filled.withColumn(
+            VAL,
+            F.when(v.isNotNull(), v)
+            .when(prev.isNotNull() & nxt.isNotNull() & (nt != pt), interp)
+            .when(prev.isNotNull(), prev["v"])  # only-prev => ffill
+            .otherwise(F.lit(None).cast("double")),
+        )
+    else:
+        raise ValueError("method must be linear|ffill|bfill")
+    return out.withColumn(VAL, F.round(VAL, round_digits))
+
+
+def interpolate_at_time(
+    df: DataFrame,
+    spec: TSSpec,
+    timestamps: Sequence[str],
+    window_length_seconds: int = 86400,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Linear interpolation at explicit timestamps (TSQB:1191-1316).
+
+    The reference full-outer-joins a timestamp grid with raw events
+    (TSQB:1229) then lag/leads across the union; here we UNION the
+    requested rows in (marked), window per tag, and keep requested rows —
+    same semantics, one less join. Scan is widened ±window_length
+    (TSQB:1206-1208) so boundary observations are visible.
+    """
+    lo = min(timestamps)
+    hi = max(timestamps)
+    events = scan(df, spec, lo, hi, tags, include_bad, widen_seconds=window_length_seconds)
+    tag_src = events.select(TAG).distinct()
+    req = tag_src.select(
+        TAG,
+        F.explode(
+            F.array(*[F.to_timestamp(F.lit(t)) for t in timestamps])
+        ).alias(TS),
+    ).withColumn("__req", F.lit(True))
+    both = events.select(TAG, TS, VAL).withColumn("__req", F.lit(False)).unionByName(
+        req.withColumn(VAL, F.lit(None).cast("double"))
+    )
+    w = Window.partitionBy(TAG).orderBy(TS, "__req")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    obs = F.when(~F.col("__req"), F.struct(F.col(TS).alias("t"), F.col(VAL).alias("v")))
+    # exact-time observation: a real event at exactly the requested ts
+    exact = F.max(F.when(~F.col("__req"), F.col(VAL))).over(
+        Window.partitionBy(TAG, TS)
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    t = F.unix_timestamp(TS).cast("double")
+    pt = F.unix_timestamp(prev["t"]).cast("double")
+    nt = F.unix_timestamp(nxt["t"]).cast("double")
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * (t - pt) / (nt - pt)
+    # NB: the value must be materialized BEFORE filtering to requested rows —
+    # the window functions need the event rows in their frames.
+    return (
+        both.withColumn("__exact", exact)
+        .withColumn(
+            "__out",
+            F.round(
+                F.when(F.col("__exact").isNotNull(), F.col("__exact"))
+                .when(prev.isNotNull() & nxt.isNotNull() & (nt != pt), interp)
+                .when(prev.isNotNull(), prev["v"])
+                .otherwise(F.lit(None).cast("double")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("__req"))
+        .select(TAG, TS, F.col("__out").alias(VAL))
+    )
+
+
+def summary(
+    df: DataFrame,
+    spec: TSSpec,
+    start: str | None = None,
+    end: str | None = None,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+) -> DataFrame:
+    """Per-tag descriptive stats, decimal(10,2)-cast like TSQB:304-382."""
+    d = "decimal(10,2)"
+    return (
+        scan(df, spec, start, end, tags, include_bad)
+        .groupBy(TAG)
+        .agg(
+            F.count(VAL).alias("cnt"),
+            F.avg(VAL).cast(d).alias("avg"),
+            F.min(VAL).cast(d).alias("min"),
+            F.max(VAL).cast(d).alias("max"),
+            F.stddev(VAL).cast(d).alias("st_dev"),
+            F.sum(VAL).cast(d).alias("sum"),
+            F.variance(VAL).cast(d).alias("var"),
+        )
+    )
+
+
+def latest(
+    df: DataFrame,
+    spec: TSSpec,
+    tags: Sequence[str] | None = None,
+) -> DataFrame:
+    """Newest row per tag — argmax by event time.
+
+    Reference maintains a latest table via max(struct(EventTime,Status))
+    OVER (PARTITION BY TagName) (pcdm_latest_to_delta.py:150-169) and
+    queries it (TSQB:1363-1421). ``max_by`` is the single-pass hash-agg
+    equivalent: no window sort, map-side partial argmax.
+    """
+    base = scan(df, spec, tags=tags)
+    key = F.struct(F.col(TS), F.col(VAL))  # value tiebreak => deterministic
+    return base.groupBy(TAG).agg(
+        F.max(TS).alias(TS),
+        F.max_by(VAL, key).alias(VAL),
+        F.max_by(ST, key).alias(ST),
+    )
+
+
+def plot_ohlc(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    start: str,
+    end: str,
+    tags: Sequence[str] | None = None,
+    offset_seconds: int = 0,
+) -> DataFrame:
+    """OHLC downsample per (tag, bucket) (TSQB:800-855).
+
+    The reference computes min/max/first/last via window functions over
+    struct(Value, EventTime) then GROUP-BY-dedups; ``min_by``/``max_by``
+    collapse that to one hash aggregate. 'exception' = first Bad-status
+    value in the bucket (TSQB plot Exception column).
+    """
+    base = scan(df, spec, start, end, tags, include_bad=True)
+    bad_ts = F.when(F.col(ST) == "Bad", F.col(TS))
+    return (
+        base.withColumn("__b", _bucket(every_seconds, offset_seconds))
+        .groupBy(TAG, F.col("__b").alias(TS))
+        .agg(
+            F.min(VAL).alias("min_value"),
+            F.max(VAL).alias("max_value"),
+            F.min_by(VAL, TS).alias("first_value"),
+            F.max_by(VAL, TS).alias("last_value"),
+            F.min_by(F.when(F.col(ST) == "Bad", F.col(VAL)), bad_ts).alias(
+                "exception_value"
+            ),
+        )
+    )
+
+
+def plot_unpivot(ohlc: DataFrame) -> DataFrame:
+    """Tall form of plot_ohlc via stack() (TSQB:837-855 UNPIVOT)."""
+    return ohlc.select(
+        TAG,
+        TS,
+        F.expr(
+            "stack(5, 'min', min_value, 'max', max_value, 'first', first_value,"
+            " 'last', last_value, 'exception', exception_value)"
+        ).alias("aggregation", VAL),
+    ).filter(F.col(VAL).isNotNull())
+
+
+def time_weighted_average(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    start: str,
+    end: str,
+    step: bool = False,
+    tags: Sequence[str] | None = None,
+    widen_seconds: int = 86400,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Time-weighted average per (tag, bucket) (TSQB:1424-1567).
+
+    Semantics (TSQB:1475-1480): insert bucket-edge grid points, fill their
+    values (step: forward-fill; linear: linear interpolation), then per
+    consecutive-row segment twa = v*dt (step) or (v+v_next)/2*dt (linear);
+    Bad-status segments are excluded from numerator and denominator
+    ('good minutes', TSQB:1453-1480). Scan widened ±widen_seconds
+    (TSQB:1440-1442) so boundary segments see their neighbors.
+
+    Physical shape: one per-tag window pass (fills) + one hash aggregate.
+    The reference's bucket assignment needs a Databricks RANGE_JOIN; here
+    the bucket is an arithmetic column.
+    """
+    events = scan(df, spec, start, end, tags, include_bad=True,
+                  widen_seconds=widen_seconds)
+    tag_src = events.select(TAG).distinct()
+    # Edge grid includes both ends so the last bucket is closed.
+    n_edges = F.sequence(
+        F.to_timestamp(F.lit(start)),
+        F.to_timestamp(F.lit(end)),
+        F.expr(f"INTERVAL {every_seconds} SECOND"),
+    )
+    edges = tag_src.select(TAG, F.explode(n_edges).alias(TS)).withColumn(
+        VAL, F.lit(None).cast("double")
+    ).withColumn(ST, F.lit(None).cast("string")).withColumn("__edge", F.lit(True))
+    both = (
+        events.select(TAG, TS, VAL, ST)
+        .withColumn("__edge", F.lit(False))
+        .unionByName(edges)
+        # an edge coinciding with an event is redundant — keep the event
+        .withColumn(
+            "__dup",
+            F.count(F.lit(1)).over(Window.partitionBy(TAG, TS)) > 1,
+        )
+        .filter(~(F.col("__edge") & F.col("__dup")))
+    )
+    w = Window.partitionBy(TAG).orderBy(TS)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    obs = F.when(~F.col("__edge"), F.struct(F.col(TS).alias("t"), F.col(VAL).alias("v")))
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    t = F.unix_timestamp(TS).cast("double")
+    if step:
+        fill_v = prev["v"]
+    else:
+        pt = F.unix_timestamp(prev["t"]).cast("double")
+        nt = F.unix_timestamp(nxt["t"]).cast("double")
+        fill_v = (
+            F.when(prev.isNotNull() & nxt.isNotNull() & (nt != pt),
+                   prev["v"] + (nxt["v"] - prev["v"]) * (t - pt) / (nt - pt))
+            .when(prev.isNotNull(), prev["v"])
+        )
+    filled = (
+        both.withColumn("__v", F.when(~F.col("__edge"), F.col(VAL)).otherwise(fill_v))
+        .withColumn("__st", F.last(F.col(ST), ignorenulls=True).over(w_prev))
+    )
+    nxt_t = F.lead(TS).over(w)
+    nxt_v = F.lead("__v").over(w)
+    seg_dt = (F.unix_timestamp(nxt_t).cast("double") - t)
+    seg_val = F.col("__v") * seg_dt if step else (F.col("__v") + nxt_v) / 2.0 * seg_dt
+    good = (F.col("__st").isNull()) | (F.col("__st") != "Bad")
+    segs = (
+        filled.withColumn("__dt", seg_dt)
+        .withColumn("__tw", seg_val)
+        .filter(F.col("__dt").isNotNull() & (F.col("__dt") > 0))
+        .filter(
+            (F.col(TS) >= F.to_timestamp(F.lit(start)))
+            & (F.col(TS) < F.to_timestamp(F.lit(end)))
+        )
+        # a segment counts only if quality-good AND its integral is defined
+        # (segments before the first observation have no value to weight)
+        .withColumn("__good", good & F.col("__tw").isNotNull())
+    )
+    return (
+        segs.withColumn("__b", _bucket(every_seconds, 0))
+        .groupBy(TAG, F.col("__b").alias(TS))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("__good"), F.col("__tw"))).cast("double")
+                / F.sum(F.when(F.col("__good"), F.col("__dt"))).cast("double"),
+                round_digits,
+            ).alias(VAL)
+        )
+    )
+
+
+def circular_average(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    lower: float,
+    upper: float,
+    start: str | None = None,
+    end: str | None = None,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Wrap-around mean of angular values per (tag, bucket) (TSQB:1570-1669).
+
+    Scale [lower, upper) to radians (TSQB:1590), mean of cos/sin, atan2
+    recompose (TSQB:1597), rescale to units in [lower, upper).
+    """
+    base = scan(df, spec, start, end, tags, include_bad)
+    span = upper - lower
+    rad = (F.col(VAL) - F.lit(lower)) / F.lit(span) * 2.0 * F.lit(3.141592653589793)
+    agg = (
+        base.withColumn("__b", _bucket(every_seconds, 0))
+        .groupBy(TAG, F.col("__b").alias(TS))
+        .agg(F.avg(F.cos(rad)).alias("__c"), F.avg(F.sin(rad)).alias("__s"))
+    )
+    ang = F.atan2(F.col("__s"), F.col("__c"))  # (-pi, pi]
+    pi2 = 2.0 * 3.141592653589793
+    ang_pos = (ang + F.lit(pi2)) % F.lit(pi2)
+    return agg.select(
+        TAG,
+        TS,
+        F.round(ang_pos / F.lit(pi2) * F.lit(span) + F.lit(lower), round_digits).alias(VAL),
+    )
+
+
+def circular_stddev(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    lower: float,
+    upper: float,
+    start: str | None = None,
+    end: str | None = None,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Circular standard deviation sqrt(-2 ln R) in units (TSQB:1635)."""
+    base = scan(df, spec, start, end, tags, include_bad)
+    span = upper - lower
+    rad = (F.col(VAL) - F.lit(lower)) / F.lit(span) * 2.0 * F.lit(3.141592653589793)
+    agg = (
+        base.withColumn("__b", _bucket(every_seconds, 0))
+        .groupBy(TAG, F.col("__b").alias(TS))
+        .agg(F.avg(F.cos(rad)).alias("__c"), F.avg(F.sin(rad)).alias("__s"))
+    )
+    r = F.sqrt(F.col("__c") * F.col("__c") + F.col("__s") * F.col("__s"))
+    pi2 = 2.0 * 3.141592653589793
+    sd_rad = F.sqrt(-2.0 * F.log(r))
+    return agg.select(
+        TAG,
+        TS,
+        F.round(sd_rad / F.lit(pi2) * F.lit(span), round_digits).alias(VAL),
+    )
+
+
+def pivot_wide(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    tags: Sequence[str],
+    start: str | None = None,
+    end: str | None = None,
+    agg_method: str = "avg",
+) -> DataFrame:
+    """Wide matrix: one column per tag (TSQB:385-427 PIVOT).
+
+    Tag list is explicit (as in the reference) so the pivot needs no
+    extra distinct-values job.
+    """
+    res = resample(df, spec, every_seconds, agg_method, start, end, list(tags))
+    return (
+        res.groupBy(TS)
+        .pivot(TAG, list(tags))
+        .agg(F.first(VAL))
+    )

@@ -1,0 +1,60 @@
+"""Tuned SparkSession factory.
+
+Single place where engine-wide Spark conf is decided so batch operators,
+streaming jobs, tests, and bench all run with the same physical posture:
+
+- AQE on (runtime coalescing, skew-join splitting) — the reference relies on
+  Databricks to do this (SURVEY §4); OSS Spark gets it from these flags.
+- Arrow on — every pandas UDF (audio decode, grouped interpolation) rides
+  Arrow batches, never row pickling.
+- UTC session timezone — required for oracle parity (DuckDB timestamps are
+  UTC-naive) and mirrors the reference's from_utc_timestamp discipline
+  (reference _time_series_query_builder.py:96-125).
+- shuffle partitions sized to cores, not the 200 default: at 100 TB this is
+  overridden per-job (target ~128-256 MB per shuffle partition); locally it
+  must match local[N] parallelism or small queries over-schedule.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "core_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``cores`` controls local[] parallelism; defaults to $SPARK_GRAFT_CPUS or 32.
+    ``shuffle_partitions`` defaults to cores (local rule-of-thumb). On a real
+    cluster, callers pass the cluster-appropriate value instead.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

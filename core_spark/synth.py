@@ -1,0 +1,182 @@
+"""Deterministic synthetic audio clip + transcript-correction generator.
+
+Produces the target engine's input tables in the exact BASELINE.json
+input_hint shape:
+
+    clips:       clip_id:string, bytes:binary, sr_hz:int, dur_ms:int,
+                 codec:string, transcript:string, ingest_ts:timestamp
+    corrections: clip_id:string, corrected_transcript:string,
+                 correction_ts:timestamp
+
+Everything is a pure function of (seed, n) — no wall-clock, no RNG state
+leakage — so tests, oracles, and the two-parallelism bench runs all see
+byte-identical inputs. Per FIXTURES.md §A:
+
+- clip_id prefix drawn Zipf(s=1.2) from 16 two-char codes => intentional
+  hot-prefix skew (exercises salting / AQE skew handling).
+- payload = A*sin(2*pi*f*t), A in [0.1, 1.0], f in [110, 880] Hz, encoded
+  pcm16 or ulaw => decoded mean-square energy is analytically A^2/2.
+- ingest_ts = base + i*step with bounded out-of-orderness plus a
+  deterministic late-straggler subset beyond any reasonable watermark.
+- corrections reference a deterministic ~10% subset; some arrive within
+  the join tolerance, some beyond (must be dropped + counted).
+
+Generation is chunked and can be parallelized via mapInPandas when large
+scales are needed; at test scales a single pandas frame is fine.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .functions.audio import pcm16_encode, ulaw_encode
+
+BASE_TS = datetime(2024, 3, 1, 0, 0, 0)
+PREFIXES = [f"{a}{b}" for a in "abcd" for b in "wxyz"]  # 16 two-char codes
+
+CLIPS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("sr_hz", T.IntegerType(), False),
+        T.StructField("dur_ms", T.IntegerType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("transcript", T.StringType(), False),
+        T.StructField("ingest_ts", T.TimestampType(), False),
+    ]
+)
+
+CORRECTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("corrected_transcript", T.StringType(), False),
+        T.StructField("correction_ts", T.TimestampType(), False),
+    ]
+)
+
+_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu".split()
+)
+
+
+def _zipf_prefix_indices(rng: np.ndarray, s: float = 1.2) -> np.ndarray:
+    """Map uniform [0,1) to Zipf(s) ranks over the 16 prefixes."""
+    ranks = np.arange(1, len(PREFIXES) + 1, dtype=np.float64)
+    p = ranks**-s
+    p /= p.sum()
+    cdf = np.cumsum(p)
+    return np.searchsorted(cdf, rng, side="right").clip(0, len(PREFIXES) - 1)
+
+
+def make_clips_pdf(
+    n: int,
+    seed: int = 42,
+    step_ms: int = 200,
+    disorder_ms: int = 5_000,
+    late_every: int = 97,
+    late_by_ms: int = 600_000,
+    gap_every: int = 500,
+    gap_len: int = 40,
+) -> pd.DataFrame:
+    """Generate n clips as pandas. Index i fully determines every field.
+
+    ``gap_every/gap_len``: deterministic index ranges get their ingest_ts
+    shifted far forward, carving silence gaps into each prefix's timeline —
+    the session-window tests key off these (FIXTURES.md §A3).
+    """
+    rng = np.random.default_rng(seed)
+    i = np.arange(n)
+    pref_idx = _zipf_prefix_indices(rng.random(n))
+    amps = 0.1 + (i % 10) * 0.1
+    freqs = 110.0 + (i % 8) * 110.0
+    srs = np.array([8000, 16000, 44100])[i % 3]
+    durs = 200 + (i * 37) % 1801  # 200..2000 ms
+    codecs = np.where(i % 2 == 0, "pcm16", "ulaw")
+
+    # event times: base + i*step, jittered within disorder_ms, with
+    # deterministic late stragglers and session gaps
+    jitter = rng.integers(0, disorder_ms, n)
+    ts_ms = i * step_ms + jitter
+    late_mask = (i % late_every) == (late_every - 1)
+    ts_ms = np.where(late_mask, ts_ms + late_by_ms, ts_ms)
+    in_gap = (i % gap_every) >= (gap_every - gap_len)
+    ts_ms = np.where(in_gap, ts_ms + 3 * late_by_ms, ts_ms)
+
+    payloads: list[bytes] = []
+    for k in range(n):
+        t = np.arange(int(srs[k] * durs[k] / 1000.0)) / srs[k]
+        x = amps[k] * np.sin(2 * np.pi * freqs[k] * t)
+        payloads.append(pcm16_encode(x) if codecs[k] == "pcm16" else ulaw_encode(x))
+
+    words = [
+        " ".join(_VOCAB[(k * 7 + j) % len(_VOCAB)] for j in range(3 + k % 4))
+        for k in range(n)
+    ]
+    return pd.DataFrame(
+        {
+            "clip_id": [f"{PREFIXES[p]}-{k:08d}" for p, k in zip(pref_idx, i)],
+            "bytes": payloads,
+            "sr_hz": srs.astype("int32"),
+            "dur_ms": durs.astype("int32"),
+            "codec": codecs,
+            "transcript": words,
+            "ingest_ts": [BASE_TS + timedelta(milliseconds=int(m)) for m in ts_ms],
+        }
+    )
+
+
+def expected_energy(clip_index: int) -> float:
+    """Analytical mean-square energy of clip i: A^2/2 for a pure sine."""
+    a = 0.1 + (clip_index % 10) * 0.1
+    return a * a / 2.0
+
+
+def make_corrections_pdf(
+    clips: pd.DataFrame,
+    seed: int = 42,
+    within_lag_ms: int = 30_000,
+    beyond_lag_ms: int = 3_600_000,
+) -> pd.DataFrame:
+    """~10% of clips get a correction; every 3rd correction arrives beyond
+    the join tolerance (must be dropped by the watermarked join and show
+    up in the drop metric)."""
+    sel = clips.iloc[::10].reset_index(drop=True)
+    k = np.arange(len(sel))
+    late = (k % 3) == 2
+    lag = np.where(late, beyond_lag_ms, (k * 131) % within_lag_ms)
+    return pd.DataFrame(
+        {
+            "clip_id": sel["clip_id"],
+            "corrected_transcript": sel["transcript"] + "-corr",
+            "correction_ts": [
+                t + timedelta(milliseconds=int(m))
+                for t, m in zip(sel["ingest_ts"], lag)
+            ],
+        }
+    )
+
+
+def clips_df(spark: SparkSession, n: int, seed: int = 42, **kw) -> DataFrame:
+    return spark.createDataFrame(make_clips_pdf(n, seed, **kw), schema=CLIPS_SCHEMA)
+
+
+def corrections_df(spark: SparkSession, clips_pdf: pd.DataFrame, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(
+        make_corrections_pdf(clips_pdf, seed), schema=CORRECTIONS_SCHEMA
+    )
+
+
+def write_clips_parquet(
+    spark: SparkSession, path: str, n: int, seed: int = 42, n_files: int = 8
+) -> None:
+    """Materialize clips as a multi-file parquet dir (a stand-in for the
+    Iceberg table locally; file-per-micro-batch also feeds readStream)."""
+    df = clips_df(spark, n, seed)
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
