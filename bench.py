@@ -1,0 +1,161 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two parts:
+1. Batch operator suite at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+   on local[$SPARK_GRAFT_CPUS] — per-query wall seconds.
+2. Streaming CEP scaling evidence (north rule): the identical tumbling-window
+   job run via subprocess at local[8] and local[32] on the same synthesized
+   clip table; reports clips/sec at both and scaling efficiency
+   T(4N) / (4 * T(N)). Also rewrites BENCH/BASELINE.md with the numbers.
+
+Set SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip part 2 (it spawns two JVMs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+BATCH_QUERIES = [
+    "ts_resample_avg",
+    "ts_resample_filled",
+    "ts_interpolate_linear",
+    "ts_twa_linear",
+    "ts_circular_avg",
+    "ts_latest",
+    "ts_summary",
+    "dq_ksigma",
+    "text_doc_stats",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "sim_lsh_topk",
+    "audio_window_energy",
+]
+
+
+def run_batch(sf_dir: str, cores: int) -> dict[str, float]:
+    from core_spark.session import get_spark
+    from core_spark import registry
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    # warm the JVM + Arrow path once so per-query times measure the queries
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    times: dict[str, float] = {}
+    for name in BATCH_QUERIES:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    return times
+
+
+def run_scaling(n_clips: int) -> dict:
+    """Same job, same input, local[8] vs local[32] (N / 4N stand-ins)."""
+    work = "/tmp/core_spark_bench"
+    in_dir = os.path.join(work, "clips_input")
+    results = {}
+    for cores in (8, 32):
+        cmd = [
+            sys.executable, "-m", "core_spark.streaming.job",
+            "--cores", str(cores), "--mode", "tumbling", "--salt", "8",
+            "--n-clips", str(n_clips), "--work", os.path.join(work, f"run{cores}"),
+            "--input", in_dir, "--batches", "8",
+        ]
+        env = dict(os.environ, PYTHONPATH=REPO)
+        out = subprocess.run(
+            cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=1800
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"job failed at {cores} cores:\n{out.stderr[-2000:]}")
+        results[cores] = json.loads(line[-1])
+        print(f"  streaming cores={cores}: {results[cores]}", file=sys.stderr)
+    t8, t32 = results[8]["clips_per_sec"], results[32]["clips_per_sec"]
+    eff = round(t32 / (4.0 * t8), 3)
+    return {
+        "n_clips": n_clips,
+        "clips_per_sec_8": t8,
+        "clips_per_sec_32": t32,
+        "scaling_efficiency": eff,
+        "batch_ms_p99_32": results[32].get("batch_ms_p99"),
+        "batch_ms_p50_32": results[32].get("batch_ms_p50"),
+    }
+
+
+def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — measured engine numbers",
+        "",
+        f"Batch suite at sf={sf}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]:",
+        "",
+        "| query | sec |",
+        "| --- | --- |",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in times.items()]
+    if scaling:
+        lines += [
+            "",
+            "## Streaming scaling (north rule: N vs 4N)",
+            "",
+            "Identical tumbling-window CEP job (decode -> watermark -> salted",
+            "window agg -> exactly-once merge sink) on the same "
+            f"{scaling['n_clips']}-clip input, single machine, local[8] vs local[32]",
+            "as the N / 4N cluster stand-in (per SURVEY §7.4.6):",
+            "",
+            f"- local[8]:  {scaling['clips_per_sec_8']} clips/sec",
+            f"- local[32]: {scaling['clips_per_sec_32']} clips/sec",
+            f"- scaling efficiency T(4N)/(4*T(N)) = {scaling['scaling_efficiency']}"
+            " (target >= 0.8; single-JVM stand-in shares driver+GC+page cache,"
+            " so this under-states true multi-executor scaling)",
+            f"- micro-batch p50/p99 ms at local[32]: "
+            f"{scaling['batch_ms_p50_32']} / {scaling['batch_ms_p99_32']}"
+            " (window-close latency proxy: a window's rows commit with the"
+            " micro-batch that closes it)",
+        ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    t0 = time.time()
+    times = run_batch(sf_dir, cores)
+    scaling = None
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"):
+        n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "60000"))
+        scaling = run_scaling(n_clips)
+    total = round(time.time() - t0, 2)
+    write_bench_md(sf, times, scaling)
+    out = {
+        "metric": "batch_suite_total_plus_streaming_scaling",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "wall_total_sec": total,
+    }
+    if scaling:
+        out.update(
+            clips_per_sec=scaling["clips_per_sec_32"],
+            clips_per_sec_n8=scaling["clips_per_sec_8"],
+            scaling_efficiency=scaling["scaling_efficiency"],
+            window_close_p99_ms=scaling["batch_ms_p99_32"],
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

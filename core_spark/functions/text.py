@@ -64,9 +64,9 @@ def word_tokens(text: Column) -> Column:
     )
 
 
-def quality_metrics(text: Column) -> dict[str, Column]:
-    """Heuristic document quality signals (length, alpha/punct/space ratios,
-    mean word length) — the usual pre-training corpus filters."""
+def _raw_metrics(text: Column) -> dict[str, Column]:
+    """Unrounded quality signals. Each ratio is a single exactly-rounded
+    IEEE division — deterministic across engines without any rounding."""
     n = F.length(text).cast("double")
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
     digit = F.length(F.regexp_replace(text, r"[^0-9]", "")).cast("double")
@@ -77,20 +77,34 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     return {
         "n_chars": n,
         "n_words": words,
-        "alpha_ratio": F.round(alpha / safe_n, 6),
-        "digit_ratio": F.round(digit / safe_n, 6),
-        "space_ratio": F.round(space / safe_n, 6),
-        "punct_ratio": F.round(punct / safe_n, 6),
-        "mean_word_len": F.round(
-            F.when(words > 0, (n - space) / words), 6
-        ),
+        "alpha_ratio": alpha / safe_n,
+        "digit_ratio": digit / safe_n,
+        "space_ratio": space / safe_n,
+        "punct_ratio": punct / safe_n,
+        "mean_word_len": F.when(words > 0, (n - space) / words),
     }
 
 
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Heuristic document quality signals (length, alpha/punct/space ratios,
+    mean word length) — the usual pre-training corpus filters."""
+    m = _raw_metrics(text)
+    out = {"n_chars": m["n_chars"], "n_words": m["n_words"]}
+    for k in ("alpha_ratio", "digit_ratio", "space_ratio", "punct_ratio", "mean_word_len"):
+        out[k] = F.round(m[k], 6)
+    return out
+
+
 def quality_score(text: Column) -> Column:
-    """Composite [0,1] quality score from the metric bundle; monotone in
-    alpha ratio, penalizes digit/punct overload and degenerate word length."""
-    m = quality_metrics(text)
+    """Composite [0,1] quality score; monotone in alpha ratio, penalizes
+    digit/punct overload and degenerate word length.
+
+    Built from the UNROUNDED ratios: combining pre-rounded 6-digit ratios
+    with *0.5/*0.2 weights concentrates results exactly on rounding
+    half-boundaries, where engine-dependent last-ulp noise flips the 6th
+    digit. Raw ratios are irrational-ish, so boundary hits are measure-zero.
+    """
+    m = _raw_metrics(text)
     word_len_ok = (
         F.when((m["mean_word_len"] >= 2.5) & (m["mean_word_len"] <= 12.0), 1.0)
         .otherwise(0.0)

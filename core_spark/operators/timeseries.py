@@ -69,29 +69,35 @@ def scan(
     ``Status <> 'Bad'`` gate (TSQB:168-169), scan widening for verbs that
     need boundary events (TSQB:1440-1442).
     """
+    # Range/tag predicates are applied to the RAW source columns before any
+    # projection, so they reach the parquet scan as PushedFilters (row-group
+    # + partition pruning at 100 TB). Filtering on the ms-truncated column
+    # is equivalent — bounds are second-aligned, and for second-aligned b:
+    # date_trunc(ms, ts) >= b  <=>  ts >= b  (same for the upper bound) —
+    # but would block pushdown (TSQB:138-149 pushes the same BETWEEN).
+    src = df
+    if start is not None:
+        lo = F.to_timestamp(F.lit(start)) - F.expr(f"INTERVAL {widen_seconds} SECOND")
+        src = src.filter(F.col(spec.ts_col) >= lo)
+    if end is not None:
+        hi = F.to_timestamp(F.lit(end)) + F.expr(f"INTERVAL {widen_seconds} SECOND")
+        src = src.filter(F.col(spec.ts_col) < hi)
+    if tags is not None:
+        src = src.filter(F.col(spec.tag_col).isin(list(tags)))
+    if not include_bad and spec.status_col is not None:
+        src = src.filter(F.col(spec.status_col) != "Bad")
     ts = F.date_trunc("millisecond", F.col(spec.ts_col))
     status = (
         F.col(spec.status_col).cast("string")
         if spec.status_col is not None
         else F.lit("Good")
     )
-    out = df.select(
+    return src.select(
         F.col(spec.tag_col).cast("string").alias(TAG),
         ts.alias(TS),
         F.col(spec.value_col).cast("double").alias(VAL),
         status.alias(ST),
     )
-    if start is not None:
-        lo = F.to_timestamp(F.lit(start)) - F.expr(f"INTERVAL {widen_seconds} SECOND")
-        out = out.filter(F.col(TS) >= lo)
-    if end is not None:
-        hi = F.to_timestamp(F.lit(end)) + F.expr(f"INTERVAL {widen_seconds} SECOND")
-        out = out.filter(F.col(TS) < hi)
-    if tags is not None:
-        out = out.filter(F.col(TAG).isin(list(tags)))
-    if not include_bad:
-        out = out.filter(F.col(ST) != "Bad")
-    return out
 
 
 def raw(
@@ -130,8 +136,11 @@ _AGGS = {
     "max": lambda: F.max(VAL),
     "sum": lambda: F.sum(VAL),
     "count": lambda: F.count(VAL),
-    "first": lambda: F.min_by(VAL, TS),
-    "last": lambda: F.max_by(VAL, TS),
+    # struct key => value tie-break when two events share a timestamp, so
+    # first/last are deterministic across engines (oracle uses row_number
+    # with the same (ts, value) ordering).
+    "first": lambda: F.min_by(VAL, F.struct(F.col(TS), F.col(VAL))),
+    "last": lambda: F.max_by(VAL, F.struct(F.col(TS), F.col(VAL))),
 }
 
 
@@ -146,6 +155,7 @@ def resample(
     include_bad: bool = False,
     offset_seconds: int = 0,
     round_digits: int | None = 6,
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """Time-bucket aggregate (TSQB:183-239).
 
@@ -153,13 +163,28 @@ def resample(
     not Spark's ordering-dependent first()/last(). One shuffle on
     (tag, bucket); partial aggregation happens map-side for avg/min/max/
     sum/count. Empty buckets absent (see ``resample_filled``).
+
+    ``exact_decimals``: when the input values are fixed-point decimals
+    (e.g. 2-decimal sensor readings), avg/sum are computed over exact
+    scaled-integer sums so the result double is bit-identical regardless
+    of partitioning/summation order — float sums of decimal data land
+    exactly on rounding half-boundaries often enough that order-dependent
+    ulps otherwise flip rounded digits between runs/engines.
     """
     if agg_method not in _AGGS:
         raise ValueError(f"agg_method must be one of {sorted(_AGGS)}")
     base = scan(df, spec, start, end, tags, include_bad)
     if agg_method == "avg":
         base = base.dropDuplicates()  # TSQB:539-548 dedups before avg
-    v = _AGGS[agg_method]()
+    if exact_decimals is not None and agg_method in ("avg", "sum"):
+        scale = float(10**exact_decimals)
+        units = F.round(F.col(VAL) * scale).cast("long")
+        if agg_method == "avg":
+            v = (F.sum(units).cast("double") / scale) / F.count(VAL)
+        else:
+            v = F.sum(units).cast("double") / scale
+    else:
+        v = _AGGS[agg_method]()
     if round_digits is not None and agg_method != "count":
         v = F.round(v, round_digits)
     return (
@@ -204,22 +229,26 @@ def resample_filled(
     tags: Sequence[str] | None = None,
     include_bad: bool = False,
     offset_seconds: int = 0,
+    round_digits: int | None = 6,
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """Resample with empty buckets materialized as NULL rows (TSQB:207-229).
 
-    Grid LEFT-join pattern: aggregate first (reduces the big side), then
-    left-join the small generated grid. Grid side is broadcast — no shuffle
-    of the aggregated data beyond the groupBy itself.
+    Grid LEFT-join pattern: aggregate first (reduces the big side to
+    |tags| x |buckets|), then left-join the generated grid of the same
+    cardinality. Both sides are post-reduction, so the join is left to
+    Catalyst/AQE (broadcasting the preserved side of a left-outer join is
+    not a valid build side; AQE picks broadcast when the agg side is small).
     """
     agg = resample(
         df, spec, every_seconds, agg_method, start, end, tags, include_bad,
-        offset_seconds,
+        offset_seconds, round_digits, exact_decimals,
     )
     tag_src = df.select(F.col(spec.tag_col).alias(TAG))
     if tags is not None:
         tag_src = tag_src.filter(F.col(TAG).isin(list(tags)))
     grid = _grid(tag_src, start, end, every_seconds, offset_seconds)
-    return F.broadcast(grid).join(agg, [TAG, TS], "left_outer").select(TAG, TS, VAL)
+    return grid.join(agg, [TAG, TS], "left_outer").select(TAG, TS, VAL)
 
 
 def interpolate(
@@ -232,7 +261,9 @@ def interpolate(
     tags: Sequence[str] | None = None,
     include_bad: bool = False,
     offset_seconds: int = 0,
-    round_digits: int = 6,
+    round_digits: int | None = 6,
+    agg_round_digits: int | None = 6,
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """Resample then fill empty buckets (TSQB:269-301,908-1042).
 
@@ -246,7 +277,7 @@ def interpolate(
     """
     filled = resample_filled(
         df, spec, every_seconds, start, end, "avg", tags, include_bad,
-        offset_seconds,
+        offset_seconds, agg_round_digits, exact_decimals,
     )
     w = Window.partitionBy(TAG).orderBy(TS)
     w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -273,7 +304,9 @@ def interpolate(
         )
     else:
         raise ValueError("method must be linear|ffill|bfill")
-    return out.withColumn(VAL, F.round(VAL, round_digits))
+    if round_digits is not None:
+        out = out.withColumn(VAL, F.round(VAL, round_digits))
+    return out
 
 
 def interpolate_at_time(
@@ -346,20 +379,37 @@ def summary(
     end: str | None = None,
     tags: Sequence[str] | None = None,
     include_bad: bool = False,
+    exact_decimals: int | None = None,
+    decimal_out: bool = True,
 ) -> DataFrame:
-    """Per-tag descriptive stats, decimal(10,2)-cast like TSQB:304-382."""
-    d = "decimal(10,2)"
+    """Per-tag descriptive stats, decimal(10,2)-cast like TSQB:304-382.
+
+    avg/sum honour ``exact_decimals`` (see ``resample``): scaled-integer
+    sums make them order-independent. All stats are rounded *before* the
+    decimal cast so half-boundary ties resolve identically everywhere.
+    ``decimal_out=False`` keeps rounded doubles (decimal handling differs
+    across client libraries; values are identical either way).
+    """
+    d = "decimal(10,2)" if decimal_out else "double"
+    if exact_decimals is not None:
+        scale = float(10**exact_decimals)
+        units = F.round(F.col(VAL) * scale).cast("long")
+        avg_c = (F.sum(units).cast("double") / scale) / F.count(VAL)
+        sum_c = F.sum(units).cast("double") / scale
+    else:
+        avg_c = F.avg(VAL)
+        sum_c = F.sum(VAL)
     return (
         scan(df, spec, start, end, tags, include_bad)
         .groupBy(TAG)
         .agg(
             F.count(VAL).alias("cnt"),
-            F.avg(VAL).cast(d).alias("avg"),
-            F.min(VAL).cast(d).alias("min"),
-            F.max(VAL).cast(d).alias("max"),
-            F.stddev(VAL).cast(d).alias("st_dev"),
-            F.sum(VAL).cast(d).alias("sum"),
-            F.variance(VAL).cast(d).alias("var"),
+            F.round(avg_c, 2).cast(d).alias("avg"),
+            F.round(F.min(VAL), 2).cast(d).alias("min"),
+            F.round(F.max(VAL), 2).cast(d).alias("max"),
+            F.round(F.stddev(VAL), 2).cast(d).alias("st_dev"),
+            F.round(sum_c, 2).cast(d).alias("sum"),
+            F.round(F.variance(VAL), 2).cast(d).alias("var"),
         )
     )
 
@@ -584,7 +634,12 @@ def circular_stddev(
         .groupBy(TAG, F.col("__b").alias(TS))
         .agg(F.avg(F.cos(rad)).alias("__c"), F.avg(F.sin(rad)).alias("__s"))
     )
-    r = F.sqrt(F.col("__c") * F.col("__c") + F.col("__s") * F.col("__s"))
+    # clamp: fp noise can push single-sample buckets to r slightly > 1,
+    # which would make sqrt(-2 ln r) NaN
+    r = F.least(
+        F.sqrt(F.col("__c") * F.col("__c") + F.col("__s") * F.col("__s")),
+        F.lit(1.0),
+    )
     pi2 = 2.0 * 3.141592653589793
     sd_rad = F.sqrt(-2.0 * F.log(r))
     return agg.select(
@@ -602,15 +657,21 @@ def pivot_wide(
     start: str | None = None,
     end: str | None = None,
     agg_method: str = "avg",
+    round_digits: int | None = 6,
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """Wide matrix: one column per tag (TSQB:385-427 PIVOT).
 
     Tag list is explicit (as in the reference) so the pivot needs no
-    extra distinct-values job.
+    extra distinct-values job. ``max`` in the pivot cell is deterministic
+    (resample emits exactly one row per (tag, bucket)).
     """
-    res = resample(df, spec, every_seconds, agg_method, start, end, list(tags))
+    res = resample(
+        df, spec, every_seconds, agg_method, start, end, list(tags),
+        round_digits=round_digits, exact_decimals=exact_decimals,
+    )
     return (
         res.groupBy(TS)
         .pivot(TAG, list(tags))
-        .agg(F.first(VAL))
+        .agg(F.max(VAL))
     )

@@ -1,0 +1,854 @@
+"""Query registry: every implemented operator as a (spark_callable, oracle_sql)
+pair for the driver's correctness gate.
+
+Each entry runs the engine's DataFrame implementation over the driver's
+parquet tables and, where the semantics are ANSI-SQL-expressible, ships a
+DuckDB oracle that computes the *same* rows with the *same* column names and
+types. Determinism rules (so value hashes match bit-for-bit):
+
+- float aggregates whose summation order is engine-dependent (avg/sum/stddev)
+  are rounded coarsely (2-4 digits) — double-sum error is ~1e-12 relative, so
+  the rounded value is identical in both engines;
+- derived arithmetic (interpolation formulas, TWA integrals, cosine math) is
+  written with the *identical expression tree* in both engines — IEEE 754 ops
+  are deterministic given identical operands and order;
+- arg-min/max style picks always carry a (timestamp, value) tie-break;
+- timestamps are compared under UTC session time (core_spark.session pins it;
+  callables here re-pin defensively).
+
+Ops that need engine-specific hashing (xxhash64 MinHash/SimHash) or stateful
+streaming have no SQL oracle — the driver records a weaker rows-only check
+for those, and tests/ cover them against analytical expectations instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import audio as au
+from .functions import text as tx
+from .operators import data_quality as dq
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import timeseries as ts
+from .operators.timeseries import TSSpec
+
+EVENTS_SPEC = TSSpec(tag_col="event_type", ts_col="ts", value_col="value", status_col=None)
+START = "2024-01-01 00:00:00"
+END = "2024-02-01 00:00:00"
+PI = 3.141592653589793
+PI2 = 6.283185307179586  # 2.0 * PI as the same double both engines use
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Oracle parity requires UTC timestamps regardless of who built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------- SQL helpers
+
+_SCAN = (
+    "SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS event_time, "
+    "CAST(value AS DOUBLE) AS value, 'Good' AS status FROM events"
+)
+
+
+def _scan_sql(start: str | None = None, end: str | None = None, widen: int = 0) -> str:
+    where = []
+    if start is not None:
+        where.append(f"date_trunc('milliseconds', ts) >= TIMESTAMP '{start}' - INTERVAL {widen} SECOND")
+    if end is not None:
+        where.append(f"date_trunc('milliseconds', ts) < TIMESTAMP '{end}' + INTERVAL {widen} SECOND")
+    w = (" WHERE " + " AND ".join(where)) if where else ""
+    return _SCAN + w
+
+
+def _bucket_sql(col: str, every: int) -> str:
+    """Same math as timeseries._bucket: floor(unix_seconds/every)*every."""
+    return (
+        f"make_timestamp(CAST(FLOOR(FLOOR(epoch({col}))/{every})*{every} AS BIGINT)*1000000)"
+    )
+
+
+# epoch seconds exactly like Spark's unix_timestamp (second-truncated long)
+def _usec(col: str) -> str:
+    return f"CAST(FLOOR(epoch({col})) AS DOUBLE)"
+
+
+# Order-independent mean of 2-decimal data: exact scaled-integer sum, then a
+# single exactly-rounded IEEE division chain — bit-identical in any engine.
+# Mirrors timeseries.resample(exact_decimals=2).
+_AVG_EXACT = (
+    "(CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)"
+    " / CAST(COUNT(value) AS DOUBLE)"
+)
+_SUM_EXACT = "CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0"
+
+
+# ---------------------------------------------------------------- time series
+
+def q_ts_raw(spark, sf_dir):
+    return ts.raw(_load(spark, sf_dir, "events"), EVENTS_SPEC, START, END, distinct=True)
+
+
+SQL_TS_RAW = f"SELECT DISTINCT * FROM ({_scan_sql(START, END)})"
+
+
+def q_ts_resample_avg(spark, sf_dir):
+    return ts.resample(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 3600, "avg", START, END,
+        round_digits=None, exact_decimals=2,
+    )
+
+
+SQL_TS_RESAMPLE_AVG = f"""
+WITH s AS (SELECT DISTINCT * FROM ({_scan_sql(START, END)}))
+SELECT tagname, {_bucket_sql('event_time', 3600)} AS event_time,
+       {_AVG_EXACT} AS value
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_ts_resample_last(spark, sf_dir):
+    return ts.resample(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 3600, "last", START, END, round_digits=None
+    )
+
+
+SQL_TS_RESAMPLE_LAST = f"""
+WITH s AS (SELECT *, {_bucket_sql('event_time', 3600)} AS b FROM ({_scan_sql(START, END)})),
+r AS (SELECT *, row_number() OVER (PARTITION BY tagname, b ORDER BY event_time DESC, value DESC) AS rn FROM s)
+SELECT tagname, b AS event_time, CAST(value AS DOUBLE) AS value FROM r WHERE rn = 1
+"""
+
+
+def q_ts_resample_count(spark, sf_dir):
+    return ts.resample(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 3600, "count", START, END
+    )
+
+
+SQL_TS_RESAMPLE_COUNT = f"""
+WITH s AS (SELECT *, {_bucket_sql('event_time', 3600)} AS b FROM ({_scan_sql(START, END)}))
+SELECT tagname, b AS event_time, CAST(COUNT(value) AS DOUBLE) AS value FROM s GROUP BY 1, 2
+"""
+
+
+def q_ts_resample_filled(spark, sf_dir):
+    return ts.resample_filled(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 21600, START, END, "count"
+    )
+
+
+SQL_TS_RESAMPLE_FILLED = f"""
+WITH s AS (SELECT *, {_bucket_sql('event_time', 21600)} AS b FROM ({_scan_sql(START, END)})),
+a AS (SELECT tagname, b AS event_time, CAST(COUNT(value) AS DOUBLE) AS value FROM s GROUP BY 1, 2),
+tags AS (SELECT DISTINCT event_type AS tagname FROM events),
+grid AS (SELECT tagname, unnest(generate_series(TIMESTAMP '{START}', TIMESTAMP '{END}', INTERVAL 21600 SECOND)) AS event_time FROM tags)
+SELECT g.tagname, g.event_time, a.value
+FROM grid g LEFT JOIN a USING (tagname, event_time)
+WHERE g.event_time < TIMESTAMP '{END}'
+"""
+
+
+def _interp_fill_sql(every: int, method: str) -> str:
+    """Grid + left-join + IGNORE NULLS window fills, mirroring ts.interpolate."""
+    t, pt, nt = _usec("event_time"), _usec("pt_"), _usec("nt_")
+    if method == "linear":
+        fill = f"""CASE WHEN value IS NOT NULL THEN value
+          WHEN pv IS NOT NULL AND nv IS NOT NULL AND {nt} <> {pt}
+            THEN pv + (nv - pv) * ({t} - {pt}) / ({nt} - {pt})
+          WHEN pv IS NOT NULL THEN pv END"""
+    elif method == "ffill":
+        fill = "pv"
+    else:
+        raise ValueError(method)
+    return f"""
+WITH s AS (SELECT DISTINCT * FROM ({_scan_sql(START, END)})),
+a AS (SELECT tagname, {_bucket_sql('event_time', every)} AS event_time,
+             {_AVG_EXACT} AS value
+      FROM s GROUP BY 1, 2),
+tags AS (SELECT DISTINCT event_type AS tagname FROM events),
+grid AS (SELECT tagname, unnest(generate_series(TIMESTAMP '{START}', TIMESTAMP '{END}', INTERVAL {every} SECOND)) AS event_time FROM tags),
+f AS (SELECT g.tagname, g.event_time, a.value
+      FROM grid g LEFT JOIN a USING (tagname, event_time)
+      WHERE g.event_time < TIMESTAMP '{END}'),
+w AS (SELECT tagname, event_time, value,
+        last_value(value IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN value IS NOT NULL THEN event_time END IGNORE NULLS) OVER wp AS pt_,
+        first_value(value IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN value IS NOT NULL THEN event_time END IGNORE NULLS) OVER wn AS nt_
+      FROM f
+      WINDOW wp AS (PARTITION BY tagname ORDER BY event_time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY tagname ORDER BY event_time ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT tagname, event_time, {fill} AS value FROM w
+"""
+
+
+def q_ts_interpolate_linear(spark, sf_dir):
+    return ts.interpolate(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 21600, START, END,
+        method="linear", round_digits=None, agg_round_digits=None, exact_decimals=2,
+    )
+
+
+def q_ts_interpolate_ffill(spark, sf_dir):
+    return ts.interpolate(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 21600, START, END,
+        method="ffill", round_digits=None, agg_round_digits=None, exact_decimals=2,
+    )
+
+
+IAT_TIMES = ["2024-01-05 00:00:00", "2024-01-10 12:34:56", "2024-01-20 03:00:00"]
+
+
+def q_ts_interpolate_at_time(spark, sf_dir):
+    return ts.interpolate_at_time(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, IAT_TIMES,
+        window_length_seconds=86400,
+    )
+
+
+def _iat_sql() -> str:
+    t, pt, nt = _usec("event_time"), _usec("pt_"), _usec("nt_")
+    lo, hi = min(IAT_TIMES), max(IAT_TIMES)
+    req_list = ", ".join(f"TIMESTAMP '{x}'" for x in IAT_TIMES)
+    return f"""
+WITH ev AS ({_scan_sql(lo, hi, widen=86400)}),
+tags AS (SELECT DISTINCT tagname FROM ev),
+req AS (SELECT tagname, unnest([{req_list}]) AS event_time FROM tags),
+u AS (SELECT tagname, event_time, value, FALSE AS is_req FROM ev
+      UNION ALL SELECT tagname, event_time, CAST(NULL AS DOUBLE), TRUE FROM req),
+w AS (SELECT *,
+        last_value(CASE WHEN NOT is_req THEN value END IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN NOT is_req THEN event_time END IGNORE NULLS) OVER wp AS pt_,
+        first_value(CASE WHEN NOT is_req THEN value END IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN NOT is_req THEN event_time END IGNORE NULLS) OVER wn AS nt_,
+        max(CASE WHEN NOT is_req THEN value END) OVER (PARTITION BY tagname, event_time) AS exact_v
+      FROM u
+      WINDOW wp AS (PARTITION BY tagname ORDER BY event_time, is_req ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wn AS (PARTITION BY tagname ORDER BY event_time, is_req ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT tagname, event_time,
+       ROUND(CASE WHEN exact_v IS NOT NULL THEN exact_v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL AND {nt} <> {pt}
+                    THEN pv + (nv - pv) * ({t} - {pt}) / ({nt} - {pt})
+                  WHEN pv IS NOT NULL THEN pv END, 6) AS value
+FROM w WHERE is_req
+"""
+
+
+def q_ts_summary(spark, sf_dir):
+    return ts.summary(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, exact_decimals=2, decimal_out=False
+    )
+
+
+SQL_TS_SUMMARY = f"""
+SELECT tagname, COUNT(value) AS cnt,
+       ROUND({_AVG_EXACT}, 2) AS avg,
+       ROUND(MIN(value), 2) AS min,
+       ROUND(MAX(value), 2) AS max,
+       ROUND(STDDEV(value), 2) AS st_dev,
+       ROUND({_SUM_EXACT}, 2) AS sum,
+       ROUND(VARIANCE(value), 2) AS var
+FROM ({_SCAN}) GROUP BY 1
+"""
+
+
+def q_ts_latest(spark, sf_dir):
+    return ts.latest(_load(spark, sf_dir, "events"), EVENTS_SPEC)
+
+
+SQL_TS_LATEST = f"""
+WITH s AS ({_SCAN}),
+r AS (SELECT *, row_number() OVER (PARTITION BY tagname ORDER BY event_time DESC, value DESC) AS rn,
+             max(event_time) OVER (PARTITION BY tagname) AS met
+      FROM s)
+SELECT tagname, met AS event_time, value, status FROM r WHERE rn = 1
+"""
+
+_OHLC_CORE = f"""
+WITH s AS (SELECT *, {_bucket_sql('event_time', 86400)} AS b FROM ({_scan_sql(START, END)})),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY tagname, b ORDER BY event_time ASC, value ASC) AS rn_a,
+        row_number() OVER (PARTITION BY tagname, b ORDER BY event_time DESC, value DESC) AS rn_d
+      FROM s),
+ohlc AS (SELECT tagname, b AS event_time,
+        MIN(value) AS min_value, MAX(value) AS max_value,
+        MAX(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+        MAX(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+        CAST(NULL AS DOUBLE) AS exception_value
+      FROM r GROUP BY 1, 2)
+"""
+
+
+def q_ts_ohlc(spark, sf_dir):
+    return ts.plot_ohlc(_load(spark, sf_dir, "events"), EVENTS_SPEC, 86400, START, END)
+
+
+SQL_TS_OHLC = _OHLC_CORE + "SELECT * FROM ohlc"
+
+
+def q_ts_plot_unpivot(spark, sf_dir):
+    return ts.plot_unpivot(
+        ts.plot_ohlc(_load(spark, sf_dir, "events"), EVENTS_SPEC, 86400, START, END)
+    )
+
+
+SQL_TS_PLOT_UNPIVOT = _OHLC_CORE + """
+SELECT tagname, event_time, agg AS aggregation, value FROM (
+  SELECT tagname, event_time, 'min' AS agg, min_value AS value FROM ohlc
+  UNION ALL SELECT tagname, event_time, 'max', max_value FROM ohlc
+  UNION ALL SELECT tagname, event_time, 'first', first_value FROM ohlc
+  UNION ALL SELECT tagname, event_time, 'last', last_value FROM ohlc
+  UNION ALL SELECT tagname, event_time, 'exception', exception_value FROM ohlc
+) WHERE value IS NOT NULL
+"""
+
+
+def _twa_sql(every: int, step: bool) -> str:
+    t, pt, nt = _usec("event_time"), _usec("pt_"), _usec("nt_")
+    if step:
+        fill = "pv"
+        seg = "v * dt"
+    else:
+        fill = f"""CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND {nt} <> {pt}
+                 THEN pv + (nv - pv) * ({t} - {pt}) / ({nt} - {pt})
+               WHEN pv IS NOT NULL THEN pv END"""
+        seg = "(v + nv2) / 2.0 * dt"
+    return f"""
+WITH ev AS ({_scan_sql(START, END, widen=86400)}),
+edges AS (SELECT tagname, unnest(generate_series(TIMESTAMP '{START}', TIMESTAMP '{END}', INTERVAL {every} SECOND)) AS event_time
+          FROM (SELECT DISTINCT tagname FROM ev)),
+u AS (SELECT tagname, event_time, value, status, FALSE AS is_edge FROM ev
+      UNION ALL
+      SELECT tagname, event_time, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), TRUE FROM edges),
+d AS (SELECT *, COUNT(*) OVER (PARTITION BY tagname, event_time) > 1 AS dup FROM u),
+u2 AS (SELECT * FROM d WHERE NOT (is_edge AND dup)),
+w AS (SELECT tagname, event_time, value, status, is_edge,
+        last_value(CASE WHEN NOT is_edge THEN value END IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN NOT is_edge THEN event_time END IGNORE NULLS) OVER wp AS pt_,
+        first_value(CASE WHEN NOT is_edge THEN value END IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN NOT is_edge THEN event_time END IGNORE NULLS) OVER wn AS nt_,
+        last_value(status IGNORE NULLS) OVER wp AS st
+      FROM u2
+      WINDOW wp AS (PARTITION BY tagname ORDER BY event_time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY tagname ORDER BY event_time ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+filled AS (SELECT *, CASE WHEN NOT is_edge THEN value ELSE {fill} END AS v FROM w),
+segs AS (SELECT tagname, event_time, st, v,
+           lead(event_time) OVER wo AS nt2, lead(v) OVER wo AS nv2
+         FROM filled
+         WINDOW wo AS (PARTITION BY tagname ORDER BY event_time)),
+segs2 AS (SELECT tagname, event_time, st, v,
+            ({_usec('nt2')} - {t}) AS dt, {seg} AS tw
+          FROM segs WHERE nt2 IS NOT NULL),
+segs3 AS (SELECT *, ((st IS NULL OR st <> 'Bad') AND tw IS NOT NULL) AS good
+          FROM segs2
+          WHERE dt > 0 AND event_time >= TIMESTAMP '{START}' AND event_time < TIMESTAMP '{END}')
+SELECT tagname, {_bucket_sql('event_time', every)} AS event_time,
+       ROUND(CAST(SUM(CASE WHEN good THEN tw END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN good THEN dt END) AS DOUBLE), 4) AS value
+FROM segs3 GROUP BY 1, 2
+"""
+
+
+def q_ts_twa_linear(spark, sf_dir):
+    return ts.time_weighted_average(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 21600, START, END,
+        step=False, round_digits=4,
+    )
+
+
+def q_ts_twa_step(spark, sf_dir):
+    return ts.time_weighted_average(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 21600, START, END,
+        step=True, round_digits=4,
+    )
+
+
+def _circ_sql(every: int, lower: float, upper: float, sd: bool) -> str:
+    span = upper - lower
+    rad = f"((value - {lower!r}) / {span!r}) * 2.0 * {PI!r}"
+    if sd:
+        val = (
+            f"ROUND(SQRT(-2.0 * LN(LEAST(SQRT(c*c + s*s), 1.0))) / {PI2!r} * {span!r}, 4)"
+        )
+    else:
+        val = (
+            f"ROUND(fmod(atan2(s, c) + {PI2!r}, {PI2!r}) / {PI2!r} * {span!r} + {lower!r}, 4)"
+        )
+    return f"""
+WITH s0 AS (SELECT *, {_bucket_sql('event_time', every)} AS b FROM ({_scan_sql(START, END)})),
+a AS (SELECT tagname, b AS event_time, AVG(COS({rad})) AS c, AVG(SIN({rad})) AS s
+      FROM s0 GROUP BY 1, 2)
+SELECT tagname, event_time, {val} AS value FROM a
+"""
+
+
+def q_ts_circular_avg(spark, sf_dir):
+    return ts.circular_average(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 86400, 0.0, 20.0, START, END,
+        round_digits=4,
+    )
+
+
+def q_ts_circular_sd(spark, sf_dir):
+    return ts.circular_stddev(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 86400, 0.0, 20.0, START, END,
+        round_digits=4,
+    )
+
+
+TAGS5 = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_ts_pivot(spark, sf_dir):
+    return ts.pivot_wide(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 86400, TAGS5, START, END,
+        round_digits=None, exact_decimals=2,
+    )
+
+
+SQL_TS_PIVOT = f"""
+WITH s AS (SELECT DISTINCT * FROM ({_scan_sql(START, END)})),
+a AS (SELECT tagname, {_bucket_sql('event_time', 86400)} AS event_time,
+             {_AVG_EXACT} AS value
+      FROM s GROUP BY 1, 2)
+SELECT event_time,
+       MAX(CASE WHEN tagname = 'click' THEN value END) AS click,
+       MAX(CASE WHEN tagname = 'error' THEN value END) AS error,
+       MAX(CASE WHEN tagname = 'purchase' THEN value END) AS purchase,
+       MAX(CASE WHEN tagname = 'signup' THEN value END) AS signup,
+       MAX(CASE WHEN tagname = 'view' THEN value END) AS view
+FROM a GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- data quality
+
+def q_dq_ksigma(spark, sf_dir):
+    return dq.k_sigma_anomaly_filter(_load(spark, sf_dir, "events"), EVENTS_SPEC, k=3.0)
+
+
+SQL_DQ_KSIGMA = f"""
+WITH s AS ({_SCAN}),
+st AS (SELECT tagname, AVG(value) AS mu, STDDEV(value) AS sd FROM s GROUP BY 1)
+SELECT s.tagname, s.event_time, s.value, s.status
+FROM s JOIN st USING (tagname)
+WHERE s.value BETWEEN mu - 3.0 * sd AND mu + 3.0 * sd
+"""
+
+
+def q_dq_missing_intervals(spark, sf_dir):
+    return dq.missing_data_intervals(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, expected_interval_seconds=3600.0
+    )
+
+
+SQL_DQ_MISSING_INTERVALS = f"""
+WITH s AS ({_SCAN}),
+l AS (SELECT tagname, lag(event_time) OVER (PARTITION BY tagname ORDER BY event_time) AS gap_start,
+             event_time AS gap_end FROM s)
+SELECT tagname, gap_start, gap_end,
+       ROUND({_usec('gap_end')} - {_usec('gap_start')}, 3) AS gap_seconds
+FROM l WHERE ROUND({_usec('gap_end')} - {_usec('gap_start')}, 3) > 3600.0
+"""
+
+
+def q_dq_flatline_runs(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events").withColumn("value", F.floor("value"))
+    return dq.flatline_runs(ev, EVENTS_SPEC, min_run_length=2, flat_values=(0.0,))
+
+
+SQL_DQ_FLATLINE_RUNS = """
+WITH s AS (SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS event_time,
+                  CAST(FLOOR(value) AS DOUBLE) AS value, 'Good' AS status FROM events),
+m AS (SELECT *, (value IS NULL OR value IN (0.0)) AS flat FROM s),
+c AS (SELECT *, CAST(CAST(flat AS INT) <> COALESCE(CAST(lag(flat) OVER (PARTITION BY tagname ORDER BY event_time) AS INT), -1) AS INT) AS chg FROM m),
+r AS (SELECT *, SUM(chg) OVER (PARTITION BY tagname ORDER BY event_time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM c)
+SELECT tagname, MIN(event_time) AS run_start, MAX(event_time) AS run_end, COUNT(*) AS run_length
+FROM r WHERE flat GROUP BY tagname, run HAVING COUNT(*) >= 2
+"""
+
+
+def q_dq_moving_average(spark, sf_dir):
+    return dq.moving_average(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, window_size=3, round_digits=4
+    )
+
+
+SQL_DQ_MOVING_AVERAGE = f"""
+SELECT tagname, event_time, value, status,
+       ROUND(AVG(value) OVER (PARTITION BY tagname ORDER BY event_time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM ({_SCAN})
+"""
+
+
+def q_dq_normalize_zscore(spark, sf_dir):
+    return dq.normalize_zscore(_load(spark, sf_dir, "events"), EVENTS_SPEC, round_digits=3)
+
+
+SQL_DQ_NORMALIZE_ZSCORE = f"""
+WITH s AS ({_SCAN}),
+st AS (SELECT tagname, AVG(value) AS mu, STDDEV(value) AS sd FROM s GROUP BY 1)
+SELECT s.tagname, s.event_time, s.value,
+       -- +0.0 kills IEEE negative zero: Spark's round goes through
+       -- BigDecimal (never -0.0), DuckDB's keeps the sign bit
+       ROUND((s.value - mu) / sd, 3) + 0.0 AS value_norm
+FROM s JOIN st USING (tagname)
+"""
+
+
+def q_dq_out_of_range(spark, sf_dir):
+    return dq.out_of_range_filter(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 1.0, 15.0, inclusive=True
+    )
+
+
+SQL_DQ_OUT_OF_RANGE = f"SELECT * FROM ({_SCAN}) WHERE value BETWEEN 1.0 AND 15.0"
+
+
+def q_dq_dedup_rows(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return dq.duplicate_detection(ev.unionByName(ev), ["event_id"])
+
+
+SQL_DQ_DEDUP_ROWS = "SELECT * FROM events"
+
+
+def q_dq_interval_filtering(spark, sf_dir):
+    # applyInPandas sequential thinning: not SQL-expressible => rows-only check
+    return dq.interval_filtering(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, min_interval_seconds=1800.0
+    )
+
+
+# ---------------------------------------------------------------- text / docs
+
+# Mirrors of functions.text with DuckDB syntax ('g' flag on regexp_replace).
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+_LANG_SCORES = {
+    "en": r"\b(the|and|of|to|is|in|that|it|was|for)\b",
+    "es": r"\b(el|la|de|que|y|los|las|una|por|con)\b",
+    "fr": r"\b(le|la|les|des|est|une|dans|pour|que|avec)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def q_text_doc_stats(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    m = tx.quality_metrics(t)
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("len_chars"),
+        m["n_words"].alias("n_tokens"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["digit_ratio"].alias("digit_ratio"),
+        m["space_ratio"].alias("space_ratio"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["mean_word_len"].alias("mean_word_len"),
+        tx.quality_score(t).alias("quality"),
+        tx.lang_id(t).alias("lang_pred"),
+        tx.fingerprint_md5(t).alias("fp"),
+    )
+
+
+def _doc_stats_sql() -> str:
+    score_exprs = ",\n  ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS c_{lang}"
+        for lang, pat in _LANG_SCORES.items()
+    )
+    best = "GREATEST(c_en, c_es, c_fr, c_de, c_zh)"
+    ladder = "CASE " + " ".join(
+        f"WHEN c_{lang} = best AND best > 0 THEN '{lang}'" for lang in tx.LANG_ORDER
+    ) + " ELSE 'und' END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+    CAST(LENGTH(text) AS DOUBLE) AS n,
+    CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
+    CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS space,
+    CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS words,
+    {score_exprs}
+  FROM documents),
+m AS (
+  SELECT doc_id, text, n, words,
+    alpha / CASE WHEN n > 0 THEN n END AS r_alpha,
+    digit / CASE WHEN n > 0 THEN n END AS r_digit,
+    space / CASE WHEN n > 0 THEN n END AS r_space,
+    punct / CASE WHEN n > 0 THEN n END AS r_punct,
+    CASE WHEN words > 0 THEN (n - space) / words END AS r_mwl,
+    {best} AS best, c_en, c_es, c_fr, c_de, c_zh
+  FROM b)
+SELECT doc_id, n AS len_chars, words AS n_tokens,
+  ROUND(r_alpha, 6) AS alpha_ratio, ROUND(r_digit, 6) AS digit_ratio,
+  ROUND(r_space, 6) AS space_ratio, ROUND(r_punct, 6) AS punct_ratio,
+  ROUND(r_mwl, 6) AS mean_word_len,
+  -- quality from the RAW ratios (pre-rounded inputs would concentrate the
+  -- weighted sum exactly on rounding half-boundaries; see functions/text.py)
+  ROUND(r_alpha * 0.5
+        + (1.0 - LEAST(r_digit * 4.0, 1.0)) * 0.2
+        + (1.0 - LEAST(r_punct * 4.0, 1.0)) * 0.1
+        + (CASE WHEN r_mwl >= 2.5 AND r_mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+  {ladder} AS lang_pred,
+  md5({_NORM}) AS fp
+FROM m
+"""
+
+
+def q_text_dedup_exact(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    return dd.exact_duplicates(d.unionByName(d2))
+
+
+SQL_TEXT_DEDUP_EXACT = f"""
+WITH u AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+n AS (SELECT doc_id, md5({_NORM}) AS fp FROM u)
+SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+FROM n GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.8, k=3,
+        block_cols=["lang"], length_block=64,
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH n AS (SELECT doc_id, lang, {_NORM} AS s FROM documents),
+sh AS (SELECT doc_id, lang,
+              list_distinct([substr(s, i, 3) for i in range(1, greatest(len(s) - 2, 1) + 1)]) AS sh
+       FROM n),
+sh2 AS (SELECT *, len(sh) AS n_sh FROM sh),
+p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS u
+      FROM sh2 a JOIN sh2 b
+        ON a.doc_id < b.doc_id AND a.lang = b.lang
+       AND (FLOOR(a.n_sh / 64) = FLOOR(b.n_sh / 64)
+         OR FLOOR(a.n_sh / 64) = FLOOR(b.n_sh / 64) + 1
+         OR FLOOR(a.n_sh / 64) + 1 = FLOOR(b.n_sh / 64)))
+SELECT doc_id_a, doc_id_b,
+       CASE WHEN u > 0 THEN ROUND(i / u, 6) ELSE 0.0 END AS jaccard
+FROM p WHERE CASE WHEN u > 0 THEN ROUND(i / u, 6) ELSE 0.0 END >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    # xxhash64 signatures have no DuckDB equivalent => rows-only check;
+    # tests/test_dedup.py verifies recall vs the exact-Jaccard oracle.
+    return dd.minhash_lsh_pairs(_load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------- similarity
+
+def _emb_double(spark, sf_dir):
+    return _load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+def q_sim_topk_cosine(spark, sf_dir):
+    out = sim.brute_force_topk(
+        _emb_double(spark, sf_dir), query_ids=list(range(10)), k=10, round_digits=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_SIM_TOPK_COSINE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)),
+p AS (SELECT q.query_id, e.vec_id,
+             ROUND(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]))
+                   / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
+                      * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 5) + 0.0 AS cosine_sim
+      FROM e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank FROM p)
+SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def q_sim_near_dup(spark, sf_dir):
+    return sim.cosine_near_dup_pairs(_emb_double(spark, sf_dir), threshold=0.45, exact=True)
+
+
+SQL_SIM_NEAR_DUP = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             ROUND(list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+                   / (SQRT(list_sum(list_transform(a.v, x -> x * x)))
+                      * SQRT(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT * FROM p WHERE cosine_sim >= 0.45
+"""
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    # LSH-bucketed ANN: recall vs brute force asserted in tests => rows-only
+    return sim.lsh_topk(
+        _emb_double(spark, sf_dir), query_ids=list(range(10)), k=10
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------- audio (synthetic)
+
+def q_audio_clip_energy(spark, sf_dir):
+    # Input is the deterministic synthetic clips table (BASELINE input_hint
+    # shape); energy has a closed-form expectation (A^2/2) asserted in tests.
+    from . import synth
+
+    clips = synth.clips_df(spark, 400)
+    return clips.select(
+        "clip_id",
+        F.round(au.clip_energy("bytes", "codec"), 6).alias("energy"),
+        au.decoded_samples("bytes", "codec").alias("n_samples"),
+    )
+
+
+def q_stream_tumbling_energy(spark, sf_dir):
+    """Full Structured-Streaming path (readStream -> watermark -> windowed
+    agg) executed with Trigger.availableNow into a memory sink; the batch
+    equivalence is asserted in tests/test_streaming.py. Rows-only check."""
+    import tempfile
+    import os as _os
+
+    from . import synth
+    from .streaming import source as _src
+    from .streaming import windows as _sw
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream")
+    if not _os.path.isdir(_os.path.join(d, "clips")):
+        synth.write_clips_parquet(spark, _os.path.join(d, "clips"), 2000, n_files=4)
+    stream = _src.clips_stream(spark, _os.path.join(d, "clips"))
+    q = (
+        _sw.tumbling_energy(stream, 60)
+        .writeStream.format("memory")
+        .queryName("entry_stream_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("entry_stream_tumbling")
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Stateful gap-sessionization (applyInPandas batch analog of the
+    applyInPandasWithState streaming operator; see streaming/sessions.py).
+    Rows-only: np.interp session interpolation is not SQL-expressible."""
+    from . import synth
+    from .streaming import sessions as _ss
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clips = synth.clips_df(spark, 2000)
+    return _ss.sessionize(clips, gap_sec=300)
+
+
+def q_audio_window_energy(spark, sf_dir):
+    from . import synth
+
+    clips = synth.clips_df(spark, 400)
+    return (
+        clips.withColumn("prefix", F.substring("clip_id", 1, 2))
+        .withColumn("energy", au.clip_energy("bytes", "codec"))
+        .groupBy("prefix", F.window("ingest_ts", "60 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("energy"), 6).alias("avg_energy"),
+        )
+        .select("prefix", F.col("w.start").alias("window_start"), "n_clips", "avg_energy")
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ts_raw": q_ts_raw,
+    "ts_resample_avg": q_ts_resample_avg,
+    "ts_resample_last": q_ts_resample_last,
+    "ts_resample_count": q_ts_resample_count,
+    "ts_resample_filled": q_ts_resample_filled,
+    "ts_interpolate_linear": q_ts_interpolate_linear,
+    "ts_interpolate_ffill": q_ts_interpolate_ffill,
+    "ts_summary": q_ts_summary,
+    "ts_latest": q_ts_latest,
+    "ts_ohlc": q_ts_ohlc,
+    "ts_plot_unpivot": q_ts_plot_unpivot,
+    "ts_twa_linear": q_ts_twa_linear,
+    "ts_twa_step": q_ts_twa_step,
+    "ts_circular_avg": q_ts_circular_avg,
+    "ts_circular_sd": q_ts_circular_sd,
+    "ts_pivot": q_ts_pivot,
+    "dq_ksigma": q_dq_ksigma,
+    "dq_missing_intervals": q_dq_missing_intervals,
+    "dq_flatline_runs": q_dq_flatline_runs,
+    "dq_moving_average": q_dq_moving_average,
+    "dq_normalize_zscore": q_dq_normalize_zscore,
+    "dq_out_of_range": q_dq_out_of_range,
+    "dq_dedup_rows": q_dq_dedup_rows,
+    "dq_interval_filtering": q_dq_interval_filtering,
+    "text_doc_stats": q_text_doc_stats,
+    "text_dedup_exact": q_text_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_near_dup": q_sim_near_dup,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "ts_interpolate_at_time": q_ts_interpolate_at_time,
+    "audio_clip_energy": q_audio_clip_energy,
+    "audio_window_energy": q_audio_window_energy,
+    "stream_tumbling_energy": q_stream_tumbling_energy,
+    "stream_sessionize": q_stream_sessionize,
+}
+
+ORACLES: dict[str, str] = {
+    "ts_raw": SQL_TS_RAW,
+    "ts_resample_avg": SQL_TS_RESAMPLE_AVG,
+    "ts_resample_last": SQL_TS_RESAMPLE_LAST,
+    "ts_resample_count": SQL_TS_RESAMPLE_COUNT,
+    "ts_resample_filled": SQL_TS_RESAMPLE_FILLED,
+    "ts_interpolate_linear": _interp_fill_sql(21600, "linear"),
+    "ts_interpolate_ffill": _interp_fill_sql(21600, "ffill"),
+    "ts_summary": SQL_TS_SUMMARY,
+    "ts_latest": SQL_TS_LATEST,
+    "ts_ohlc": SQL_TS_OHLC,
+    "ts_plot_unpivot": SQL_TS_PLOT_UNPIVOT,
+    "ts_twa_linear": _twa_sql(21600, step=False),
+    "ts_twa_step": _twa_sql(21600, step=True),
+    "ts_circular_avg": _circ_sql(86400, 0.0, 20.0, sd=False),
+    "ts_circular_sd": _circ_sql(86400, 0.0, 20.0, sd=True),
+    "ts_pivot": SQL_TS_PIVOT,
+    "dq_ksigma": SQL_DQ_KSIGMA,
+    "dq_missing_intervals": SQL_DQ_MISSING_INTERVALS,
+    "dq_flatline_runs": SQL_DQ_FLATLINE_RUNS,
+    "dq_moving_average": SQL_DQ_MOVING_AVERAGE,
+    "dq_normalize_zscore": SQL_DQ_NORMALIZE_ZSCORE,
+    "dq_out_of_range": SQL_DQ_OUT_OF_RANGE,
+    "dq_dedup_rows": SQL_DQ_DEDUP_ROWS,
+    "text_doc_stats": _doc_stats_sql(),
+    "text_dedup_exact": SQL_TEXT_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
+    "sim_near_dup": SQL_SIM_NEAR_DUP,
+    "ts_interpolate_at_time": _iat_sql(),
+}

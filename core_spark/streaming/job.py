@@ -1,0 +1,132 @@
+"""spark-submit entrypoint: run the clip CEP pipeline end-to-end.
+
+Usage (also invoked by bench.py at two parallelism levels to evidence the
+north rule's N / 4N scaling criterion):
+
+    spark-submit --py-files core_spark core_spark/streaming/job.py \
+        --cores 32 --mode tumbling --n-clips 200000 --work /tmp/run
+
+or  python -m core_spark.streaming.job --cores 8 ...
+
+Prints ONE JSON line: rows, wall seconds, clips/sec, per-micro-batch
+durations (p50/p99 — the window-close latency proxy: a window's results
+become visible when its closing micro-batch commits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def build_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument("--mode", default="tumbling",
+                   choices=["tumbling", "sliding", "sessions", "join", "native_sessions"])
+    p.add_argument("--n-clips", type=int, default=50_000)
+    p.add_argument("--work", default="/tmp/core_spark_job")
+    p.add_argument("--input", default=None, help="existing clips parquet dir (else synthesized)")
+    p.add_argument("--window-sec", type=int, default=60)
+    p.add_argument("--gap-sec", type=int, default=300)
+    p.add_argument("--salt", type=int, default=0)
+    p.add_argument("--batches", type=int, default=8, help="micro-batches via maxFilesPerTrigger")
+    p.add_argument("--keep-work", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    a = build_args(argv)
+    from core_spark.session import get_spark
+    from core_spark import synth
+    from core_spark.streaming import join as sj
+    from core_spark.streaming import sessions as ss
+    from core_spark.streaming import sink as sk
+    from core_spark.streaming import source as src
+    from core_spark.streaming import windows as sw
+
+    spark = get_spark(f"cep-{a.mode}", cores=a.cores, shuffle_partitions=a.cores)
+
+    work = a.work
+    if not a.keep_work and os.path.isdir(work):
+        shutil.rmtree(work)
+    os.makedirs(work, exist_ok=True)
+    in_dir = a.input or os.path.join(work, "clips")
+    n_files = max(a.batches, 1)
+    if not os.path.isdir(in_dir):
+        synth.write_clips_parquet(spark, in_dir, a.n_clips, n_files=n_files)
+
+    files_per_trigger = 1 if a.batches > 1 else None
+    stream = src.clips_stream(spark, in_dir, max_files_per_trigger=files_per_trigger)
+
+    if a.mode == "tumbling":
+        result = sw.tumbling_energy(stream, a.window_sec, None, 30, a.salt or None)
+        keys = ["window_start", "prefix"]
+    elif a.mode == "sliding":
+        result = sw.tumbling_energy(stream, a.window_sec, a.window_sec // 3, 30, a.salt or None)
+        keys = ["window_start", "prefix"]
+    elif a.mode == "native_sessions":
+        result = sw.session_windows_native(stream, a.gap_sec, 30)
+        keys = ["session_start", "prefix"]
+    elif a.mode == "sessions":
+        result = ss.sessionize(stream, a.gap_sec, 30)
+        keys = ["session_start", "prefix"]
+    else:  # join
+        corr_dir = os.path.join(work, "corrections")
+        if not os.path.isdir(corr_dir):
+            pdf = synth.make_clips_pdf(a.n_clips)
+            spark.createDataFrame(
+                synth.make_corrections_pdf(pdf), schema=synth.CORRECTIONS_SCHEMA
+            ).repartition(n_files).write.mode("overwrite").parquet(corr_dir)
+        corr = src.corrections_stream(spark, corr_dir)
+        result = sj.corrected_transcripts(stream, corr, tolerance_sec=60)
+        keys = ["clip_id"]
+
+    # hourly partitions: a micro-batch merge only rewrites the hours it
+    # touches (the reference's EventDate-IN pruning, pcdm_to_delta.py:229-237,
+    # at the granularity the synthetic event-time span calls for)
+    sink = sk.MergeSink(
+        os.path.join(work, f"out_{a.mode}"),
+        key_cols=keys,
+        partition_expr=(
+            f"date_format({keys[0]}, 'yyyy-MM-dd-HH')"
+            if keys[0] != "clip_id"
+            else "substring(clip_id, 1, 1)"
+        ),
+    )
+    t0 = time.time()
+    q = sk.run_to_sink(result, sink, os.path.join(work, f"ckpt_{a.mode}"))
+    q.awaitTermination()
+    wall = time.time() - t0
+
+    batch_ms = sorted(
+        p["durationMs"].get("triggerExecution", 0)
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0 or p["durationMs"].get("triggerExecution", 0) > 0
+    )
+    def pct(v, q_):
+        return v[min(len(v) - 1, int(q_ * len(v)))] if v else None
+
+    out_rows = sink.read(spark).count()
+    metrics = {
+        "mode": a.mode,
+        "cores": a.cores,
+        "n_clips": a.n_clips,
+        "rows_out": out_rows,
+        "wall_sec": round(wall, 2),
+        "clips_per_sec": round(a.n_clips / wall, 1),
+        "n_batches": len(batch_ms),
+        "batch_ms_p50": pct(batch_ms, 0.50),
+        "batch_ms_p99": pct(batch_ms, 0.99),
+        "lineage_commits": len(sink.lineage()),
+    }
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

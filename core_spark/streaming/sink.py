@@ -1,0 +1,185 @@
+"""Idempotent exactly-once merge sink with per-partition lineage + metrics.
+
+Engine-grade re-expression of the reference's merge destinations
+(pipelines/destinations/spark/delta_merge.py:212-344 and
+pcdm_to_delta.py:193-314): a ``foreachBatch`` callback that upserts each
+micro-batch into a partitioned table by deterministic key, with
+
+- **batch-id dedup**: foreachBatch is at-least-once; a committed-batch
+  marker (`_commits/<batchId>`) makes replays no-ops — the same guarantee
+  Delta gets from ``txnAppId/txnVersion``;
+- **merge with manual partition pruning**: only partitions touched by the
+  batch are read back and rewritten (dynamic partition overwrite), the
+  reference's ``target.EventDate IN (...)`` injection
+  (pcdm_to_delta.py:229-237) done with a partition column;
+- **per-partition lineage + metrics**: every commit writes
+  `_lineage/batch_<id>.json` (rows per partition, keys, wall time) and every
+  row carries its producing ``_batch_id``;
+- **crash safety**: if the process dies between data write and marker, the
+  replay rewrites the same partitions with identical deterministic content —
+  observable state is exactly-once.
+
+On a cluster with an Iceberg catalog, `write_batch` is replaced by a single
+``MERGE INTO`` (see `iceberg_merge_sql`) — the interface and keys stay the
+same; this parquet implementation is the jar-free local stand-in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MergeSink:
+    """Keyed upsert sink over a partitioned parquet table."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        key_cols: Sequence[str],
+        partition_col: str = "p_date",
+        partition_expr: str | None = None,
+    ) -> None:
+        self.table_dir = table_dir
+        self.key_cols = list(key_cols)
+        self.partition_col = partition_col
+        # default: daily partitions from the first timestamp key
+        self.partition_expr = partition_expr or f"to_date({self.key_cols[0]})"
+        os.makedirs(os.path.join(table_dir, "_commits"), exist_ok=True)
+        os.makedirs(os.path.join(table_dir, "_lineage"), exist_ok=True)
+
+    # ---------------------------------------------------------------- commits
+
+    def _commit_marker(self, batch_id: int) -> str:
+        return os.path.join(self.table_dir, "_commits", f"{batch_id}")
+
+    def is_committed(self, batch_id: int) -> bool:
+        return os.path.exists(self._commit_marker(batch_id))
+
+    def _mark_committed(self, batch_id: int) -> None:
+        tmp = self._commit_marker(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(time.time()))
+        os.replace(tmp, self._commit_marker(batch_id))  # atomic
+
+    # ---------------------------------------------------------------- io
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.table_dir, "data")
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._data_dir())
+
+    def _table_exists(self) -> bool:
+        d = self._data_dir()
+        if not os.path.isdir(d):
+            return False
+        return any(e.startswith(f"{self.partition_col}=") for e in os.listdir(d))
+
+    # ---------------------------------------------------------------- merge
+
+    def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch callback: MERGE batch into the table by key."""
+        t0 = time.time()
+        spark = batch_df.sparkSession
+        if self.is_committed(batch_id):
+            self._write_lineage(batch_id, {"skipped_replay": True})
+            return
+        batch = (
+            batch_df.withColumn(self.partition_col, F.expr(self.partition_expr))
+            .withColumn("_batch_id", F.lit(batch_id))
+            # at-least-once upstream + deterministic keys => drop in-batch dups
+            .dropDuplicates(self.key_cols)
+            .localCheckpoint()  # cut lineage: batch is reused 2-3 times below
+        )
+        parts = [r[0] for r in batch.select(self.partition_col).distinct().collect()]
+        if not parts:
+            self._mark_committed(batch_id)
+            self._write_lineage(batch_id, {"rows": 0, "partitions": []})
+            return
+        if self._table_exists():
+            # partition-pruned read of only the partitions this batch touches
+            existing = self.read(spark).filter(F.col(self.partition_col).isin(parts))
+            keep = existing.join(
+                F.broadcast(batch.select(self.key_cols)), self.key_cols, "left_anti"
+            )
+            # materialize BEFORE the overwrite below: the plan reads the very
+            # partition files the write replaces (Iceberg/Delta MERGE get this
+            # isolation from snapshots; parquet needs the explicit barrier)
+            merged = keep.unionByName(batch).localCheckpoint()
+        else:
+            merged = batch
+        (
+            merged.repartition(self.partition_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_col)
+            .parquet(self._data_dir())
+        )
+        per_part = {
+            str(r[0]): r[1]
+            for r in batch.groupBy(self.partition_col).count().collect()
+        }
+        self._mark_committed(batch_id)
+        self._write_lineage(
+            batch_id,
+            {
+                "rows": sum(per_part.values()),
+                "partitions": per_part,
+                "keys": self.key_cols,
+                "wall_ms": round((time.time() - t0) * 1000, 1),
+            },
+        )
+
+    def _write_lineage(self, batch_id: int, payload: dict) -> None:
+        path = os.path.join(self.table_dir, "_lineage", "log.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"batch_id": batch_id, "ts": time.time(), **payload}) + "\n")
+
+    def lineage(self) -> list[dict]:
+        path = os.path.join(self.table_dir, "_lineage", "log.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    # ---------------------------------------------------------------- iceberg
+
+    def iceberg_merge_sql(self, catalog_table: str, source_view: str) -> str:
+        """The equivalent cluster-side MERGE (reference pattern:
+        delta_merge.py:212-271 translated to Iceberg SQL)."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
+        return (
+            f"MERGE INTO {catalog_table} t USING {source_view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def run_to_sink(
+    result: DataFrame,
+    sink: MergeSink,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Wire a streaming result DataFrame into the sink with checkpointing.
+
+    availableNow processes the current table then stops (reference analog:
+    delta.py trigger options, destinations/spark/delta.py:169-177) —
+    checkpoint-resumable: a second call picks up only new files.
+    """
+    w = (
+        result.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink.write_batch)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime="10 seconds")
+    return w.start()

@@ -1,0 +1,170 @@
+"""Windowed aggregates over the clip stream — the streaming recast of the
+reference's resample verb (SURVEY §2.4; _time_series_query_builder.py:183-239):
+``groupBy(window(event_time, rate))`` with the same bucket math batch and
+streaming, plus watermarks (which the reference lacks entirely, SURVEY §2.12).
+
+Scale posture:
+- The decode UDF emits scalar features, so shuffles carry doubles, not PCM.
+- Aggregates are algebraic (count/sum/min/max) => map-side partial agg.
+- Hot clip_id prefixes (Zipf-skewed by design) optionally get salted
+  two-stage aggregation: partial agg on (window, prefix, salt) spreads one
+  hot key's state over ``salt_buckets`` state-store partitions, then a second
+  windowed agg (Spark >=3.4 multiple-stateful-operators) folds the partials.
+  avg is carried as (sum, count) through the partial stage so the two-stage
+  result is exactly the single-stage result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import audio as au
+
+
+def clip_features(df: DataFrame, prefix_len: int = 2) -> DataFrame:
+    """Decode-derived per-clip features; identical for batch and stream.
+
+    prefix = leading clip_id chars — the shard key (SURVEY §1.4: TagName ->
+    clip_id prefix). energy/samples are Arrow pandas UDFs (north rule:
+    vectorized only, audio.py).
+    """
+    return (
+        df.withColumn("prefix", F.substring("clip_id", 1, prefix_len))
+        .withColumn("energy", au.clip_energy("bytes", "codec"))
+        .withColumn("n_samples", au.decoded_samples("bytes", "codec"))
+        .withColumn(
+            "decoded_ms",
+            F.col("n_samples").cast("double") / F.col("sr_hz") * 1000.0,
+        )
+    )
+
+
+def _finalize(agg: DataFrame) -> DataFrame:
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "prefix",
+        "n_clips",
+        (F.col("sum_energy") / F.col("n_clips")).alias("avg_energy"),
+        "sum_dur_ms",
+        "max_energy",
+        "n_distinct_clips",
+    )
+
+
+def tumbling_energy(
+    df: DataFrame,
+    window_sec: int = 60,
+    slide_sec: int | None = None,
+    watermark_sec: int = 30,
+    salt_buckets: int | None = None,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Tumbling (or sliding, if slide_sec is set) per-prefix energy windows.
+
+    Works on a stream (append mode after watermark close) and, with the same
+    code path, on a batch frame (watermark is a no-op in batch) — the parity
+    tests exploit exactly that (SURVEY §5 engine test plan).
+    """
+    win = f"{window_sec} seconds"
+    windowed = (
+        clip_features(df, prefix_len)
+        .withWatermark("ingest_ts", f"{watermark_sec} seconds")
+    )
+    w = (
+        F.window("ingest_ts", win, f"{slide_sec} seconds")
+        if slide_sec
+        else F.window("ingest_ts", win)
+    )
+    if not salt_buckets:
+        agg = windowed.groupBy(w.alias("window"), "prefix").agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("energy").alias("sum_energy"),
+            F.sum("dur_ms").alias("sum_dur_ms"),
+            F.max("energy").alias("max_energy"),
+            F.approx_count_distinct("clip_id").alias("n_distinct_clips"),
+        )
+        return _finalize(agg)
+    # two-stage salted aggregation: state for one hot prefix is spread over
+    # salt_buckets keys in stage 1; stage 2 re-windows on window_time()
+    salt = F.pmod(F.xxhash64("clip_id"), F.lit(salt_buckets)).alias("salt")
+    partial = windowed.groupBy(w.alias("window"), "prefix", salt).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum("energy").alias("p_sum_energy"),
+        F.sum("dur_ms").alias("p_sum_dur"),
+        F.max("energy").alias("p_max_energy"),
+        F.approx_count_distinct("clip_id").alias("p_distinct"),
+    )
+    final = partial.groupBy(
+        F.window(F.window_time("window"), win).alias("window"), "prefix"
+    ).agg(
+        F.sum("p_n").alias("n_clips"),
+        F.sum("p_sum_energy").alias("sum_energy"),
+        F.sum("p_sum_dur").alias("sum_dur_ms"),
+        F.max("p_max_energy").alias("max_energy"),
+        F.sum("p_distinct").alias("n_distinct_clips"),
+    )
+    return _finalize(final)
+
+
+def session_windows_native(
+    df: DataFrame,
+    gap_sec: int = 300,
+    watermark_sec: int = 30,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Per-prefix session windows via the built-in session_window() —
+    session = contiguous clips with inter-arrival gap < gap_sec, the
+    reference's lag-gap rule (identify_missing_data_interval.py:137-141)
+    expressed as a native stateful operator."""
+    feats = clip_features(df, prefix_len).withWatermark(
+        "ingest_ts", f"{watermark_sec} seconds"
+    )
+    agg = feats.groupBy(
+        F.session_window("ingest_ts", f"{gap_sec} seconds").alias("w"), "prefix"
+    ).agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("dur_ms").alias("sum_dur_ms"),
+        F.sum("energy").alias("sum_energy"),
+        F.min("ingest_ts").alias("first_clip_ts"),
+        F.max("ingest_ts").alias("last_clip_ts"),
+    )
+    return agg.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "prefix",
+        "n_clips",
+        "sum_dur_ms",
+        (F.col("sum_energy") / F.col("n_clips")).alias("avg_energy"),
+        "first_clip_ts",
+        "last_clip_ts",
+    )
+
+
+def windowed_transcript_tokens(
+    df: DataFrame,
+    window_sec: int = 60,
+    watermark_sec: int = 30,
+    prefix_len: int = 2,
+) -> Column | DataFrame:
+    """Per-window transcript token counts — text feature path of the same
+    windowing (documents-pipeline ops applied to the stream)."""
+    from ..functions.text import token_count
+
+    return (
+        df.withColumn("prefix", F.substring("clip_id", 1, prefix_len))
+        .withColumn("n_tokens", token_count(F.col("transcript")))
+        .withWatermark("ingest_ts", f"{watermark_sec} seconds")
+        .groupBy(F.window("ingest_ts", f"{window_sec} seconds").alias("window"), "prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "prefix",
+            "n_clips",
+            "sum_tokens",
+        )
+    )

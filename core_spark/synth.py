@@ -66,13 +66,23 @@ _VOCAB = (
 )
 
 
-def _zipf_prefix_indices(rng: np.ndarray, s: float = 1.2) -> np.ndarray:
+def _zipf_prefix_indices(u: np.ndarray, s: float = 1.2) -> np.ndarray:
     """Map uniform [0,1) to Zipf(s) ranks over the 16 prefixes."""
     ranks = np.arange(1, len(PREFIXES) + 1, dtype=np.float64)
     p = ranks**-s
     p /= p.sum()
     cdf = np.cumsum(p)
-    return np.searchsorted(cdf, rng, side="right").clip(0, len(PREFIXES) - 1)
+    return np.searchsorted(cdf, u, side="right").clip(0, len(PREFIXES) - 1)
+
+
+def _hash_uniform(i: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic per-index uniform [0,1): a multiplicative hash of the
+    global index. Unlike sequential RNG draws, this is chunk-independent —
+    generating rows [lo,hi) on any executor yields exactly the rows the
+    full-table generation would (required for distributed synth)."""
+    with np.errstate(over="ignore"):
+        h = (i.astype(np.uint64) + np.uint64(seed + 1)) * np.uint64(0x9E3779B97F4A7C15)
+    return (h >> np.uint64(11)).astype(np.float64) / float(2**53)
 
 
 def make_clips_pdf(
@@ -84,16 +94,19 @@ def make_clips_pdf(
     late_by_ms: int = 600_000,
     gap_every: int = 500,
     gap_len: int = 40,
+    start: int = 0,
 ) -> pd.DataFrame:
-    """Generate n clips as pandas. Index i fully determines every field.
+    """Generate clips [start, start+n) as pandas. The global index i fully
+    determines every field (hash-based jitter, no sequential RNG state), so
+    any slice generated anywhere equals the same slice of the full table —
+    distributed generation is embarrassingly parallel and byte-stable.
 
     ``gap_every/gap_len``: deterministic index ranges get their ingest_ts
     shifted far forward, carving silence gaps into each prefix's timeline —
     the session-window tests key off these (FIXTURES.md §A3).
     """
-    rng = np.random.default_rng(seed)
-    i = np.arange(n)
-    pref_idx = _zipf_prefix_indices(rng.random(n))
+    i = np.arange(start, start + n)
+    pref_idx = _zipf_prefix_indices(_hash_uniform(i, seed))
     amps = 0.1 + (i % 10) * 0.1
     freqs = 110.0 + (i % 8) * 110.0
     srs = np.array([8000, 16000, 44100])[i % 3]
@@ -102,7 +115,7 @@ def make_clips_pdf(
 
     # event times: base + i*step, jittered within disorder_ms, with
     # deterministic late stragglers and session gaps
-    jitter = rng.integers(0, disorder_ms, n)
+    jitter = (_hash_uniform(i, seed + 7) * disorder_ms).astype(np.int64)
     ts_ms = i * step_ms + jitter
     late_mask = (i % late_every) == (late_every - 1)
     ts_ms = np.where(late_mask, ts_ms + late_by_ms, ts_ms)
@@ -116,8 +129,8 @@ def make_clips_pdf(
         payloads.append(pcm16_encode(x) if codecs[k] == "pcm16" else ulaw_encode(x))
 
     words = [
-        " ".join(_VOCAB[(k * 7 + j) % len(_VOCAB)] for j in range(3 + k % 4))
-        for k in range(n)
+        " ".join(_VOCAB[(g * 7 + j) % len(_VOCAB)] for j in range(3 + g % 4))
+        for g in i
     ]
     return pd.DataFrame(
         {
@@ -177,6 +190,31 @@ def write_clips_parquet(
     spark: SparkSession, path: str, n: int, seed: int = 42, n_files: int = 8
 ) -> None:
     """Materialize clips as a multi-file parquet dir (a stand-in for the
-    Iceberg table locally; file-per-micro-batch also feeds readStream)."""
-    df = clips_df(spark, n, seed)
-    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    Iceberg table locally; file-per-micro-batch also feeds readStream).
+
+    Files are index (≈ time) slices, not random shuffles: a file stream
+    replays them as micro-batches, and the watermark must advance with the
+    files the way it would with real time-ordered ingest commits — random
+    row-to-file placement would make every file span the whole range and
+    the watermark drop almost everything after the first batch.
+
+    Generation is distributed: file k's executor generates exactly global
+    indices [k*n/n_files, (k+1)*n/n_files) via the chunk-independent
+    generator, so no payload bytes ever pass through the driver.
+    """
+    import pandas as _pd
+
+    def gen(it):
+        for pdf in it:
+            for fid in pdf["id"].tolist():
+                lo = fid * n // n_files
+                hi = (fid + 1) * n // n_files
+                if hi > lo:
+                    yield make_clips_pdf(hi - lo, seed, start=lo)
+
+    (
+        spark.range(0, n_files, 1, numPartitions=n_files)
+        .mapInPandas(gen, schema=CLIPS_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

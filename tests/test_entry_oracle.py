@@ -1,0 +1,76 @@
+"""Replay of the driver's correctness gate, locally at sf0.001.
+
+For every registry entry with an oracle: run the Spark DataFrame and the
+DuckDB SQL on the same parquet dir, sort columns by name and rows by value,
+and require exact equality (the driver hashes values, so near-equal floats
+are NOT good enough — determinism is engineered in registry.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(val):
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return repr(val)
+    return repr(val)
+
+
+def _rows(pdf):
+    cols = sorted(pdf.columns)
+    recs = [tuple(_canon(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return sorted(recs), cols
+
+
+ORACLED = sorted(entry_mod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLED))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(spark, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR).toPandas()
+    con = _duck(SF_DIR)
+    ddf = con.sql(entry_mod.oracle_sql()[name]).df()
+    assert len(sdf) == len(ddf), f"{name}: rowcount {len(sdf)} vs oracle {len(ddf)}"
+    s_rows, s_cols = _rows(sdf)
+    d_rows, d_cols = _rows(ddf)
+    assert s_cols == d_cols, f"{name}: columns {s_cols} vs {d_cols}"
+    mism = [i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} mismatched rows; first: "
+        f"{s_rows[mism[0]]} vs {d_rows[mism[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    q = entry_mod.queries()[name]
+    df = q(spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,241 @@
+"""Streaming engine tests: stream/batch parity, salted agg equivalence,
+stream-stream join tolerance, stateful sessionization, exactly-once sink,
+checkpoint resume. Pattern per SURVEY §5: deterministic synthetic input,
+Trigger.availableNow, expected-DataFrame compares.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_spark import synth
+from core_spark.streaming import join as sj
+from core_spark.streaming import sessions as ss
+from core_spark.streaming import sink as sk
+from core_spark.streaming import source as src
+from core_spark.streaming import windows as sw
+
+N = 3000
+
+
+@pytest.fixture(scope="module")
+def clips_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("clips"))
+    synth.write_clips_parquet(spark, d, N, n_files=4)
+    return d
+
+
+def _run_to_memory(result, name, mode="complete"):
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def _sorted_pdf(df, keys):
+    return df.orderBy(*keys).toPandas().reset_index(drop=True)
+
+
+def test_tumbling_stream_matches_batch(spark, clips_dir):
+    stream = src.clips_stream(spark, clips_dir)
+    batch = src.clips_batch(spark, clips_dir)
+    got = _run_to_memory(sw.tumbling_energy(stream, 60), "t_tumble")
+    want = sw.tumbling_energy(batch, 60)
+    keys = ["window_start", "prefix"]
+    g, w = _sorted_pdf(got, keys), _sorted_pdf(want, keys)
+    assert len(g) == len(w) and len(g) > 0
+    for col in ["n_clips", "sum_dur_ms"]:
+        assert (g[col] == w[col]).all(), col
+    assert (g["avg_energy"] - w["avg_energy"]).abs().max() < 1e-9
+
+
+def test_salted_matches_unsalted(spark, clips_dir):
+    batch = src.clips_batch(spark, clips_dir)
+    plain = sw.tumbling_energy(batch, 60)
+    salted = sw.tumbling_energy(batch, 60, salt_buckets=8)
+    keys = ["window_start", "prefix"]
+    g, w = _sorted_pdf(salted, keys), _sorted_pdf(plain, keys)
+    assert len(g) == len(w)
+    assert (g["n_clips"] == w["n_clips"]).all()
+    assert (g["avg_energy"] - w["avg_energy"]).abs().max() < 1e-9
+    # approx_count_distinct is summed over salts => only approximately equal
+    assert (g["n_distinct_clips"] - w["n_distinct_clips"]).abs().max() <= (
+        0.1 * w["n_distinct_clips"].max()
+    )
+
+
+def test_sliding_windows(spark, clips_dir):
+    batch = src.clips_batch(spark, clips_dir)
+    slid = sw.tumbling_energy(batch, 60, slide_sec=20)
+    plain = sw.tumbling_energy(batch, 60)
+    # every event lands in exactly 3 sliding windows
+    assert slid.agg(F.sum("n_clips")).first()[0] == 3 * plain.agg(F.sum("n_clips")).first()[0]
+
+
+def test_stream_join_tolerance(spark, clips_dir, tmp_path):
+    pdf = synth.make_clips_pdf(N)
+    corr_pdf = synth.make_corrections_pdf(pdf)
+    corr_dir = str(tmp_path / "corr")
+    spark.createDataFrame(corr_pdf, schema=synth.CORRECTIONS_SCHEMA).write.parquet(corr_dir)
+
+    clips_s = src.clips_stream(spark, clips_dir)
+    corr_s = src.corrections_stream(spark, corr_dir)
+    out = _run_to_memory(
+        sj.corrected_transcripts(clips_s, corr_s, tolerance_sec=60),
+        "t_join",
+        mode="append",
+    )
+    got = out.toPandas()
+    # each clip at most once; rows whose join window the final watermark
+    # never closes stay in state (correct streaming semantics) — tail only
+    assert got["clip_id"].is_unique
+    assert N - 20 <= len(got) <= N
+    emitted = set(got["clip_id"])
+    # ground truth: corrections within 60s of ingest
+    lag_ms = (corr_pdf["correction_ts"] - pdf.set_index("clip_id").loc[
+        corr_pdf["clip_id"], "ingest_ts"
+    ].reset_index(drop=True)).dt.total_seconds() * 1000
+    expect_matched = set(corr_pdf.loc[lag_ms <= 60_000, "clip_id"])
+    got_matched = set(got.loc[got["corrected"], "clip_id"])
+    assert got_matched == expect_matched & emitted
+    # matched rows carry the corrected transcript, others the original
+    m = got[got["corrected"]]
+    assert (m["final_transcript"] == m["transcript"] + "-corr").all()
+    # drop metric agrees
+    met = sj.late_corrections_metrics(
+        src.clips_batch(spark, clips_dir),
+        spark.read.parquet(corr_dir),
+        tolerance_sec=60,
+    ).first()
+    assert met["n_corrections"] == len(corr_pdf)
+    assert met["n_dropped_late"] == len(corr_pdf) - len(expect_matched)
+
+
+def test_sessionize_gap_detection(spark):
+    # one prefix, 11 clips 1s apart, then a 10-minute gap, then 5 more:
+    # the first session must be emitted with exact stats
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    for i in range(11):
+        rows.append(("aw-%08d" % i, base + timedelta(seconds=i)))
+    for i in range(5):
+        rows.append(("aw-%08d" % (100 + i), base + timedelta(seconds=600 + i)))
+    pdf = synth.make_clips_pdf(len(rows))
+    pdf["clip_id"] = [r[0] for r in rows]
+    pdf["ingest_ts"] = [r[1] for r in rows]
+    df = spark.createDataFrame(pdf, schema=synth.CLIPS_SCHEMA)
+
+    out = ss.sessionize(df, gap_sec=300, watermark_sec=1).toPandas()
+    # batch mode: complete input => both sessions emitted
+    out = out.sort_values("session_start").reset_index(drop=True)
+    assert len(out) == 2
+    s = out.iloc[0]
+    assert s["prefix"] == "aw"
+    assert s["n_clips"] == 11
+    assert s["session_start"] == base
+    assert s["session_end"] == base + timedelta(seconds=10)
+    assert s["max_gap_sec"] == 1.0
+    assert s["avg_energy"] > 0
+    assert s["interp_energy_mean"] > 0
+    assert out.iloc[1]["n_clips"] == 5
+    assert out.iloc[1]["session_start"] == base + timedelta(seconds=600)
+
+    # streaming path: same input via a file stream; the gap-split closes the
+    # first session inline even though the watermark never advances
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "in"))
+    from core_spark.streaming import source as src2
+    stream = src2.clips_stream(spark, os.path.join(d, "in"))
+    got = _run_to_memory(
+        ss.sessionize(stream, gap_sec=300, watermark_sec=1), "t_sess", mode="append"
+    ).toPandas()
+    assert len(got) == 1
+    g = got.iloc[0]
+    assert g["n_clips"] == 11 and g["max_gap_sec"] == 1.0
+
+
+def test_sessionize_native_agrees(spark, clips_dir):
+    batch = src.clips_batch(spark, clips_dir)
+    native = sw.session_windows_native(batch, gap_sec=300).toPandas()
+    # session count and clip totals are plausible and cover all clips
+    assert native["n_clips"].sum() == N
+
+
+def test_sink_exactly_once_and_merge(spark, tmp_path):
+    d = str(tmp_path / "table")
+    sink = sk.MergeSink(d, key_cols=["k", "p"], partition_expr="p")
+    df1 = spark.createDataFrame([(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], "k int, p string, v double")
+    sink.write_batch(df1, 0)
+    assert sink.read(spark).count() == 3
+    # replay of the same batch id is a no-op
+    sink.write_batch(df1, 0)
+    assert sink.read(spark).count() == 3
+    # upsert: same key new value + new key; untouched partition intact
+    df2 = spark.createDataFrame([(2, "a", 99.0), (4, "c", 40.0)], "k int, p string, v double")
+    sink.write_batch(df2, 1)
+    got = {(r["k"], r["p"]): r["v"] for r in sink.read(spark).collect()}
+    assert got == {(1, "a"): 10.0, (2, "a"): 99.0, (3, "b"): 30.0, (4, "c"): 40.0}
+    lin = sink.lineage()
+    assert len(lin) == 3 and lin[1]["skipped_replay"]
+
+
+def test_checkpoint_resume_no_dups(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    # no late stragglers / gap jumps: every row is within the watermark, so
+    # the full-input batch recompute is an exact oracle (late-row drop
+    # semantics are asserted separately in test_stream_join_tolerance)
+    pdf = synth.make_clips_pdf(2000, late_every=10**6, gap_every=10**6)
+
+    def write_slices(lo, hi, k):
+        # sequential time-slice files: each micro-batch advances event time
+        # the way ordered ingest commits would
+        step = (hi - lo) // k
+        for s in range(k):
+            a, b = lo + s * step, (lo + (s + 1) * step if s < k - 1 else hi)
+            spark.createDataFrame(
+                pdf.iloc[a:b], schema=synth.CLIPS_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    write_slices(0, 1000, 4)
+
+    sink = sk.MergeSink(out_dir, key_cols=["window_start", "prefix"])
+
+    def run():
+        stream = src.clips_stream(spark, in_dir, max_files_per_trigger=1)
+        q = sk.run_to_sink(sw.tumbling_energy(stream, 60), sink, ck)
+        q.awaitTermination()
+
+    run()
+    write_slices(1000, 2000, 4)
+    run()  # resume from checkpoint: only new files processed
+
+    got = sink.read(spark)
+    keys = got.select("window_start", "prefix")
+    assert keys.count() == keys.distinct().count()  # no duplicate windows
+    # every emitted window matches the full-input batch recompute exactly
+    # (proves aggregation state survived the restart — no partial windows)
+    full = sw.tumbling_energy(src.clips_batch(spark, in_dir), 60)
+    j = got.alias("g").join(
+        full.alias("f"), ["window_start", "prefix"], "inner"
+    )
+    assert j.count() == got.count()
+    bad = j.filter(
+        (F.col("g.n_clips") != F.col("f.n_clips"))
+        | (F.abs(F.col("g.avg_energy") - F.col("f.avg_energy")) > 1e-9)
+    )
+    assert bad.count() == 0
+    assert got.count() > 0
