@@ -232,6 +232,118 @@ def normalize_zscore(df: DataFrame, spec: TSSpec, round_digits: int = 6) -> Data
     )
 
 
+def impute_missing(
+    df: DataFrame,
+    spec: TSSpec,
+    expected_interval_seconds: float | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Missing-value imputation: detect each tag's expected cadence, insert
+    rows on the missing grid points, fill values by linear interpolation.
+
+    Re-expression of the reference's MissingValueImputation
+    (missing_value_imputation.py:139-220): its modal-interval detection +
+    python-UDF timestamp generation + driver-side scipy spline become one
+    Arrow-batched pass per tag (np.interp == the reference's interpolation
+    for the piecewise-linear case); tags process in parallel across
+    executors instead of a driver loop (anti-pattern list, SURVEY §7.5).
+    """
+    base = scan(df, spec)
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(TS)
+        ts = pdf[TS].astype("int64").to_numpy() // 1_000_000_000
+        if len(ts) < 2:
+            out = pdf.copy()
+            out["imputed"] = False
+            return out
+        diffs = np.diff(ts)
+        if expected_interval_seconds is not None:
+            step = float(expected_interval_seconds)
+        else:
+            vals, counts = np.unique(diffs, return_counts=True)
+            step = float(vals[np.argmax(counts)])  # modal interval (:153-160)
+        if step <= 0:
+            out = pdf.copy()
+            out["imputed"] = False
+            return out
+        grid = np.arange(ts[0], ts[-1] + 1, step)
+        missing = grid[~np.isin(grid, ts)]
+        filled_vals = np.interp(missing, ts, pdf[VAL].to_numpy(dtype=float))
+        add = pd.DataFrame(
+            {
+                TAG: pdf[TAG].iloc[0],
+                TS: pd.to_datetime(missing, unit="s"),
+                VAL: np.round(filled_vals, round_digits),
+                ST: "Good",
+                "imputed": True,
+            }
+        )
+        out = pdf.copy()
+        out["imputed"] = False
+        return pd.concat([out, add], ignore_index=True)
+
+    return base.groupBy(TAG).applyInPandas(
+        fill,
+        schema=f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string, imputed boolean",
+    )
+
+
+def gaussian_smooth(
+    df: DataFrame,
+    spec: TSSpec,
+    sigma: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-tag Gaussian kernel smoothing of the value series.
+
+    The reference collects the whole tag series into every row via
+    collect_list over an unbounded window and calls scipy per row —
+    O(n^2) work and bytes (gaussian_smoothing.py:120-146). Here: one
+    np.convolve per tag inside applyInPandas, O(n * kernel).
+    """
+    base = scan(df, spec)
+    radius = max(1, int(3.0 * sigma))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(TS).reset_index(drop=True)
+        x = np.arange(-radius, radius + 1, dtype=float)
+        k = np.exp(-0.5 * (x / sigma) ** 2)
+        k /= k.sum()
+        v = pdf[VAL].to_numpy(dtype=float)
+        padded = np.pad(v, radius, mode="edge")
+        pdf["value_smooth"] = np.round(np.convolve(padded, k, "valid"), round_digits)
+        return pdf
+
+    return base.groupBy(TAG).applyInPandas(
+        smooth,
+        schema=f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string, value_smooth double",
+    )
+
+
+def fixed_width_binning(
+    df: DataFrame,
+    spec: TSSpec,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Assign each value to a fixed-width bin over [lo, hi) — the engine's
+    deterministic replacement for the reference's k-means DataBinning
+    (data_binning.py:21; k-means centroids are seed/order-dependent, so a
+    grid binning is what a cross-engine-checkable pipeline wants).
+    Out-of-range values clamp to the edge bins, mirroring width_bucket."""
+    base = scan(df, spec)
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(VAL) - F.lit(lo)) / F.lit(width))
+    bin_c = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+    return base.withColumn("bin", bin_c)
+
+
 def normalize_minmax(df: DataFrame, spec: TSSpec, round_digits: int = 6) -> DataFrame:
     """Per-tag min-max scaling (reference normalization_minmax.py:49-78)."""
     base = scan(df, spec)

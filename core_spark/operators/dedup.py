@@ -21,10 +21,74 @@ training-data-pipeline extension required by the brief.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..functions.text import fingerprint_md5, shingles, word_tokens
+from ..functions.text import (
+    fingerprint_md5,
+    normalize_text,
+    shingle_hashes_of_norm,
+    shingles,
+    word_tokens,
+)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle width.
+
+    Pair-join probe sides here descend from a single parquet scan whose
+    *estimated* size (pre-derivation) is tiny, so Catalyst broadcasts the
+    build side and the join's parallelism collapses to the probe side's
+    file-partition count (1 for a one-file table). The derived columns
+    (shingle/signature arrays) are orders of magnitude larger than the
+    estimate — spread the probe side explicitly so the join runs wide.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
+def _derive(df: DataFrame, keep: list, **derived: Column) -> DataFrame:
+    """Spread the input, then compute expensive derived columns exactly once.
+
+    Shingle/signature expressions are interpreted higher-order functions
+    costing milliseconds per row. Two plan hazards make them dominate
+    whole queries if computed naively from a raw scan:
+    (1) the scan is one partition (one file) => the derivation runs on one
+        core; repartition FIRST so it runs at cluster width;
+    (2) Catalyst clones deterministic projections into pushed-down filters
+        and collapsed projects, silently re-evaluating the pipeline 2-3x
+        per row per plan branch. The always-true spark_partition_id()
+        guard marks each derived column non-deterministic, pinning it to
+        exactly one evaluation in exactly this projection.
+    """
+    return _guard(_spread(df), keep, **derived)
+
+
+def _guard(df: DataFrame, keep: list, **derived: Column) -> DataFrame:
+    """Guarded projection without the repartition (for later stages that
+    are already spread). Each stage materializes its columns, so lambdas in
+    the NEXT stage reference cheap column values instead of inlining the
+    whole upstream expression per array element (the normalize-regex chain
+    re-run per shingle was a 30x hit)."""
+    return df.select(
+        *keep,
+        *[
+            F.when(F.spark_partition_id() >= 0, expr).alias(name)
+            for name, expr in derived.items()
+        ],
+    )
+
+
+@F.pandas_udf(T.IntegerType())  # DataType object: string DDL would need an
+def _intersect_size(a, b):      # active session at import time
+    import numpy as np
+    import pandas as pd
+
+    out = np.empty(len(a), dtype=np.int32)
+    for i, (x, y) in enumerate(zip(a, b)):
+        out[i] = np.intersect1d(x, y, assume_unique=True).size
+    return pd.Series(out)
 
 
 def exact_duplicates(
@@ -75,39 +139,74 @@ def ngram_jaccard_pairs(
     Length blocking is sound for high thresholds (J>=t implies length ratio
     >= t, so true pairs land in equal-or-adjacent buckets; both are probed).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in (block_cols or [])],
-        shingles(F.col(text_col), k).alias("sh"),
+    block_cols = list(block_cols or [])
+    # Stage 1: materialize the normalized text (regex chain, once per row).
+    # Stage 2: shingle-hash set from that column. Without the staging, the
+    # normalization would be inlined into the shingle lambda and re-run per
+    # array element.
+    nrm = _derive(
+        df,
+        keep=[F.col(id_col).alias("doc_id"), *[F.col(c) for c in block_cols]],
+        nrm=normalize_text(F.col(text_col)),
+    )
+    sh = _guard(
+        nrm,
+        keep=["doc_id", *block_cols],
+        sh=shingle_hashes_of_norm(F.col("nrm"), k),
     ).withColumn("n_sh", F.size("sh"))
-    blocks: list[Column] = []
-    a, b = sh.alias("a"), sh.alias("b")
+    if length_block:
+        sh = sh.withColumn("__bkt", F.floor(F.col("n_sh") / F.lit(length_block)))
+
+    # --- candidate generation: (block, length-bucket) equi-join ----------
+    # |bucket(a) - bucket(b)| <= 1 expressed as an exploded probe joined on
+    # bucket equality — a real hash join with parallelism, never a nested
+    # loop. (An inverted-index/prefix-filter formulation is the classic
+    # alternative, but it degrades when the shingle vocabulary is tiny and
+    # postings are long — candidate counts here are bounded by the length
+    # blocking instead.)
+    if length_block:
+        lb = F.col("__bkt")
+        a = sh.withColumn("__bkt", F.explode(F.array(lb - 1, lb, lb + 1))).alias("a")
+        b = sh.alias("b")
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
-    for c in block_cols or []:
+    for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     if length_block:
-        la = F.floor(F.col("a.n_sh") / F.lit(length_block))
-        lb = F.floor(F.col("b.n_sh") / F.lit(length_block))
-        cond = cond & ((la == lb) | (la == lb + 1) | (la + 1 == lb))
+        cond = cond & (F.col("a.__bkt") == F.col("b.__bkt"))
     pairs = a.join(b, cond)
+    # Pair scoring via an Arrow pandas UDF: JVM array_intersect evaluates
+    # interpreted (higher-order/collection exprs are CodegenFallback) at
+    # ~1ms per ~300-element pair; numpy intersect on the sorted int64
+    # arrays is ~15us including Arrow transfer. The Python-eval node is
+    # also a natural barrier — Catalyst cannot push the threshold filter
+    # below it into the join condition.
+    sized = pairs.select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.col("a.n_sh").alias("n_a"),
+        F.col("b.n_sh").alias("n_b"),
+        _intersect_size(F.col("a.sh"), F.col("b.sh")).alias("inter"),
+    )
+    i = F.col("inter").cast("double")
+    union = F.col("n_a").cast("double") + F.col("n_b").cast("double") - i
+    jac = F.when(union > 0, F.round(i / union, 6)).otherwise(F.lit(0.0))
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
-        )
+        sized.select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
 
-def minhash_signature(text: Column, k: int = 3, n_hashes: int = 64) -> Column:
-    """MinHash signature: for seed j, min over shingles of
-    xxhash64(shingle, seed=j). One projection, JVM-side, no UDF."""
-    sh = shingles(text, k)
+def minhash_signature(sh_hashes: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature over a MATERIALIZED hashed-shingle column: for
+    seed j, min over shingles of xxhash64(shingle_hash, j). One JVM-side
+    expression, no UDF; the input must be a real column (not an inline
+    shingle expression — it would be re-evaluated n_hashes times)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda j: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, j))
+            F.transform(sh_hashes, lambda h: F.xxhash64(h, j))
         ),
     )
 
@@ -130,28 +229,40 @@ def minhash_lsh_pairs(
     the only shuffle and keys are 16 bytes.
     """
     rows = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), k).alias("sh"),
-        minhash_signature(F.col(text_col), k, n_hashes).alias("sig"),
+    nrm = _derive(
+        df,
+        keep=[F.col(id_col).alias("doc_id")],
+        nrm=normalize_text(F.col(text_col)),
     )
+    shf = _guard(
+        nrm, keep=["doc_id"], sh=shingle_hashes_of_norm(F.col("nrm"), k)
+    )
+    sig = _guard(
+        shf, keep=["doc_id", "sh"], sig=minhash_signature(F.col("sh"), n_hashes)
+    ).withColumn("n_sh", F.size("sh"))
     banded = sig.select(
         "doc_id",
         "sh",
+        "n_sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.slice(F.col("sig"), b * rows + 1, rows).cast("array<string>")
-                        )
-                    ).alias("bh"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.slice(F.col("sig"), b * rows + 1, rows).cast(
+                                    "array<string>"
+                                ),
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", "bb.band", "bb.bh")
+    ).select("doc_id", "sh", "n_sh", "bb.band", "bb.bh")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -165,26 +276,36 @@ def minhash_lsh_pairs(
             F.col("b.doc_id").alias("doc_id_b"),
             F.col("a.sh").alias("sh_a"),
             F.col("b.sh").alias("sh_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    return cand.select(
+    sized = cand.select(
         "doc_id_a",
         "doc_id_b",
-        _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+        "n_a",
+        "n_b",
+        _intersect_size(F.col("sh_a"), F.col("sh_b")).alias("inter"),
+    )
+    i = F.col("inter").cast("double")
+    union = F.col("n_a").cast("double") + F.col("n_b").cast("double") - i
+    jac = F.when(union > 0, F.round(i / union, 6)).otherwise(F.lit(0.0))
+    return sized.select("doc_id_a", "doc_id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
-def simhash64(text: Column, n_bits: int = 64) -> Column:
-    """64-bit SimHash of word tokens: per bit, sign of the sum of ±1 votes
-    from each token's xxhash64 bit.
+def simhash64(hashes: Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash over a MATERIALIZED token-hash array column: per bit,
+    sign of the sum of ±1 votes from each token hash's bit.
 
-    The per-bit vote is an ``aggregate`` over the token-hash array with a
+    The per-bit vote is an ``aggregate`` over the hash array with a
     *literal* shift per bit (shiftright requires a literal count), unrolled
-    in Python — still one JVM-side expression tree, no UDF.
+    in Python — still one JVM-side expression tree, no UDF. The input must
+    be a real column: an inline tokenize-and-hash expression would be
+    re-evaluated inside all 64 vote aggregates.
     """
-    toks = word_tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     sig = F.lit(0).cast("long")
 
     def _merge_for(bit_idx: int):
@@ -217,9 +338,12 @@ def simhash_pairs(
     Blocking: split the 64-bit signature into 4 16-bit bands; any pair
     within Hamming<=3 agrees on >=1 band (pigeonhole), so candidates come
     from 4 equi-joins (expressed as one join on exploded bands)."""
-    sig = df.select(
-        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sig")
+    hashed = _derive(
+        df,
+        keep=[F.col(id_col).alias("doc_id")],
+        hs=F.transform(word_tokens(F.col(text_col)), lambda t: F.xxhash64(t)),
     )
+    sig = _guard(hashed, keep=["doc_id"], sig=simhash64(F.col("hs")))
     banded = sig.select(
         "doc_id",
         "sig",

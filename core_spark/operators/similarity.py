@@ -20,6 +20,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session shuffle width: broadcast pair
+    joins inherit the probe side's file-partition count (1 for a one-file
+    table), so the scoring pass must be spread explicitly."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -53,7 +61,7 @@ def brute_force_topk(
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    scored = base.crossJoin(F.broadcast(queries)).filter(
+    scored = _spread(base).crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = F.round(cosine(F.col("vec"), F.col("qvec")), round_digits)
@@ -117,7 +125,7 @@ def lsh_topk(
         queries = queries.select("query_id", "qvec", probes)
     else:
         queries = queries.select("query_id", "qvec", F.col("qbucket").alias("probe"))
-    cand = base.join(
+    cand = _spread(base).join(
         F.broadcast(queries),
         (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
@@ -145,21 +153,31 @@ def cosine_near_dup_pairs(
     (oracle mode, small inputs); default blocks by LSH bucket — high-cosine
     pairs collide with high probability and precision stays exact because
     every candidate is re-scored."""
-    base = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    # norms are per-vector, not per-pair: precompute once so each pair
+    # evaluates a single dot-product fold instead of three
+    base = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
     if not exact:
         planes = _hyperplanes(dim, n_planes, seed)
         base = base.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
-    a, b = base.alias("a"), base.alias("b")
+    a = _spread(base).alias("a")
+    b = base.alias("b")
     cond = F.col("a.vec_id") < F.col("b.vec_id")
     if not exact:
         cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+    # guarded projection barrier (see dedup.ngram_jaccard_pairs): the dot
+    # product evaluates exactly once per pair, in a projection, never inside
+    # the join condition
+    dp = F.when(F.spark_partition_id() >= 0, dot(F.col("a.vec"), F.col("b.vec")))
+    paired = a.join(b, cond).select(
+        F.col("a.vec_id").alias("vec_id_a"),
+        F.col("b.vec_id").alias("vec_id_b"),
+        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+        dp.alias("dp"),
+    )
+    sim = F.round(F.col("dp") / F.col("nn"), 6)
     return (
-        a.join(b, cond)
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            sim.alias("cosine_sim"),
-        )
+        paired.select("vec_id_a", "vec_id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )

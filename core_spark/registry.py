@@ -526,6 +526,70 @@ def q_dq_interval_filtering(spark, sf_dir):
     )
 
 
+def q_dq_binning(spark, sf_dir):
+    return dq.fixed_width_binning(_load(spark, sf_dir, "events"), EVENTS_SPEC, 0.0, 20.0, 10)
+
+
+SQL_DQ_BINNING = f"""
+SELECT *, CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 2.0), 0), 9) AS BIGINT) AS bin
+FROM ({_SCAN})
+"""
+
+
+def q_dq_impute_missing(spark, sf_dir):
+    # modal-interval grid + np.interp fill: not SQL-expressible => rows-only;
+    # exactness asserted in tests/test_data_quality.py
+    return dq.impute_missing(_load(spark, sf_dir, "events"), EVENTS_SPEC, 3600.0)
+
+
+def q_dq_gaussian_smooth(spark, sf_dir):
+    return dq.gaussian_smooth(_load(spark, sf_dir, "events"), EVENTS_SPEC, sigma=2.0)
+
+
+def q_transform_json_props(spark, sf_dir):
+    """Transport-properties JSON extraction (transformers.json_props_extract):
+    events.props carries a JSON object; pull $.k as a long."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    out = tr.json_props_extract(ev, "props", "k", "k_str")
+    return out.select(
+        "event_id", F.col("k_str").cast("long").alias("k")
+    )
+
+
+SQL_TRANSFORM_JSON_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+UOM_MAP = [
+    ("click", "count"),
+    ("error", "count"),
+    ("purchase", "USD"),
+    ("signup", "count"),
+    ("view", "count"),
+]
+
+
+def q_ts_uom_join(spark, sf_dir):
+    """Metadata/UoM dimension decoration (TSQB:430-462): broadcast-join the
+    per-tag dimension onto the resampled series."""
+    agg = ts.resample(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 86400, "count", START, END
+    )
+    meta = spark.createDataFrame(UOM_MAP, "tagname string, uom string")
+    return agg.join(F.broadcast(meta), "tagname", "left_outer")
+
+
+SQL_TS_UOM_JOIN = f"""
+WITH s AS (SELECT *, {_bucket_sql('event_time', 86400)} AS b FROM ({_scan_sql(START, END)})),
+a AS (SELECT tagname, b AS event_time, CAST(COUNT(value) AS DOUBLE) AS value FROM s GROUP BY 1, 2),
+meta(tagname, uom) AS (VALUES {", ".join(f"('{t}', '{u}')" for t, u in UOM_MAP)})
+SELECT a.tagname, a.event_time, a.value, meta.uom
+FROM a LEFT JOIN meta USING (tagname)
+"""
+
+
 # ---------------------------------------------------------------- text / docs
 
 # Mirrors of functions.text with DuckDB syntax ('g' flag on regexp_replace).
@@ -815,6 +879,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_near_dup": q_sim_near_dup,
     "sim_lsh_topk": q_sim_lsh_topk,
     "ts_interpolate_at_time": q_ts_interpolate_at_time,
+    "ts_uom_join": q_ts_uom_join,
+    "dq_binning": q_dq_binning,
+    "dq_impute_missing": q_dq_impute_missing,
+    "dq_gaussian_smooth": q_dq_gaussian_smooth,
+    "transform_json_props": q_transform_json_props,
     "audio_clip_energy": q_audio_clip_energy,
     "audio_window_energy": q_audio_window_energy,
     "stream_tumbling_energy": q_stream_tumbling_energy,
@@ -851,4 +920,7 @@ ORACLES: dict[str, str] = {
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "ts_interpolate_at_time": _iat_sql(),
+    "ts_uom_join": SQL_TS_UOM_JOIN,
+    "dq_binning": SQL_DQ_BINNING,
+    "transform_json_props": SQL_TRANSFORM_JSON_PROPS,
 }

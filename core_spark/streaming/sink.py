@@ -44,12 +44,19 @@ class MergeSink:
         key_cols: Sequence[str],
         partition_col: str = "p_date",
         partition_expr: str | None = None,
+        op_col: str | None = None,
+        delete_value: str = "delete",
     ) -> None:
         self.table_dir = table_dir
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
         # default: daily partitions from the first timestamp key
         self.partition_expr = partition_expr or f"to_date({self.key_cols[0]})"
+        # op_col: CDC verb column — rows whose op == delete_value remove
+        # their key from the table instead of upserting (the reference's
+        # ChangeType delete routing, pcdm_to_delta.py:311-314)
+        self.op_col = op_col
+        self.delete_value = delete_value
         os.makedirs(os.path.join(table_dir, "_commits"), exist_ok=True)
         os.makedirs(os.path.join(table_dir, "_lineage"), exist_ok=True)
 
@@ -73,6 +80,14 @@ class MergeSink:
         return os.path.join(self.table_dir, "data")
 
     def read(self, spark: SparkSession) -> DataFrame:
+        if not self._table_exists():
+            # all partitions deleted (or nothing written yet): empty frame
+            # with the recorded table schema
+            from pyspark.sql import types as T
+
+            with open(os.path.join(self.table_dir, "_schema.json")) as f:
+                schema = T.StructType.fromJson(json.load(f))
+            return spark.createDataFrame([], schema)
         return spark.read.parquet(self._data_dir())
 
     def _table_exists(self) -> bool:
@@ -80,6 +95,14 @@ class MergeSink:
         if not os.path.isdir(d):
             return False
         return any(e.startswith(f"{self.partition_col}=") for e in os.listdir(d))
+
+    def _record_schema(self, df: DataFrame) -> None:
+        path = os.path.join(self.table_dir, "_schema.json")
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(df.schema.jsonValue(), f)
+            os.replace(tmp, path)
 
     # ---------------------------------------------------------------- merge
 
@@ -93,8 +116,12 @@ class MergeSink:
         batch = (
             batch_df.withColumn(self.partition_col, F.expr(self.partition_expr))
             .withColumn("_batch_id", F.lit(batch_id))
-            # at-least-once upstream + deterministic keys => drop in-batch dups
-            .dropDuplicates(self.key_cols)
+            # at-least-once upstream + deterministic keys => drop in-batch
+            # dups (CDC sinks dedup per (key, verb) like the reference's
+            # (TagName, EventTime, ChangeType), pcdm_to_delta.py:294)
+            .dropDuplicates(
+                self.key_cols + ([self.op_col] if self.op_col else [])
+            )
             .localCheckpoint()  # cut lineage: batch is reused 2-3 times below
         )
         parts = [r[0] for r in batch.select(self.partition_col).distinct().collect()]
@@ -102,8 +129,15 @@ class MergeSink:
             self._mark_committed(batch_id)
             self._write_lineage(batch_id, {"rows": 0, "partitions": []})
             return
+        upserts = batch
+        if self.op_col is not None:
+            upserts = batch.filter(
+                F.coalesce(F.col(self.op_col) != self.delete_value, F.lit(True))
+            ).drop(self.op_col)
         if self._table_exists():
-            # partition-pruned read of only the partitions this batch touches
+            # partition-pruned read of only the partitions this batch touches;
+            # ALL batch keys (incl. deletes) are anti-joined out, then only
+            # the upsert rows come back in
             existing = self.read(spark).filter(F.col(self.partition_col).isin(parts))
             keep = existing.join(
                 F.broadcast(batch.select(self.key_cols)), self.key_cols, "left_anti"
@@ -111,9 +145,10 @@ class MergeSink:
             # materialize BEFORE the overwrite below: the plan reads the very
             # partition files the write replaces (Iceberg/Delta MERGE get this
             # isolation from snapshots; parquet needs the explicit barrier)
-            merged = keep.unionByName(batch).localCheckpoint()
+            merged = keep.unionByName(upserts).localCheckpoint()
         else:
-            merged = batch
+            merged = upserts
+        self._record_schema(merged)
         (
             merged.repartition(self.partition_col)
             .write.mode("overwrite")
@@ -121,6 +156,18 @@ class MergeSink:
             .partitionBy(self.partition_col)
             .parquet(self._data_dir())
         )
+        # dynamic overwrite only replaces partitions PRESENT in the output;
+        # an affected partition whose merge result is empty (delete-only
+        # batch) must be cleared explicitly (Iceberg MERGE does this via
+        # snapshot metadata; the parquet stand-in removes the files)
+        merged_parts = {str(r[0]) for r in merged.select(self.partition_col).distinct().collect()}
+        for p in parts:
+            if str(p) not in merged_parts:
+                pdir = os.path.join(self._data_dir(), f"{self.partition_col}={p}")
+                if os.path.isdir(pdir):
+                    import shutil
+
+                    shutil.rmtree(pdir)
         per_part = {
             str(r[0]): r[1]
             for r in batch.groupBy(self.partition_col).count().collect()

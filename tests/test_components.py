@@ -1,0 +1,258 @@
+"""Tests for transformers, PCDM CDC sinks, connector builders, batch
+fan-out, and the new data-quality operators (imputation / smoothing /
+binning) — expected-DataFrame style per SURVEY §5 tier 2.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from core_spark import batch_exec, transformers as tr
+from core_spark.operators import data_quality as dq
+from core_spark.operators.timeseries import TSSpec
+from core_spark.sources.connectors import (
+    EventhubKafkaSource,
+    FileStreamSource,
+    KafkaSink,
+    KafkaSource,
+)
+from core_spark.streaming.pcdm import LatestSink, PCDMMergeSink
+
+SPEC = TSSpec(tag_col="tag", ts_col="ts", value_col="v", status_col=None)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- transformers
+
+def test_binary_to_string_roundtrip(spark):
+    df = spark.createDataFrame([(bytearray(b"hello"),)], "b binary")
+    out = tr.binary_to_string(df, "b", "s").select("s").first()
+    assert out["s"] == "hello"
+
+
+def test_json_to_clip_events(spark):
+    msg = [
+        {
+            "clip_id": "aw-1",
+            "ingest_ts": "2024-03-01T00:00:01.250000+00:00",
+            "sr_hz": 8000,
+            "dur_ms": 100,
+            "codec": "pcm16",
+            "transcript": "alpha bravo",
+            "payload_b64": base64.b64encode(b"\x01\x02").decode(),
+        },
+        {
+            "clip_id": "aw-2",
+            "ingest_ts": "2024-03-01 00:00:02",
+            "sr_hz": 16000,
+            "dur_ms": 200,
+            "codec": "ulaw",
+            "transcript": "charlie",
+            "payload_b64": base64.b64encode(b"\x03").decode(),
+        },
+    ]
+    df = spark.createDataFrame([(json.dumps(msg).encode(),)], "body binary")
+    out = tr.json_to_clip_events(df).orderBy("clip_id").collect()
+    assert [r["clip_id"] for r in out] == ["aw-1", "aw-2"]
+    assert bytes(out[0]["bytes"]) == b"\x01\x02"
+    assert out[0]["ingest_ts"] == _ts("2024-03-01 00:00:01.250")
+    assert out[1]["ingest_ts"] == _ts("2024-03-01 00:00:02")
+    assert out[1]["codec"] == "ulaw"
+
+
+def test_pcdm_normalize_and_split(spark):
+    rows = [
+        ("T1", _ts("2024-01-01 00:00:00.123456"), "Good", "1.5", "float", "insert"),
+        ("T1", _ts("2024-01-01 00:00:00.123999"), "Good", "1.5", "float", "update"),
+        ("T2", _ts("2024-01-01 00:00:01"), "Good", "7", "integer", "upsert"),
+        ("T3", _ts("2024-01-01 00:00:02"), "Good", "x", "string", "delete"),
+    ]
+    df = spark.createDataFrame(
+        rows, "TagName string, EventTime timestamp, Status string, Value string, ValueType string, ChangeType string"
+    )
+    norm = tr.pcdm_normalize(df)
+    got = {(r["TagName"], r["ChangeType"]) for r in norm.collect()}
+    # both T1 rows truncate to the same ms + normalize to upsert -> dedup to 1
+    assert got == {("T1", "upsert"), ("T2", "upsert"), ("T3", "delete")}
+    split = tr.pcdm_split_by_type(norm)
+    f = split["float"].collect()
+    assert len(f) == 1 and abs(f[0]["Value"] - 1.5) < 1e-12
+    i = split["integer"].collect()
+    assert len(i) == 1 and i[0]["Value"] == 7
+    assert split["string"].collect()[0]["Value"] == "x"
+
+
+# ---------------------------------------------------------------- PCDM sinks
+
+def test_pcdm_merge_sink_cdc(spark, tmp_path):
+    sink = PCDMMergeSink(str(tmp_path / "pcdm"))
+    schema = "TagName string, EventTime timestamp, Status string, Value string, ValueType string, ChangeType string"
+    b0 = spark.createDataFrame(
+        [
+            ("T1", _ts("2024-01-01 00:00:00"), "Good", "1.0", "float", "insert"),
+            ("T1", _ts("2024-01-01 00:01:00"), "Good", "2.0", "float", "insert"),
+            ("S1", _ts("2024-01-01 00:00:00"), "Good", "a", "string", "insert"),
+        ],
+        schema,
+    )
+    sink.write_batch(b0, 0)
+    assert sink.read(spark, "float").count() == 2
+    assert sink.read(spark, "string").count() == 1
+    # batch 1: update one float row, delete the string row
+    b1 = spark.createDataFrame(
+        [
+            ("T1", _ts("2024-01-01 00:01:00"), "Good", "9.0", "float", "update"),
+            ("S1", _ts("2024-01-01 00:00:00"), "Good", "a", "string", "delete"),
+        ],
+        schema,
+    )
+    sink.write_batch(b1, 1)
+    floats = {
+        (r["TagName"], r["EventTime"]): r["Value"]
+        for r in sink.read(spark, "float").collect()
+    }
+    assert floats[("T1", _ts("2024-01-01 00:01:00"))] == 9.0
+    assert floats[("T1", _ts("2024-01-01 00:00:00"))] == 1.0
+    assert sink.read(spark, "string").count() == 0
+    # replay of batch 1 is a no-op
+    sink.write_batch(b1, 1)
+    assert sink.read(spark, "float").count() == 2
+
+
+def test_latest_sink(spark, tmp_path):
+    sink = LatestSink(str(tmp_path / "latest"))
+    schema = "TagName string, EventTime timestamp, Status string, Value double"
+    sink.write_batch(
+        spark.createDataFrame(
+            [
+                ("T1", _ts("2024-01-01 00:00:00"), "Good", 1.0),
+                ("T1", _ts("2024-01-01 00:02:00"), "Good", 3.0),
+                ("T2", _ts("2024-01-01 00:00:00"), "Good", 5.0),
+            ],
+            schema,
+        ),
+        0,
+    )
+    # older row for T1 must NOT displace; newer row for T2 must
+    sink.write_batch(
+        spark.createDataFrame(
+            [
+                ("T1", _ts("2024-01-01 00:01:00"), "Good", 99.0),
+                ("T2", _ts("2024-01-01 00:05:00"), "Bad", 6.0),
+            ],
+            schema,
+        ),
+        1,
+    )
+    got = {r["TagName"]: (r["EventTime"], r["Value"]) for r in sink.read(spark).collect()}
+    assert got["T1"] == (_ts("2024-01-01 00:02:00"), 3.0)
+    assert got["T2"] == (_ts("2024-01-01 00:05:00"), 6.0)
+
+
+# ---------------------------------------------------------------- connectors
+
+def test_connector_option_plumbing():
+    k = KafkaSource("broker:9092", "clips", "latest", {"maxOffsetsPerTrigger": "5"})
+    assert k.options() == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "clips",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "5",
+    }
+    eh = EventhubKafkaSource("ns", "hub", "Endpoint=sb://...")
+    opts = eh.options()
+    assert opts["kafka.bootstrap.servers"] == "ns.servicebus.windows.net:9093"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert "Endpoint=sb://..." in opts["kafka.sasl.jaas.config"]
+    s = KafkaSink("broker:9092", "out")
+    assert s.options()["topic"] == "out"
+
+
+def test_eventhub_body_projection(spark):
+    kafka_shaped = spark.createDataFrame(
+        [(b"payload", _ts("2024-01-01 00:00:00"), 0, 42)],
+        "value binary, timestamp timestamp, partition int, offset long",
+    )
+    out = EventhubKafkaSource.project_body(kafka_shaped).first()
+    assert bytes(out["body"]) == b"payload"
+    assert out["sequenceNumber"] == "42"
+
+
+def test_kafka_sink_serialize(spark):
+    df = spark.createDataFrame([("aw-1", 1.5, "hi")], "clip_id string, e double, t string")
+    r = KafkaSink.serialize(df, "clip_id", ["e", "t"]).first()
+    assert r["key"] == "aw-1"
+    assert json.loads(r["value"]) == {"e": 1.5, "t": "hi"}
+
+
+def test_file_stream_source_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "files")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p)
+    src = FileStreamSource(p, schema_ddl="id long, s string")
+    assert src.read_batch(spark).count() == 1
+    stream = src.read_stream(spark)
+    assert stream.isStreaming
+
+
+# ---------------------------------------------------------------- batch exec
+
+def test_batch_exec_fanout(spark):
+    res = batch_exec.run_batch(
+        spark,
+        {
+            "a": lambda s: s.range(10),
+            "b": lambda s: s.range(5).filter("id < 3"),
+            "boom": lambda s: s.sql("select * from nonexistent_table_xyz"),
+        },
+        max_workers=3,
+    )
+    assert res["a"] == 10 and res["b"] == 3
+    assert isinstance(res["boom"], Exception)
+
+
+# ---------------------------------------------------------------- dq operators
+
+def test_impute_missing_linear(spark):
+    rows = [
+        ("A", _ts("2024-01-01 00:00:00"), 0.0),
+        ("A", _ts("2024-01-01 00:01:00"), 1.0),
+        # 00:02 and 00:03 missing
+        ("A", _ts("2024-01-01 00:04:00"), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, v double")
+    out = dq.impute_missing(df, SPEC).orderBy("event_time").collect()
+    assert [r["value"] for r in out] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert [r["imputed"] for r in out] == [False, False, True, True, False]
+
+
+def test_gaussian_smooth_constant_series(spark):
+    rows = [("A", _ts(f"2024-01-01 00:0{i}:00"), 5.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, v double")
+    out = dq.gaussian_smooth(df, SPEC, sigma=1.5).collect()
+    # smoothing a constant series is the identity (kernel sums to 1)
+    assert all(abs(r["value_smooth"] - 5.0) < 1e-9 for r in out)
+
+
+def test_gaussian_smooth_reduces_variance(spark):
+    vals = [0.0, 10.0] * 10
+    rows = [("A", _ts(f"2024-01-01 00:{i:02d}:00"), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, v double")
+    out = dq.gaussian_smooth(df, SPEC, sigma=2.0).toPandas()
+    assert out["value_smooth"].std() < np.std(vals) / 2
+
+
+def test_fixed_width_binning_edges(spark):
+    rows = [("A", _ts("2024-01-01 00:00:00"), v) for v in (-1.0, 0.0, 9.99, 10.0, 25.0)]
+    df = spark.createDataFrame(rows, "tag string, ts timestamp, v double")
+    out = dq.fixed_width_binning(df, SPEC, 0.0, 20.0, 10).orderBy("value").collect()
+    assert [r["bin"] for r in out] == [0, 0, 4, 5, 9]
