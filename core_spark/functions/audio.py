@@ -72,21 +72,28 @@ def ulaw_decode(b: bytes) -> np.ndarray:
 _DECODERS = {"pcm16": pcm16_decode, "ulaw": ulaw_decode}
 
 
+def _decode_one(b: bytes, codec: str) -> np.ndarray:
+    try:
+        return _DECODERS[codec](b)
+    except KeyError:
+        raise ValueError(f"unknown codec: {codec!r}") from None
+
+
 def decode_batch(data: pd.Series, codec: pd.Series) -> list[np.ndarray]:
-    """Decode one Arrow batch of clips. Grouped by codec so each group is a
-    single vectorized numpy path (no per-row dispatch cost beyond the
-    group split)."""
-    out: list[np.ndarray | None] = [None] * len(data)
+    """Decode one Arrow batch of clips, materializing every PCM array.
+
+    NOTE: holding thousands of ~100 KB arrays concurrently makes the page
+    -fault path the bottleneck when many executor cores run this at once
+    (minor-fault handling serializes kernel-side; measured 10-30x wall
+    blow-up at 8-way concurrency on this host). Use only where the decoded
+    frames themselves are the output (decode_pcm); every reducing feature
+    UDF below streams clip-by-clip instead — decode one, reduce, discard —
+    which keeps the worker's working set flat and its allocator in steady
+    state. That fused shape is also the only one that survives 100 TB.
+    """
     codec_arr = codec.to_numpy()
     data_arr = data.to_numpy()
-    for c, fn in _DECODERS.items():
-        idx = np.nonzero(codec_arr == c)[0]
-        for i in idx:
-            out[i] = fn(data_arr[i])
-    for i, v in enumerate(out):
-        if v is None:
-            raise ValueError(f"unknown codec: {codec_arr[i]!r}")
-    return out  # type: ignore[return-value]
+    return [_decode_one(b, c) for b, c in zip(data_arr, codec_arr)]
 
 
 # ---------------------------------------------------------------- pandas UDFs
@@ -99,25 +106,35 @@ def decode_pcm(data: pd.Series, codec: pd.Series) -> pd.Series:
     return pd.Series(decode_batch(data, codec))
 
 
+def _reduce_clips(data: pd.Series, codec: pd.Series, fn) -> pd.Series:
+    """Fused decode->reduce->discard over one Arrow batch: only one decoded
+    clip is ever resident, so the allocator stays in steady state (see
+    decode_batch docstring for why that matters at high core counts)."""
+    codec_arr = codec.to_numpy()
+    data_arr = data.to_numpy()
+    return pd.Series(
+        [fn(_decode_one(b, c)) for b, c in zip(data_arr, codec_arr)]
+    )
+
+
+def _energy(p: np.ndarray) -> float:
+    return float(np.mean(np.square(p, dtype=np.float64))) if len(p) else 0.0
+
+
 @F.pandas_udf(T.DoubleType())
 def clip_energy(data: pd.Series, codec: pd.Series) -> pd.Series:
     """Mean-square energy of the decoded clip (pure sine => A^2/2)."""
-    pcm = decode_batch(data, codec)
-    return pd.Series([float(np.mean(np.square(p, dtype=np.float64))) if len(p) else 0.0 for p in pcm])
+    return _reduce_clips(data, codec, _energy)
 
 
 @F.pandas_udf(T.DoubleType())
 def clip_rms(data: pd.Series, codec: pd.Series) -> pd.Series:
-    pcm = decode_batch(data, codec)
-    return pd.Series(
-        [float(np.sqrt(np.mean(np.square(p, dtype=np.float64)))) if len(p) else 0.0 for p in pcm]
-    )
+    return _reduce_clips(data, codec, lambda p: float(np.sqrt(_energy(p))))
 
 
 @F.pandas_udf(T.DoubleType())
 def clip_peak(data: pd.Series, codec: pd.Series) -> pd.Series:
-    pcm = decode_batch(data, codec)
-    return pd.Series([float(np.max(np.abs(p))) if len(p) else 0.0 for p in pcm])
+    return _reduce_clips(data, codec, lambda p: float(np.max(np.abs(p))) if len(p) else 0.0)
 
 
 @F.pandas_udf(T.IntegerType())
@@ -128,6 +145,86 @@ def decoded_samples(data: pd.Series, codec: pd.Series) -> pd.Series:
     return pd.Series(
         [len(b) // sizes[c] for b, c in zip(data.to_numpy(), codec.to_numpy())]
     ).astype("int32")
+
+
+_N_FFT = 512
+_HOP = 160  # 10 ms at 16 kHz — the standard STFT hop for speech analysis
+_HANN = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(_N_FFT) / _N_FFT)
+
+
+def _frame(x: np.ndarray, n: int = _N_FFT, hop: int = _HOP) -> np.ndarray:
+    """Zero-copy strided frame view (n_frames, n); pads a short clip."""
+    if len(x) < n:
+        x = np.pad(x, (0, n - len(x)))
+    n_frames = 1 + (len(x) - n) // hop
+    stride = x.strides[0]
+    return np.lib.stride_tricks.as_strided(
+        x, shape=(n_frames, n), strides=(hop * stride, stride), writeable=False
+    )
+
+
+def _spectral_one(x: np.ndarray, sr: int) -> tuple:
+    """Framed-FFT features of one decoded clip: all numpy, one batched rfft
+    over the (n_frames, 512) frame matrix."""
+    n = len(x)
+    if n == 0:
+        return (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0)
+    x64 = x.astype(np.float64, copy=False)
+    energy = float(np.mean(x64 * x64))
+    peak = float(np.max(np.abs(x64)))
+    zcr = float(np.count_nonzero(np.signbit(x64[1:]) != np.signbit(x64[:-1]))) / n
+    frames = _frame(x64) * _HANN
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    power = np.mean(spec * spec, axis=0)  # (257,) mean power spectrum
+    power[0] = 0.0  # exclude DC from dominant-bin search
+    freqs = np.arange(len(power)) * (sr / _N_FFT)
+    tot = float(power.sum())
+    dom = float(freqs[int(np.argmax(power))])
+    centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+    # band energy fractions at fixed Hz edges (telephony-ish bands)
+    lo = float(power[freqs < 300.0].sum() / tot) if tot > 0 else 0.0
+    hi = float(power[freqs >= 3400.0].sum() / tot) if tot > 0 else 0.0
+    return (energy, peak, zcr, dom, centroid, lo, hi, len(frames))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("energy", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("dominant_freq_hz", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("band_low_frac", T.DoubleType()),
+        T.StructField("band_high_frac", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(AUDIO_FEATURES_SCHEMA)
+def audio_features(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
+    """Single-decode-pass per-clip DSP feature set (framed 512-pt FFT).
+
+    The synthetic generator's pure sine makes two of these analytically
+    verifiable: energy == A^2/2 and dominant_freq_hz == the clip's sine
+    frequency (within one 512-bin width). This is the engine's heavy
+    vectorized path — the decode+FFT work that at 100 TB dominates the
+    pipeline and must scale with cores (north rule N vs 4N)."""
+    codec_arr = codec.to_numpy()
+    data_arr = data.to_numpy()
+    sr = sr_hz.to_numpy()
+    # fused decode->feature->discard per clip (see decode_batch docstring)
+    rows = [
+        _spectral_one(_decode_one(b, c), int(s))
+        for b, c, s in zip(data_arr, codec_arr, sr)
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "energy", "peak", "zcr", "dominant_freq_hz",
+            "spectral_centroid_hz", "band_low_frac", "band_high_frac", "n_frames",
+        ],
+    )
 
 
 # Multimodal stub: image/video feature extraction plumbing. The decode

@@ -21,6 +21,7 @@ training-data-pipeline extension required by the brief.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -91,6 +92,89 @@ def _intersect_size(a, b):      # active session at import time
     return pd.Series(out)
 
 
+def _pack_shingles_np(s: str, k: int = 3):
+    """Sorted distinct k-byte-packed character shingles of a normalized
+    (ASCII: [a-z0-9 ]) string as int64 — injective vs the substring set, so
+    every set-similarity (Jaccard intersection/union size) is identical to
+    operating on the substrings themselves, at numpy speed."""
+    import numpy as np
+
+    b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+    if len(b) >= k:
+        n = len(b) - k + 1
+        v = np.zeros(n, dtype=np.int64)
+        for i in range(k):
+            v |= b[i : i + n] << (8 * (k - 1 - i))
+    else:  # degenerate doc: single short shingle, zero-padded (parity with
+        #  substr(s, 1, k) of a short string)
+        x = 0
+        for i in range(k):
+            x = (x << 8) | (int(b[i]) if i < len(b) else 0)
+        v = np.array([x], dtype=np.int64)
+    return np.unique(v)
+
+
+def make_shingle_hashes_udf(k: int = 3):
+    """Vectorized replacement for the interpreted transform/substr/xxhash64
+    chain (~300 interpreted expr evals per row -> a few numpy ops per row)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _shingle_hashes(nrm: pd.Series) -> pd.Series:
+        return pd.Series([_pack_shingles_np(s or "", k) for s in nrm])
+
+    return _shingle_hashes
+
+
+def _splitmix64(x):
+    """Deterministic 64-bit mix (splitmix64 finalizer), numpy-vectorized."""
+    import numpy as np
+
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return x ^ (x >> np.uint64(31))
+
+
+def _minhash_consts(n_hashes: int):
+    import numpy as np
+
+    j = np.arange(n_hashes, dtype=np.uint64)
+    a = _splitmix64(j * np.uint64(2)) | np.uint64(1)  # odd multipliers
+    b = _splitmix64(j * np.uint64(2) + np.uint64(1))
+    return a, b
+
+
+def make_minhash_bands_udf(n_hashes: int = 64, bands: int = 16):
+    """Returns a pandas UDF: packed-shingle array -> array of `bands` band
+    hashes. Each band hash folds rows=n_hashes/bands MinHash minima through
+    a splitmix64 chain — one numpy matrix op per doc instead of
+    n_hashes*|shingles| interpreted xxhash64 calls (~100x)."""
+    rows = n_hashes // bands
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _bands(sh: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A, B = _minhash_consts(n_hashes)
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in sh:
+                h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                # (|sh| x n_hashes) multiply-add family; column minima are
+                # the MinHash signature
+                m = (h[:, None] * A[None, :] + B[None, :]).min(axis=0)
+                bh = np.zeros(bands, dtype=np.uint64)
+                g = m.reshape(bands, rows)
+                for r in range(rows):
+                    bh = _splitmix64(bh ^ g[:, r])
+                out.append(bh.astype(np.int64))
+        return pd.Series(out)
+
+    return _bands
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -149,10 +233,8 @@ def ngram_jaccard_pairs(
         keep=[F.col(id_col).alias("doc_id"), *[F.col(c) for c in block_cols]],
         nrm=normalize_text(F.col(text_col)),
     )
-    sh = _guard(
-        nrm,
-        keep=["doc_id", *block_cols],
-        sh=shingle_hashes_of_norm(F.col("nrm"), k),
+    sh = nrm.select(
+        "doc_id", *block_cols, make_shingle_hashes_udf(k)(F.col("nrm")).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     if length_block:
         sh = sh.withColumn("__bkt", F.floor(F.col("n_sh") / F.lit(length_block)))
@@ -228,41 +310,19 @@ def minhash_lsh_pairs(
     exact and only recall is probabilistic. At 10^12 docs the band join is
     the only shuffle and keys are 16 bytes.
     """
-    rows = n_hashes // bands
     nrm = _derive(
         df,
         keep=[F.col(id_col).alias("doc_id")],
         nrm=normalize_text(F.col(text_col)),
     )
-    shf = _guard(
-        nrm, keep=["doc_id"], sh=shingle_hashes_of_norm(F.col("nrm"), k)
+    shf = nrm.select("doc_id", make_shingle_hashes_udf(k)(F.col("nrm")).alias("sh"))
+    bands_udf = make_minhash_bands_udf(n_hashes, bands)
+    sig = shf.select(
+        "doc_id", "sh", F.size("sh").alias("n_sh"), bands_udf(F.col("sh")).alias("bhs")
     )
-    sig = _guard(
-        shf, keep=["doc_id", "sh"], sig=minhash_signature(F.col("sh"), n_hashes)
-    ).withColumn("n_sh", F.size("sh"))
     banded = sig.select(
-        "doc_id",
-        "sh",
-        "n_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.slice(F.col("sig"), b * rows + 1, rows).cast(
-                                    "array<string>"
-                                ),
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sh", "n_sh", "bb.band", "bb.bh")
+        "doc_id", "sh", "n_sh", F.posexplode("bhs").alias("band", "bh")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

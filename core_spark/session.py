@@ -49,9 +49,27 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+        # Fat-binary rows (audio clips ~35 KB) blow up the vectorized parquet
+        # reader's per-task column vectors: 4096 rows x 35 KB = ~143 MB per
+        # batch. Under G1 those are humongous allocations and concurrent scans
+        # collapse (measured 1.4s @ 8 cores -> 13s @ 32 cores on a pure-JVM
+        # scan). 512-row reader batches (~18 MB vectors) + throughput GC keep
+        # the scan linear in cores (0.5s @ 32); narrow tables are unaffected.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # Pre-fault the whole heap at JVM start: this host's kernel serializes
+        # concurrent minor-fault handling, so lazy heap growth under 32
+        # allocating task threads shows up as multi-second stalls mid-query.
+        # Xms=Xmx + AlwaysPreTouch moves that cost to startup, once.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC -Xms"
+            + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
+            + " -XX:+AlwaysPreTouch",
+        )
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC -XX:+AlwaysPreTouch")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

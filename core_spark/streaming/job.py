@@ -34,7 +34,18 @@ def build_args(argv=None):
     p.add_argument("--window-sec", type=int, default=60)
     p.add_argument("--gap-sec", type=int, default=300)
     p.add_argument("--salt", type=int, default=0)
-    p.add_argument("--batches", type=int, default=8, help="micro-batches via maxFilesPerTrigger")
+    p.add_argument("--batches", type=int, default=4, help="micro-batch count")
+    p.add_argument("--files-per-trigger", type=int, default=32,
+                   help="files (= input partitions) per micro-batch; the input is "
+                        "written as batches*files_per_trigger files so every "
+                        "micro-batch has enough splits to keep all cores busy")
+    p.add_argument("--spectral", type=int, default=1,
+                   help="1: framed-FFT feature pass (production-shaped heavy path)")
+    p.add_argument("--shuffle-partitions", type=int, default=16,
+                   help="stateful-operator partition count; agg state is tiny "
+                        "(~10-100k keys) so fewer, fuller state stores beat "
+                        "per-core stores — decode parallelism comes from input "
+                        "file splits, not from this")
     p.add_argument("--keep-work", action="store_true")
     return p.parse_args(argv)
 
@@ -49,25 +60,49 @@ def main(argv=None) -> dict:
     from core_spark.streaming import source as src
     from core_spark.streaming import windows as sw
 
-    spark = get_spark(f"cep-{a.mode}", cores=a.cores, shuffle_partitions=a.cores)
+    spark = get_spark(
+        f"cep-{a.mode}", cores=a.cores, shuffle_partitions=a.shuffle_partitions
+    )
 
     work = a.work
     if not a.keep_work and os.path.isdir(work):
         shutil.rmtree(work)
     os.makedirs(work, exist_ok=True)
     in_dir = a.input or os.path.join(work, "clips")
-    n_files = max(a.batches, 1)
+    n_files = max(a.batches, 1) * max(a.files_per_trigger, 1)
     if not os.path.isdir(in_dir):
         synth.write_clips_parquet(spark, in_dir, a.n_clips, n_files=n_files)
 
-    files_per_trigger = 1 if a.batches > 1 else None
+    files_per_trigger = a.files_per_trigger if a.batches > 1 else None
     stream = src.clips_stream(spark, in_dir, max_files_per_trigger=files_per_trigger)
 
+    # Warm-up (untimed): run one micro-batch-sized slice of the same dataflow
+    # in batch mode so Python workers spawn, heaps reach steady state, and
+    # codegen JITs before the measured run. Without this the first 1-2
+    # micro-batches absorb all cold-start cost and the N-vs-4N comparison
+    # measures worker startup, not throughput (bigger N = more cold workers).
+    import glob
+
+    from pyspark.sql import functions as F
+
+    warm_files = sorted(glob.glob(os.path.join(in_dir, "part-*")))
+    warm_files = warm_files[: max(a.files_per_trigger, 8)]
+    if warm_files and a.mode in ("tumbling", "sliding"):
+        wdf = spark.read.schema(synth.CLIPS_SCHEMA).parquet(*warm_files)
+        sw.tumbling_energy(
+            wdf, a.window_sec, None, 30, a.salt or None, spectral=bool(a.spectral)
+        ).agg(F.sum("n_clips")).collect()
+
     if a.mode == "tumbling":
-        result = sw.tumbling_energy(stream, a.window_sec, None, 30, a.salt or None)
+        result = sw.tumbling_energy(
+            stream, a.window_sec, None, 30, a.salt or None, spectral=bool(a.spectral)
+        )
         keys = ["window_start", "prefix"]
     elif a.mode == "sliding":
-        result = sw.tumbling_energy(stream, a.window_sec, a.window_sec // 3, 30, a.salt or None)
+        result = sw.tumbling_energy(
+            stream, a.window_sec, a.window_sec // 3, 30, a.salt or None,
+            spectral=bool(a.spectral),
+        )
         keys = ["window_start", "prefix"]
     elif a.mode == "native_sessions":
         result = sw.session_windows_native(stream, a.gap_sec, 30)

@@ -124,7 +124,14 @@ class MergeSink:
             )
             .localCheckpoint()  # cut lineage: batch is reused 2-3 times below
         )
-        parts = [r[0] for r in batch.select(self.partition_col).distinct().collect()]
+        # single driver round-trip for both the touched-partition list and the
+        # per-partition lineage counts (serial time per micro-batch is the
+        # Amdahl term that caps N->4N scaling; keep it to one job)
+        per_part = {
+            str(r[0]): r[1]
+            for r in batch.groupBy(self.partition_col).count().collect()
+        }
+        parts = list(per_part)
         if not parts:
             self._mark_committed(batch_id)
             self._write_lineage(batch_id, {"rows": 0, "partitions": []})
@@ -159,19 +166,21 @@ class MergeSink:
         # dynamic overwrite only replaces partitions PRESENT in the output;
         # an affected partition whose merge result is empty (delete-only
         # batch) must be cleared explicitly (Iceberg MERGE does this via
-        # snapshot metadata; the parquet stand-in removes the files)
-        merged_parts = {str(r[0]) for r in merged.select(self.partition_col).distinct().collect()}
-        for p in parts:
-            if str(p) not in merged_parts:
-                pdir = os.path.join(self._data_dir(), f"{self.partition_col}={p}")
-                if os.path.isdir(pdir):
-                    import shutil
+        # snapshot metadata; the parquet stand-in removes the files). Only a
+        # CDC sink (op_col set) can shrink a partition to empty — append/upsert
+        # batches always re-emit every touched partition, so skip the extra
+        # distinct job in the common path.
+        if self.op_col is not None:
+            merged_parts = {
+                str(r[0]) for r in merged.select(self.partition_col).distinct().collect()
+            }
+            for p in parts:
+                if str(p) not in merged_parts:
+                    pdir = os.path.join(self._data_dir(), f"{self.partition_col}={p}")
+                    if os.path.isdir(pdir):
+                        import shutil
 
-                    shutil.rmtree(pdir)
-        per_part = {
-            str(r[0]): r[1]
-            for r in batch.groupBy(self.partition_col).count().collect()
-        }
+                        shutil.rmtree(pdir)
         self._mark_committed(batch_id)
         self._write_lineage(
             batch_id,

@@ -40,8 +40,20 @@ def clip_features(df: DataFrame, prefix_len: int = 2) -> DataFrame:
     )
 
 
+def clip_features_spectral(df: DataFrame, prefix_len: int = 2) -> DataFrame:
+    """Heavy DSP variant of clip_features: one decode pass feeding the framed
+    512-pt FFT feature set. Runs zero-copy over Arrow record batches
+    (functions/audio_arrow.py) — per-clip work is real vectorized compute
+    with a flat working set, so throughput scales with cores instead of
+    being allocation- or scheduling-overhead-bound."""
+    from ..functions.audio_arrow import spectral_features_arrow
+
+    return spectral_features_arrow(df, prefix_len)
+
+
 def _finalize(agg: DataFrame) -> DataFrame:
-    return agg.select(
+    extra = [c for c in ("sum_centroid", "sum_zcr") if c in agg.columns]
+    out = agg.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         "prefix",
@@ -50,7 +62,16 @@ def _finalize(agg: DataFrame) -> DataFrame:
         "sum_dur_ms",
         "max_energy",
         "n_distinct_clips",
+        *extra,
     )
+    if extra:
+        out = out.select(
+            "window_start", "window_end", "prefix", "n_clips", "avg_energy",
+            "sum_dur_ms", "max_energy", "n_distinct_clips",
+            (F.col("sum_centroid") / F.col("n_clips")).alias("avg_centroid_hz"),
+            (F.col("sum_zcr") / F.col("n_clips")).alias("avg_zcr"),
+        )
+    return out
 
 
 def tumbling_energy(
@@ -60,22 +81,37 @@ def tumbling_energy(
     watermark_sec: int = 30,
     salt_buckets: int | None = None,
     prefix_len: int = 2,
+    spectral: bool = False,
 ) -> DataFrame:
     """Tumbling (or sliding, if slide_sec is set) per-prefix energy windows.
 
     Works on a stream (append mode after watermark close) and, with the same
     code path, on a batch frame (watermark is a no-op in batch) — the parity
     tests exploit exactly that (SURVEY §5 engine test plan).
+
+    ``spectral=True`` switches the per-clip feature pass to the framed-FFT
+    struct (clip_features_spectral) and adds avg_centroid_hz / avg_zcr to the
+    output — the production-shaped heavy path used by the scaling bench.
     """
     win = f"{window_sec} seconds"
-    windowed = (
-        clip_features(df, prefix_len)
-        .withWatermark("ingest_ts", f"{watermark_sec} seconds")
+    feats = (
+        clip_features_spectral(df, prefix_len)
+        if spectral
+        else clip_features(df, prefix_len)
     )
+    windowed = feats.withWatermark("ingest_ts", f"{watermark_sec} seconds")
     w = (
         F.window("ingest_ts", win, f"{slide_sec} seconds")
         if slide_sec
         else F.window("ingest_ts", win)
+    )
+    spec_aggs = (
+        [
+            F.sum("spectral_centroid_hz").alias("sum_centroid"),
+            F.sum("zcr").alias("sum_zcr"),
+        ]
+        if spectral
+        else []
     )
     if not salt_buckets:
         agg = windowed.groupBy(w.alias("window"), "prefix").agg(
@@ -84,17 +120,35 @@ def tumbling_energy(
             F.sum("dur_ms").alias("sum_dur_ms"),
             F.max("energy").alias("max_energy"),
             F.approx_count_distinct("clip_id").alias("n_distinct_clips"),
+            *spec_aggs,
         )
         return _finalize(agg)
     # two-stage salted aggregation: state for one hot prefix is spread over
     # salt_buckets keys in stage 1; stage 2 re-windows on window_time()
     salt = F.pmod(F.xxhash64("clip_id"), F.lit(salt_buckets)).alias("salt")
+    p_spec = (
+        [
+            F.sum("spectral_centroid_hz").alias("p_sum_centroid"),
+            F.sum("zcr").alias("p_sum_zcr"),
+        ]
+        if spectral
+        else []
+    )
     partial = windowed.groupBy(w.alias("window"), "prefix", salt).agg(
         F.count(F.lit(1)).alias("p_n"),
         F.sum("energy").alias("p_sum_energy"),
         F.sum("dur_ms").alias("p_sum_dur"),
         F.max("energy").alias("p_max_energy"),
         F.approx_count_distinct("clip_id").alias("p_distinct"),
+        *p_spec,
+    )
+    f_spec = (
+        [
+            F.sum("p_sum_centroid").alias("sum_centroid"),
+            F.sum("p_sum_zcr").alias("sum_zcr"),
+        ]
+        if spectral
+        else []
     )
     final = partial.groupBy(
         F.window(F.window_time("window"), win).alias("window"), "prefix"
@@ -104,6 +158,7 @@ def tumbling_energy(
         F.sum("p_sum_dur").alias("sum_dur_ms"),
         F.max("p_max_energy").alias("max_energy"),
         F.sum("p_distinct").alias("n_distinct_clips"),
+        *f_spec,
     )
     return _finalize(final)
 

@@ -81,3 +81,53 @@ def test_media_probe_stub_shape(spark):
 def test_energy_is_vectorized_not_per_row(spark):
     # the UDF must be a pandas (Arrow) UDF, not a row UDF
     assert audio.clip_energy.evalType in (200, 210, 211)  # SQL_SCALAR_PANDAS variants
+
+
+def test_spectral_features_match_generator(spark):
+    """dominant_freq_hz must equal the synth sine's frequency within one
+    512-point FFT bin; energy must equal A^2/2 (audio_features UDF path)."""
+    from core_spark.functions.audio import audio_features
+
+    df = clips_df(spark, 60)
+    rows = (
+        df.select("clip_id", "sr_hz", audio_features("bytes", "codec", "sr_hz").alias("af"))
+        .select("clip_id", "sr_hz", "af.energy", "af.dominant_freq_hz", "af.zcr")
+        .collect()
+    )
+    pdf = make_clips_pdf(60)
+    by_id = {r["clip_id"]: r for r in rows}
+    for i, src in pdf.iterrows():
+        r = by_id[src["clip_id"]]
+        f_true = 110.0 + (i % 8) * 110.0
+        bin_hz = int(src["sr_hz"]) / 512.0
+        assert abs(r["dominant_freq_hz"] - f_true) <= bin_hz, (i, r)
+        tol = 0.002 if src["codec"] == "pcm16" else 0.01
+        assert abs(r["energy"] - expected_energy(i)) < tol
+        # zero-crossing rate of a sine ~= 2f/sr
+        assert abs(r["zcr"] - 2.0 * f_true / int(src["sr_hz"])) < 0.01
+
+
+def test_arrow_spectral_path_equals_pandas_udf_path(spark):
+    """The zero-copy mapInArrow extractor must produce the same features as
+    the pandas_udf column API (same decode, same FFT)."""
+    from core_spark.functions.audio import audio_features
+    from core_spark.functions.audio_arrow import spectral_features_arrow
+
+    df = clips_df(spark, 50)
+    a = {
+        r["clip_id"]: r
+        for r in spectral_features_arrow(df).select(
+            "clip_id", "energy", "dominant_freq_hz", "spectral_centroid_hz"
+        ).collect()
+    }
+    b = {
+        r["clip_id"]: r
+        for r in df.select(
+            "clip_id", audio_features("bytes", "codec", "sr_hz").alias("af")
+        ).select("clip_id", "af.energy", "af.dominant_freq_hz", "af.spectral_centroid_hz").collect()
+    }
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert abs(a[cid]["energy"] - b[cid]["energy"]) < 1e-12, cid
+        assert a[cid]["dominant_freq_hz"] == b[cid]["dominant_freq_hz"], cid
+        assert abs(a[cid]["spectral_centroid_hz"] - b[cid]["spectral_centroid_hz"]) < 1e-9, cid
