@@ -359,3 +359,36 @@ def normalize_minmax(df: DataFrame, spec: TSSpec, round_digits: int = 6) -> Data
         )
         .select(TAG, TS, VAL, "value_norm")
     )
+
+
+def tag_correlation(
+    df: DataFrame,
+    spec: TSSpec,
+    tag_a: str,
+    tag_b: str,
+    every_seconds: int = 3600,
+    start: str | None = None,
+    end: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pearson correlation between two tags' bucket-averaged series — the
+    reference's DimensionalityReduction signal (dimensionality_reduction.py:
+    27-157: combine columns when corr >= threshold), recast tall-table-first:
+    resample both tags onto the same time buckets (exact-decimal averages so
+    both engines feed corr identical operands), inner-join on bucket, corr.
+    """
+    from .timeseries import TS, TAG, resample
+
+    r = resample(
+        df, spec, every_seconds, "avg", start, end,
+        round_digits=None, exact_decimals=2,
+    )
+    a = r.filter(F.col(TAG) == tag_a).select(TS, F.col("value").alias("va"))
+    b = r.filter(F.col(TAG) == tag_b).select(TS, F.col("value").alias("vb"))
+    j = a.join(b, TS, "inner")
+    return j.agg(
+        F.lit(tag_a).alias("tag_a"),
+        F.lit(tag_b).alias("tag_b"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.corr("va", "vb"), round_digits).alias("corr"),
+    )

@@ -233,9 +233,13 @@ def ngram_jaccard_pairs(
         keep=[F.col(id_col).alias("doc_id"), *[F.col(c) for c in block_cols]],
         nrm=normalize_text(F.col(text_col)),
     )
-    sh = nrm.select(
-        "doc_id", *block_cols, make_shingle_hashes_udf(k)(F.col("nrm")).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    sh = (
+        nrm.select(
+            "doc_id", *block_cols, make_shingle_hashes_udf(k)(F.col("nrm")).alias("sh")
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .persist()  # both sides of the candidate join read this
+    )
     if length_block:
         sh = sh.withColumn("__bkt", F.floor(F.col("n_sh") / F.lit(length_block)))
 
@@ -319,12 +323,17 @@ def minhash_lsh_pairs(
     bands_udf = make_minhash_bands_udf(n_hashes, bands)
     sig = shf.select(
         "doc_id", "sh", F.size("sh").alias("n_sh"), bands_udf(F.col("sh")).alias("bhs")
-    )
-    banded = sig.select(
-        "doc_id", "sh", "n_sh", F.posexplode("bhs").alias("band", "bh")
-    )
+    ).persist()
+    # ^ sig feeds three plan branches (band explode + both verify joins);
+    # without the persist the shingle+minhash UDFs re-run per branch. At
+    # corpus scale this materialization is a staged table write instead.
+    # Candidate generation is ids-only: the band self-join and the pair
+    # dedup shuffle 24-byte rows, never the ~KB shingle arrays. Shingles
+    # re-join onto the (tiny) candidate set for verification — at corpus
+    # scale candidates << docs, so this is the only layout that survives.
+    banded = sig.select("doc_id", F.posexplode("bhs").alias("band", "bh"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -334,12 +343,27 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sh_tbl = sig.select("doc_id", "sh", "n_sh")
+    cand = (
+        cand_ids.join(
+            sh_tbl.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sh_tbl.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_id_b",
+        )
     )
     sized = cand.select(
         "doc_id_a",

@@ -675,3 +675,47 @@ def pivot_wide(
         .pivot(TAG, list(tags))
         .agg(F.max(VAL))
     )
+
+
+def linreg_trend(
+    df: DataFrame,
+    spec: TSSpec,
+    start: str | None = None,
+    end: str | None = None,
+    forecast_at: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-tag ordinary-least-squares trend + point forecast — the engine's
+    take on the reference's LinearRegression forecasting component
+    (forecasting/spark/linear_regression.py:22), expressed as the SQL
+    regression aggregates both Spark and DuckDB implement natively
+    (regr_slope / regr_intercept / regr_r2), so it is oracle-checkable.
+
+    x is days since 2024-01-01 (not raw epoch seconds): centering keeps the
+    normal-equation sums ~O(n * 10^3) where doubles carry ~12 safe digits,
+    so 4-digit rounding is far above both engines' summation-order noise.
+    """
+    s = scan(df, spec, start, end)
+    x = (
+        (F.unix_timestamp(F.col(TS)) - F.unix_timestamp(F.lit("2024-01-01 00:00:00")))
+        / 86400.0
+    ).alias("x")
+    base = s.select(TAG, x, F.col(VAL).alias("y"))
+    agg = base.groupBy(TAG).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("y", "x"), round_digits).alias("slope_per_day"),
+        F.round(F.regr_intercept("y", "x"), round_digits).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), round_digits).alias("r2"),
+    )
+    if forecast_at is not None:
+        xh = (
+            F.unix_timestamp(F.lit(forecast_at))
+            - F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+        ) / 86400.0
+        # forecast from the ROUNDED slope/intercept so both engines compute
+        # the identical product
+        agg = agg.withColumn(
+            "forecast",
+            F.round(F.col("intercept") + F.col("slope_per_day") * xh, round_digits),
+        )
+    return agg

@@ -590,6 +590,50 @@ FROM a LEFT JOIN meta USING (tagname)
 """
 
 
+def q_ts_linreg_trend(spark, sf_dir):
+    return ts.linreg_trend(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, START, END,
+        forecast_at="2024-02-15 00:00:00",
+    )
+
+
+SQL_TS_LINREG_TREND = f"""
+WITH s AS ({_scan_sql(START, END)}),
+b AS (SELECT tagname,
+             ({_usec('event_time')} - {_usec("TIMESTAMP '2024-01-01 00:00:00'")}) / 86400.0 AS x,
+             value AS y
+      FROM s),
+a AS (SELECT tagname, COUNT(*) AS n,
+             ROUND(regr_slope(y, x), 4) AS slope_per_day,
+             ROUND(regr_intercept(y, x), 4) AS intercept,
+             ROUND(regr_r2(y, x), 4) AS r2
+      FROM b GROUP BY 1)
+SELECT *, ROUND(intercept + slope_per_day *
+                (({_usec("TIMESTAMP '2024-02-15 00:00:00'")} - {_usec("TIMESTAMP '2024-01-01 00:00:00'")}) / 86400.0),
+                4) AS forecast
+FROM a
+"""
+
+
+def q_dq_tag_correlation(spark, sf_dir):
+    return dq.tag_correlation(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, "click", "view", 3600, START, END
+    )
+
+
+SQL_DQ_TAG_CORRELATION = f"""
+WITH s AS (SELECT DISTINCT * FROM ({_scan_sql(START, END)})),
+a AS (SELECT tagname, {_bucket_sql('event_time', 3600)} AS event_time,
+             {_AVG_EXACT} AS value
+      FROM s GROUP BY 1, 2),
+ca AS (SELECT event_time, value AS va FROM a WHERE tagname = 'click'),
+cb AS (SELECT event_time, value AS vb FROM a WHERE tagname = 'view')
+SELECT 'click' AS tag_a, 'view' AS tag_b, COUNT(*) AS n_buckets,
+       ROUND(corr(va, vb), 6) AS corr
+FROM ca JOIN cb USING (event_time)
+"""
+
+
 # ---------------------------------------------------------------- text / docs
 
 # Mirrors of functions.text with DuckDB syntax ('g' flag on regexp_replace).
@@ -862,6 +906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_circular_avg": q_ts_circular_avg,
     "ts_circular_sd": q_ts_circular_sd,
     "ts_pivot": q_ts_pivot,
+    "ts_linreg_trend": q_ts_linreg_trend,
+    "dq_tag_correlation": q_dq_tag_correlation,
     "dq_ksigma": q_dq_ksigma,
     "dq_missing_intervals": q_dq_missing_intervals,
     "dq_flatline_runs": q_dq_flatline_runs,
@@ -907,6 +953,8 @@ ORACLES: dict[str, str] = {
     "ts_circular_avg": _circ_sql(86400, 0.0, 20.0, sd=False),
     "ts_circular_sd": _circ_sql(86400, 0.0, 20.0, sd=True),
     "ts_pivot": SQL_TS_PIVOT,
+    "ts_linreg_trend": SQL_TS_LINREG_TREND,
+    "dq_tag_correlation": SQL_DQ_TAG_CORRELATION,
     "dq_ksigma": SQL_DQ_KSIGMA,
     "dq_missing_intervals": SQL_DQ_MISSING_INTERVALS,
     "dq_flatline_runs": SQL_DQ_FLATLINE_RUNS,
