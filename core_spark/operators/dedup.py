@@ -411,6 +411,31 @@ def simhash64(hashes: Column, n_bits: int = 64) -> Column:
     return sig
 
 
+@F.pandas_udf(T.LongType())
+def _simhash64_np(hs: pd.Series) -> pd.Series:
+    """Vectorized SimHash: per doc, bit j of the signature = sign of the
+    sum of +/-1 votes from bit j of each token hash. Bit-identical to the
+    unrolled JVM aggregate (simhash64) — same hashes, same votes, ties->0 —
+    at numpy speed (unpackbits) instead of 64 interpreted folds per doc."""
+    import numpy as np
+
+    out = np.empty(len(hs), dtype=np.int64)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for i, arr in enumerate(hs):
+        h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+        if len(h) == 0:
+            out[i] = 0
+            continue
+        # little-endian byte view -> (n, 64) bit matrix, columns = bit 0..63
+        bits = np.unpackbits(
+            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)
+        sig = (weights[votes > 0]).sum(dtype=np.uint64)
+        out[i] = sig.astype(np.int64)  # wrapping reinterpret, top bit safe
+    return pd.Series(out)
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -427,7 +452,7 @@ def simhash_pairs(
         keep=[F.col(id_col).alias("doc_id")],
         hs=F.transform(word_tokens(F.col(text_col)), lambda t: F.xxhash64(t)),
     )
-    sig = _guard(hashed, keep=["doc_id"], sig=simhash64(F.col("hs")))
+    sig = hashed.select("doc_id", _simhash64_np(F.col("hs")).alias("sig"))
     banded = sig.select(
         "doc_id",
         "sig",

@@ -1,0 +1,54 @@
+"""Analytic tests for linreg_trend and tag_correlation."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from core_spark.operators import data_quality as dq
+from core_spark.operators import timeseries as ts
+from core_spark.operators.timeseries import TSSpec
+
+SPEC = TSSpec(tag_col="tag", ts_col="ts", value_col="v", status_col=None)
+T0 = datetime(2024, 1, 1)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "tag string, ts timestamp, v double")
+
+
+def test_linreg_recovers_exact_line(spark):
+    # v = 10 + 2.5 * days: OLS must recover slope/intercept exactly (r2=1)
+    rows = [("a", T0 + timedelta(days=d), 10.0 + 2.5 * d) for d in range(10)]
+    out = ts.linreg_trend(_mk(spark, rows), SPEC, forecast_at="2024-01-20 00:00:00")
+    r = out.collect()[0]
+    assert r["slope_per_day"] == pytest.approx(2.5, abs=1e-4)
+    assert r["intercept"] == pytest.approx(10.0, abs=1e-4)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-4)
+    assert r["forecast"] == pytest.approx(10.0 + 2.5 * 19, abs=1e-3)
+
+
+def test_linreg_flat_series_zero_slope(spark):
+    rows = [("a", T0 + timedelta(hours=h), 7.0) for h in range(24)]
+    r = ts.linreg_trend(_mk(spark, rows), SPEC).collect()[0]
+    assert r["slope_per_day"] == pytest.approx(0.0, abs=1e-6)
+    assert r["intercept"] == pytest.approx(7.0, abs=1e-6)
+
+
+def test_tag_correlation_perfect_and_inverse(spark):
+    # b = 2*a + 1 => corr 1; c = -a => corr -1 (varying values per bucket)
+    rows = []
+    for h in range(30):
+        a = float(h % 7) + 1.0
+        rows += [
+            ("a", T0 + timedelta(hours=h), a),
+            ("b", T0 + timedelta(hours=h), 2.0 * a + 1.0),
+            ("c", T0 + timedelta(hours=h), -a),
+        ]
+    df = _mk(spark, rows)
+    r1 = dq.tag_correlation(df, SPEC, "a", "b", 3600).collect()[0]
+    assert r1["corr"] == pytest.approx(1.0, abs=1e-6)
+    assert r1["n_buckets"] == 30
+    r2 = dq.tag_correlation(df, SPEC, "a", "c", 3600).collect()[0]
+    assert r2["corr"] == pytest.approx(-1.0, abs=1e-6)
