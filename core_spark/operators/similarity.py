@@ -5,10 +5,15 @@
 - ``brute_force_topk``: exact top-k neighbors for a small query set. The
   query side is broadcast, so the big side is scanned once with no shuffle;
   per-query top-k via window row_number. This is the correctness baseline.
-- ``lsh_topk``: the scale path — random-hyperplane (sign) LSH buckets both
-  sides; only same-bucket (multi-probe: Hamming<=1) pairs are scored. At
-  10^12 vectors the bucket join replaces the broadcast-scan's full scoring
+- ``lsh_topk``: scale path 1 — multi-table random-hyperplane (sign) LSH;
+  only pairs sharing a bucket in some table are scored. At 10^12 vectors
+  the per-table bucket join replaces the broadcast-scan's full scoring
   pass; planes are tiny driver-computed constants (deterministic seed).
+- ``ivf_topk``: scale path 2 — IVF: deterministic spherical-k-means
+  centroids (driver-trained on a bounded hash-ordered sample), corpus
+  tagged with its inverted-list id, queries probe their n_probe nearest
+  lists. Exact cosine on candidates => exact precision, recall ~ probe
+  coverage.
 - ``cosine_near_dup_pairs``: embedding near-duplicate detection for the
   dedup pipeline (pairs above a cosine threshold, banded by LSH bucket).
 """
@@ -16,6 +21,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,48 +98,184 @@ def lsh_topk(
     df: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    n_planes: int = 8,
+    n_tables: int = 12,
+    bits_per_table: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
-    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH bucket
-    (plus Hamming-1 probes). Recall measured against brute force in tests;
-    at scale the bucket equi-join is the only shuffle."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Approximate top-k via multi-table sign-LSH: ``n_tables`` independent
+    ``bits_per_table``-bit hash tables; a vector is a candidate if it shares
+    the query's bucket in ANY table (the classic L-tables construction — a
+    true near neighbor only has to collide once, so recall compounds as
+    1-(1-p^b)^L instead of the single-table p^b).
+
+    Scale shape: each table's membership is an equi-join on
+    (table, bucket) — with n_tables=12 over 6-bit buckets a query touches
+    ~L/2^b = 18.75% of the corpus, and the per-table keys are 16 bytes.
+    Recall vs brute force asserted in tests.
+    """
+    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    tables = [
+        planes[t * bits_per_table : (t + 1) * bits_per_table]
+        for t in range(n_tables)
+    ]
     base = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+    ).withColumn(
+        "tb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col("vec"), tbl).alias("b"),
+                    )
+                    for t, tbl in enumerate(tables)
+                ]
+            )
+        ),
+    ).select("vec_id", "vec", "tb.t", "tb.b")
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        F.col("bucket").alias("qbucket"),
+        F.col("t").alias("qt"),
+        F.col("b").alias("qb"),
     )
-    if multiprobe:
-        probes = F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << j).cast("long"))
-                    for j in range(n_planes)
-                ],
-            )
-        ).alias("probe")
-        queries = queries.select("query_id", "qvec", probes)
-    else:
-        queries = queries.select("query_id", "qvec", F.col("qbucket").alias("probe"))
-    cand = _spread(base).join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    cand = (
+        _spread(base)
+        .join(
+            F.broadcast(queries),
+            (F.col("t") == F.col("qt"))
+            & (F.col("b") == F.col("qb"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qvec", "vec_id", "vec")
+        .dropDuplicates(["query_id", "vec_id"])
     )
     sim = F.round(cosine(F.col("vec"), F.col("qvec")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (
         cand.select("query_id", "vec_id", sim.alias("cosine_sim"))
-        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids from a hash-ordered sample.
+
+    The centroid model is tiny (n_lists x dim floats) and is computed on the
+    driver from a bounded sample — the same driver-side-stats pattern the
+    reference uses for normalization (normalization_zscore.py:49-50). The
+    sample is the ``sample_n`` rows with smallest xxhash64(id): deterministic,
+    engine-independent, and a distributed top-k (no full sort) in Spark.
+    """
+    rows = (
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:n_lists].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(n_lists):
+            members = Xn[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def make_ivf_udfs(centroids: np.ndarray):
+    """(assign_udf, probes_udf(n_probe)) over the broadcast centroid matrix.
+
+    Vectorized: each Arrow batch of embeddings becomes one (batch, dim)
+    matmul against centroids^T — no per-row Python beyond the vstack.
+    """
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def _scores(vs: pd.Series) -> np.ndarray:
+        X = np.vstack(vs.to_numpy())
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return Xn @ C.T
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_list(vs: pd.Series) -> pd.Series:
+        return pd.Series(np.argmax(_scores(vs), axis=1).astype(np.int32))
+
+    def probes_udf(n_probe: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def probe_lists(vs: pd.Series) -> pd.Series:
+            s = _scores(vs)
+            top = np.argsort(-s, axis=1)[:, :n_probe].astype(np.int32)
+            return pd.Series(list(top))
+
+        return probe_lists
+
+    return assign_list, probes_udf
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine, scored only inside the query's
+    ``n_probe`` nearest inverted lists.
+
+    Scale shape (the 100 TB path): the corpus is scanned once to tag each
+    vector with its list id; candidate generation is a broadcast equi-join
+    on ``list_id`` (queries x n_probe rows, KBs), so the only wide shuffle
+    is the final per-query top-k — candidates are ~n_probe/n_lists of the
+    corpus instead of all of it. Recall vs brute force is asserted in tests
+    (test_similarity_ivf).
+    """
+    C = train_ivf_centroids(
+        df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_n=sample_n
+    )
+    assign_list, probes_udf = make_ivf_udfs(C)
+    base = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("list_id", assign_list(F.col("vec")))
+    queries = (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.explode(probes_udf(n_probe)(F.col("vec"))).alias("probe"),
+        )
+    )
+    cand = _spread(base).join(
+        F.broadcast(queries),
+        (F.col("list_id") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = F.round(cosine(F.col("vec"), F.col("qvec")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

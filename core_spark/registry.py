@@ -816,6 +816,21 @@ def q_sim_lsh_topk(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    # IVF ANN (driver-trained deterministic centroids): approximate =>
+    # rows-only check; recall vs brute force asserted in tests.
+    return sim.ivf_topk(
+        _emb_double(spark, sf_dir), query_ids=list(range(10)), k=10
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_dedup_winnow(spark, sf_dir):
+    # winnowing rolling-hash fingerprints: splitmix64 has no DuckDB
+    # equivalent => rows-only; fingerprint selection is asserted against a
+    # pure-python reference in tests/test_dedup.py.
+    return dd.winnow_pairs(_load(spark, sf_dir, "documents"), threshold=0.5)
+
+
 # ---------------------------------------------------------------- audio (synthetic)
 
 def q_audio_clip_energy(spark, sf_dir):
@@ -924,6 +939,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_near_dup": q_sim_near_dup,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "dedup_winnow": q_dedup_winnow,
     "ts_interpolate_at_time": q_ts_interpolate_at_time,
     "ts_uom_join": q_ts_uom_join,
     "dq_binning": q_dq_binning,

@@ -39,6 +39,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cores
 
+    # glibc malloc tuning for the Python workers (they inherit the JVM's env,
+    # which inherits ours — must be set BEFORE the JVM starts). The audio DSP
+    # kernels churn 100s-of-KB numpy temporaries per clip; above glibc's
+    # default 128 KB threshold each one is an mmap/munmap syscall pair, and
+    # this host's kernel serializes concurrent mmap — measured 2.4x throughput
+    # collapse at 28 workers. Raising the thresholds keeps big chunks in the
+    # heap arena (steady-state reuse, no syscalls).
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, "1073741824")
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -1,0 +1,136 @@
+"""Dedup + similarity operator tests: recall of the approximate scale paths
+against their exact baselines, and kernel parity against pure-python
+references (SURVEY §5 tier-2 style: explicit inputs, expected outputs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from core_spark.operators import dedup as dd
+from core_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def _winnow_ref(s: str, k: int, w: int):
+    """Pure-python MOSS winnowing (rightmost window minimum)."""
+    b = s.encode()
+    if len(b) >= k:
+        vs = [int.from_bytes(b[i : i + k], "big") for i in range(len(b) - k + 1)]
+    else:
+        vs = [int.from_bytes(b.ljust(k, b"\x00"), "big")]
+    hs = [int(dd._splitmix64(np.uint64(v))) for v in vs]
+    sel = set()
+    if len(hs) <= w:
+        sel.add(min(hs))
+    else:
+        for i in range(len(hs) - w + 1):
+            win = hs[i : i + w]
+            m = min(win)
+            j = max(jj for jj in range(w) if win[jj] == m)
+            sel.add(hs[i + j])
+    return sorted(int(np.int64(np.uint64(x))) for x in sel)
+
+
+def test_winnow_kernel_matches_reference():
+    for s in [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaa",
+        "ab",
+        "",
+        "hello world hello world hello world",
+    ]:
+        got = sorted(dd._winnow_one(s, 5, 4).tolist())
+        assert got == _winnow_ref(s, 5, 4), s
+
+
+def test_winnow_guarantee_shared_substring():
+    # winnowing guarantees: a shared substring of length >= k+w-1 (here 8)
+    # yields at least one shared fingerprint
+    k, w = 5, 4
+    core = "zqxjvkwpbyfgmdh"  # 15 chars >> k+w-1
+    a = dd._winnow_one("left padding " + core + " tail a", k, w)
+    b = dd._winnow_one("other prefix " + core + " endings", k, w)
+    assert len(np.intersect1d(a, b)) >= 1
+
+
+def test_winnow_pairs_finds_near_dups(spark, docs):
+    pairs = dd.winnow_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) > 0
+    assert all(r["containment"] >= 0.5 for r in pairs)
+    # winnow pairs should contain the exact duplicates (identical text)
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.exact_duplicates(docs).collect()
+    }
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs}
+    assert exact <= got, f"missing exact dups: {exact - got}"
+
+
+# ---------------------------------------------------------------- minhash/lsh
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    # precision is exact by construction (candidates re-verified)
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.9
+
+
+# ---------------------------------------------------------------- ANN
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    qids = list(range(10))
+    brute = _topk_sets(sim.brute_force_topk(embeddings, qids, k=10).collect())
+    ivf = _topk_sets(sim.ivf_topk(embeddings, qids, k=10, n_probe=4).collect())
+    recalls = [
+        len(brute[q] & ivf.get(q, set())) / len(brute[q]) for q in brute
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_deterministic(spark, embeddings):
+    a = sorted(map(tuple, sim.ivf_topk(embeddings, [0, 1], k=5).collect()))
+    b = sorted(map(tuple, sim.ivf_topk(embeddings, [0, 1], k=5).collect()))
+    assert a == b
+
+
+def test_lsh_recall_vs_brute_force(spark, embeddings):
+    qids = list(range(10))
+    brute = _topk_sets(sim.brute_force_topk(embeddings, qids, k=10).collect())
+    lsh = _topk_sets(sim.lsh_topk(embeddings, qids, k=10).collect())
+    recalls = [len(brute[q] & lsh.get(q, set())) / len(brute[q]) for q in brute]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls  # sign-LSH theory for near-random 64-d: 1-(1-p^6)^12 ~ 0.44
