@@ -392,3 +392,148 @@ def tag_correlation(
         F.count(F.lit(1)).alias("n_buckets"),
         F.round(F.corr("va", "vb"), round_digits).alias("corr"),
     )
+
+
+def normalize_mean(df: DataFrame, spec: TSSpec, round_digits: int = 6) -> DataFrame:
+    """Per-tag mean normalization: (v - mean) / (max - min)
+    (reference normalization_mean.py:49-80). Stats stay distributed via a
+    broadcast join like the other normalizers."""
+    base = scan(df, spec)
+    stats = base.groupBy(TAG).agg(
+        F.avg(VAL).alias("__mu"),
+        F.min(VAL).alias("__lo"),
+        F.max(VAL).alias("__hi"),
+    )
+    return (
+        base.join(F.broadcast(stats), TAG)
+        .withColumn(
+            "value_norm",
+            F.round(
+                (F.col(VAL) - F.col("__mu")) / (F.col("__hi") - F.col("__lo")),
+                round_digits,
+            ),
+        )
+        .select(TAG, TS, VAL, "value_norm")
+    )
+
+
+def denormalize(
+    df: DataFrame,
+    spec: TSSpec,
+    method: str = "zscore",
+    norm_col: str = "value_norm",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Invert a per-tag normalization (reference denormalization.py:74):
+    given rows carrying the normalized column plus the ORIGINAL value column
+    (from which the per-tag stats are recomputed, exactly as the reference
+    re-derives them from the kept raw frame), reconstruct the raw value.
+
+    method in {"zscore", "minmax", "mean"} matching the three normalizers.
+    """
+    grp = df.groupBy(F.col(spec.tag_col).alias(TAG))
+    if method == "zscore":
+        stats = grp.agg(
+            F.avg(spec.value_col).alias("__mu"), F.stddev(spec.value_col).alias("__sd")
+        )
+        inv = F.col(norm_col) * F.col("__sd") + F.col("__mu")
+    elif method == "minmax":
+        stats = grp.agg(
+            F.min(spec.value_col).alias("__lo"), F.max(spec.value_col).alias("__hi")
+        )
+        inv = F.col(norm_col) * (F.col("__hi") - F.col("__lo")) + F.col("__lo")
+    elif method == "mean":
+        stats = grp.agg(
+            F.avg(spec.value_col).alias("__mu"),
+            F.min(spec.value_col).alias("__lo"),
+            F.max(spec.value_col).alias("__hi"),
+        )
+        inv = F.col(norm_col) * (F.col("__hi") - F.col("__lo")) + F.col("__mu")
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    base = scan(df.drop(norm_col), spec).join(
+        df.select(
+            F.col(spec.tag_col).alias(TAG),
+            F.date_trunc("millisecond", F.col(spec.ts_col)).alias(TS),
+            norm_col,
+        ),
+        [TAG, TS],
+    )
+    return (
+        base.join(F.broadcast(stats), TAG)
+        .withColumn("value_denorm", F.round(inv, round_digits))
+        .select(TAG, TS, norm_col, "value_denorm")
+    )
+
+
+def missing_data_pattern(
+    df: DataFrame,
+    spec: TSSpec,
+    minutes: Sequence[int] = (0, 30),
+    seconds: Sequence[int] = (0,),
+    tolerance_seconds: float = 60.0,
+) -> DataFrame:
+    """Expected-tick pattern check (reference
+    identify_missing_data_pattern.py:127): each hour of a tag's observed
+    span should contain an event within ``tolerance_seconds`` of every
+    (minute, second) pattern offset; report the expected ticks with no
+    matching event.
+
+    Scale shape: the expected grid is sequence()+explode per tag (rows =
+    tags x hours x offsets, tiny next to the event table); event->tick
+    matching is a map-side explode over the <=3*len(offsets) candidate
+    ticks an event could satisfy, then one left_anti equi-join on
+    (tagname, tick) — no range join, no driver loop.
+    """
+    offsets = sorted({m * 60 + s for m in minutes for s in seconds})
+    base = scan(df, spec)
+    rng = base.groupBy(TAG).agg(
+        F.date_trunc("hour", F.min(TS)).alias("__h0"),
+        F.date_trunc("hour", F.max(TS)).alias("__h1"),
+    )
+    off_arr = F.array(*[F.lit(o) for o in offsets])
+    expected = (
+        rng.select(
+            TAG,
+            F.explode(
+                F.sequence("__h0", "__h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("__h"),
+        )
+        .select(
+            TAG,
+            F.explode(off_arr).alias("__off"),
+            F.col("__h"),
+        )
+        .select(
+            TAG,
+            (F.col("__h") + F.make_interval(secs=F.col("__off"))).alias("expected_time"),
+        )
+    )
+    # candidate ticks an event can satisfy: same/prev/next hour x offsets
+    hour_deltas = F.array(F.lit(-3600), F.lit(0), F.lit(3600))
+    matched = (
+        base.select(
+            TAG,
+            F.col(TS).alias("__ts"),
+            F.date_trunc("hour", TS).alias("__h"),
+        )
+        .select(TAG, "__ts", "__h", F.explode(hour_deltas).alias("__hd"))
+        .select(TAG, "__ts", "__h", "__hd", F.explode(off_arr).alias("__off"))
+        .select(
+            TAG,
+            "__ts",
+            (
+                F.col("__h")
+                + F.make_interval(secs=F.col("__hd") + F.col("__off"))
+            ).alias("__tick"),
+        )
+        .filter(
+            F.abs(
+                F.unix_micros("__ts") - F.unix_micros("__tick")
+            )
+            <= F.lit(int(tolerance_seconds * 1_000_000))
+        )
+        .select(TAG, F.col("__tick").alias("expected_time"))
+        .distinct()
+    )
+    return expected.join(matched, [TAG, "expected_time"], "left_anti")

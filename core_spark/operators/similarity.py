@@ -94,6 +94,31 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def make_lsh_buckets_udf(planes: list[list[float]], bits_per_table: int):
+    """All per-table sign-LSH buckets of a vector in ONE Arrow matmul.
+
+    The Column-expression form above costs O(n_planes * dim) Catalyst nodes
+    (72 planes x 64 dims ~ a 4.6k-node interpreted expression tree — measured
+    ~5x slower end-to-end); here each Arrow batch is a single (n, dim) x
+    (dim, n_planes) matmul, sign-thresholded and bit-packed per table.
+    Bit order matches lsh_bucket exactly (bit j = plane j within the table).
+    """
+    from pyspark.sql import types as T
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_tables * bits, dim)
+    n_tables = P.shape[0] // bits_per_table
+    weights = (1 << np.arange(bits_per_table)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vs: pd.Series) -> pd.Series:
+        X = np.vstack(vs.to_numpy())
+        S = (X @ P.T) > 0
+        B = (S.reshape(len(X), n_tables, bits_per_table) * weights).sum(axis=2)
+        return pd.Series(list(B))
+
+    return buckets
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -117,27 +142,15 @@ def lsh_topk(
     Recall vs brute force asserted in tests.
     """
     planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
-    tables = [
-        planes[t * bits_per_table : (t + 1) * bits_per_table]
-        for t in range(n_tables)
-    ]
-    base = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-    ).withColumn(
-        "tb",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_bucket(F.col("vec"), tbl).alias("b"),
-                    )
-                    for t, tbl in enumerate(tables)
-                ]
-            )
-        ),
-    ).select("vec_id", "vec", "tb.t", "tb.b")
+    buckets_udf = make_lsh_buckets_udf(planes, bits_per_table)
+    base = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+        )
+        .withColumn("bkts", buckets_udf(F.col("vec")))
+        .select("vec_id", "vec", F.posexplode("bkts").alias("t", "b"))
+    )
     queries = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -302,7 +315,10 @@ def cosine_near_dup_pairs(
     ).withColumn("nrm", norm(F.col("vec")))
     if not exact:
         planes = _hyperplanes(dim, n_planes, seed)
-        base = base.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+        buckets_udf = make_lsh_buckets_udf(planes, n_planes)  # one table
+        base = base.withColumn(
+            "bucket", F.element_at(buckets_udf(F.col("vec")), 1)
+        )
     a = _spread(base).alias("a")
     b = base.alias("b")
     cond = F.col("a.vec_id") < F.col("b.vec_id")

@@ -719,3 +719,41 @@ def linreg_trend(
             F.round(F.col("intercept") + F.col("slope_per_day") * xh, round_digits),
         )
     return agg
+
+
+def exp_smooth(
+    df: DataFrame,
+    spec: TSSpec,
+    alpha: float = 0.3,
+    horizon_steps: int = 1,
+    start: str | None = None,
+    end: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-tag simple exponential smoothing + flat h-step forecast — the
+    engine's distributed stand-in for the reference's per-tag driver-side
+    ARIMA loop (forecasting/spark/arima.py:42, auto_arima.py:23; SURVEY
+    §2.11). One vectorized pass per tag inside applyInPandas (the recurrence
+    s_i = a*v_i + (1-a)*s_{i-1} is inherently sequential per series, so
+    per-tag grouped-map is the correct parallel shape: tags fan out across
+    executors, each series smooths in C via pandas ewm).
+
+    Output: one row per input row with the smoothed level, plus the per-tag
+    one-step-ahead forecast repeated on every row of that tag (flat
+    multi-step forecast = last level, the standard SES predictor).
+    """
+    import pandas as _pd
+
+    base = scan(df, spec, start, end)
+
+    def smooth(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(TS).reset_index(drop=True)
+        lvl = pdf[VAL].ewm(alpha=alpha, adjust=False).mean()
+        pdf["level"] = lvl.round(round_digits)
+        pdf["forecast"] = round(float(lvl.iloc[-1]), round_digits)
+        return pdf[[TAG, TS, VAL, "level", "forecast"]]
+
+    return base.groupBy(TAG).applyInPandas(
+        smooth,
+        schema=f"{TAG} string, {TS} timestamp, {VAL} double, level double, forecast double",
+    )

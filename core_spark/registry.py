@@ -615,6 +615,15 @@ FROM a
 """
 
 
+def q_ts_exp_smooth(spark, sf_dir):
+    # sequential per-tag recurrence (pandas ewm inside applyInPandas):
+    # no stable SQL closed form => rows-only; recurrence exactness asserted
+    # in tests/test_dq_extra.py
+    return ts.exp_smooth(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, alpha=0.3, start=START, end=END
+    )
+
+
 def q_dq_tag_correlation(spark, sf_dir):
     return dq.tag_correlation(
         _load(spark, sf_dir, "events"), EVENTS_SPEC, "click", "view", 3600, START, END
@@ -631,6 +640,88 @@ cb AS (SELECT event_time, value AS vb FROM a WHERE tagname = 'view')
 SELECT 'click' AS tag_a, 'view' AS tag_b, COUNT(*) AS n_buckets,
        ROUND(corr(va, vb), 6) AS corr
 FROM ca JOIN cb USING (event_time)
+"""
+
+
+def q_dq_normalize_minmax(spark, sf_dir):
+    return dq.normalize_minmax(_load(spark, sf_dir, "events"), EVENTS_SPEC, round_digits=6)
+
+
+SQL_DQ_NORMALIZE_MINMAX = f"""
+WITH s AS ({_SCAN}),
+st AS (SELECT tagname, MIN(value) AS lo, MAX(value) AS hi FROM s GROUP BY 1)
+SELECT s.tagname, s.event_time, s.value,
+       ROUND((s.value - lo) / (hi - lo), 6) + 0.0 AS value_norm
+FROM s JOIN st USING (tagname)
+"""
+
+
+def q_dq_normalize_mean(spark, sf_dir):
+    # round 3: AVG is summation-order-dependent at ~1e-12 relative, same
+    # determinism posture as dq_normalize_zscore
+    return dq.normalize_mean(_load(spark, sf_dir, "events"), EVENTS_SPEC, round_digits=3)
+
+
+SQL_DQ_NORMALIZE_MEAN = f"""
+WITH s AS ({_SCAN}),
+st AS (SELECT tagname, AVG(value) AS mu, MIN(value) AS lo, MAX(value) AS hi FROM s GROUP BY 1)
+SELECT s.tagname, s.event_time, s.value,
+       ROUND((s.value - mu) / (hi - lo), 3) + 0.0 AS value_norm
+FROM s JOIN st USING (tagname)
+"""
+
+
+def q_dq_denormalize(spark, sf_dir):
+    """normalize_minmax |> denormalize round-trip over the hourly resample
+    (unique (tag, bucket) keys so the re-join is 1:1). min/max stats are
+    exact doubles, so the whole chain is IEEE-deterministic cross-engine."""
+    from .operators.timeseries import TSSpec as _Spec
+
+    r = ts.resample(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 3600, "avg", START, END,
+        round_digits=None, exact_decimals=2,
+    )
+    spec2 = _Spec(tag_col="tagname", ts_col="event_time", value_col="value", status_col=None)
+    n = dq.normalize_minmax(r, spec2, round_digits=6)
+    return dq.denormalize(n, spec2, method="minmax", round_digits=6)
+
+
+SQL_DQ_DENORMALIZE = f"""
+WITH s0 AS (SELECT DISTINCT * FROM ({_scan_sql(START, END)})),
+s AS (SELECT tagname, {_bucket_sql('event_time', 3600)} AS event_time,
+             {_AVG_EXACT} AS value
+      FROM s0 GROUP BY 1, 2),
+st AS (SELECT tagname, MIN(value) AS lo, MAX(value) AS hi FROM s GROUP BY 1),
+n AS (SELECT s.tagname, s.event_time,
+             ROUND((s.value - lo) / (hi - lo), 6) + 0.0 AS value_norm
+      FROM s JOIN st USING (tagname))
+SELECT n.tagname, n.event_time, n.value_norm,
+       ROUND(n.value_norm * (hi - lo) + lo, 6) AS value_denorm
+FROM n JOIN st USING (tagname)
+"""
+
+
+def q_dq_missing_pattern(spark, sf_dir):
+    return dq.missing_data_pattern(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC,
+        minutes=(0, 30), seconds=(0,), tolerance_seconds=120.0,
+    )
+
+
+SQL_DQ_MISSING_PATTERN = f"""
+WITH s AS ({_SCAN}),
+rng AS (SELECT tagname, date_trunc('hour', MIN(event_time)) AS h0,
+               date_trunc('hour', MAX(event_time)) AS h1
+        FROM s GROUP BY 1),
+hours AS (SELECT tagname, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM rng),
+expected AS (SELECT tagname, h + to_seconds(o.off) AS expected_time
+             FROM hours, (SELECT unnest([0, 1800]) AS off) o)
+SELECT e.tagname, e.expected_time
+FROM expected e
+WHERE NOT EXISTS (
+  SELECT 1 FROM s
+  WHERE s.tagname = e.tagname
+    AND ABS(epoch_us(s.event_time) - epoch_us(e.expected_time)) <= 120000000)
 """
 
 
@@ -711,6 +802,42 @@ SELECT doc_id, n AS len_chars, words AS n_tokens,
   {ladder} AS lang_pred,
   md5({_NORM}) AS fp
 FROM m
+"""
+
+
+def q_text_token_stats(spark, sf_dir):
+    """BPE-ish pretokenizer counts per doc (word pieces / number runs /
+    single punct), the token-counting path of the training-data pipeline."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = tx.word_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_tokens
+FROM documents
+"""
+
+
+def q_ts_raw_limit(spark, sf_dir):
+    """Output-stage pagination (reference LIMIT n OFFSET m,
+    _time_series_query_builder.py:484-488) over a total order so the page
+    is deterministic cross-engine."""
+    out = ts.raw(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, START, END, distinct=True
+    )
+    return out.orderBy("tagname", "event_time", "value").offset(100).limit(50)
+
+
+SQL_TS_RAW_LIMIT = f"""
+SELECT DISTINCT * FROM ({_scan_sql(START, END)})
+ORDER BY tagname, event_time, value LIMIT 50 OFFSET 100
 """
 
 
@@ -902,6 +1029,148 @@ def q_audio_window_energy(spark, sf_dir):
     )
 
 
+def q_transform_pcdm_split(spark, sf_dir):
+    """PCDM CDC pipeline end-to-end (pcdm_to_delta.py:276-309): build a PCDM
+    frame from events (unique keys by construction so normalization's dedup
+    is deterministic), normalize ChangeType, ValueType-routed typed fan-out,
+    recombined into one frame with per-type value columns for hashing."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    vt = (
+        F.when(F.col("event_id") % 3 == 0, "float")
+        .when(F.col("event_id") % 3 == 1, "integer")
+        .otherwise("string")
+    )
+    val = (
+        F.when(vt == "string", F.col("event_type"))
+        .when(vt == "integer", F.floor("value").cast("long").cast("string"))
+        .otherwise(F.col("value").cast("string"))
+    )
+    ct = (
+        F.when(F.col("event_id") % 4 == 0, "insert")
+        .when(F.col("event_id") % 4 == 1, "update")
+        .when(F.col("event_id") % 4 == 2, "upsert")
+        .otherwise("delete")
+    )
+    pcdm = ev.select(
+        F.col("event_type").alias("TagName"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("event_id"))
+        ).alias("EventTime"),
+        F.lit("Good").alias("Status"),
+        val.alias("Value"),
+        vt.alias("ValueType"),
+        ct.alias("ChangeType"),
+    )
+    split = tr.pcdm_split_by_type(tr.pcdm_normalize(pcdm))
+    frames = []
+    for vtype, fr in split.items():
+        frames.append(
+            fr.select(
+                F.lit(vtype).alias("valuetype"),
+                F.col("TagName").alias("tagname"),
+                F.col("EventTime").alias("event_time"),
+                F.col("Status").alias("status"),
+                F.col("ChangeType").alias("change_type"),
+                (F.col("Value").cast("double") if vtype == "float" else F.lit(None).cast("double")).alias("value_float"),
+                (F.col("Value").cast("long") if vtype == "integer" else F.lit(None).cast("long")).alias("value_int"),
+                (F.col("Value") if vtype == "string" else F.lit(None).cast("string")).alias("value_str"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+SQL_TRANSFORM_PCDM_SPLIT = """
+WITH pcdm AS (
+  SELECT event_type AS tagname,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(event_id) AS event_time,
+         'Good' AS status,
+         CASE event_id % 3 WHEN 2 THEN event_type
+              WHEN 1 THEN CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+              ELSE CAST(value AS VARCHAR) END AS val,
+         CASE event_id % 3 WHEN 0 THEN 'float' WHEN 1 THEN 'integer' ELSE 'string' END AS valuetype,
+         CASE event_id % 4 WHEN 0 THEN 'insert' WHEN 1 THEN 'update' WHEN 2 THEN 'upsert' ELSE 'delete' END AS changetype
+  FROM events),
+n AS (SELECT tagname, event_time, status, val, valuetype,
+             CASE WHEN changetype IN ('insert', 'update') THEN 'upsert' ELSE changetype END AS change_type
+      FROM pcdm)
+SELECT valuetype, tagname, event_time, status, change_type,
+       CASE WHEN valuetype = 'float' THEN CAST(val AS DOUBLE) END AS value_float,
+       CASE WHEN valuetype = 'integer' THEN CAST(val AS BIGINT) END AS value_int,
+       CASE WHEN valuetype = 'string' THEN val END AS value_str
+FROM n
+"""
+
+
+def q_media_image_stats(spark, sf_dir):
+    """Multimodal image path: opaque binary column + typed metadata,
+    Arrow-batched mapInPandas decode (rawrgb8 built-in; real codecs are a
+    single swap point). Deterministic synth input => rows-only check;
+    per-pixel math asserted against numpy in tests/test_media.py."""
+    from .functions import media as md
+
+    return md.image_stats(md.images_df(spark, 300))
+
+
+def q_media_frame_stats(spark, sf_dir):
+    """Video frame-sampling fan-out |> per-frame stats |> per-video agg."""
+    from .functions import media as md
+
+    return md.frame_stats(md.videos_df(spark, 120), every_n=4)
+
+
+def q_stream_sliding_energy(spark, sf_dir):
+    """Sliding-window variant of the tumbling CEP aggregate (batch-mode
+    parity path: window(slide) semantics identical batch/stream)."""
+    from . import synth
+    from .streaming import windows as _sw
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clips = synth.clips_df(spark, 2000)
+    out = _sw.tumbling_energy(clips, window_sec=120, slide_sec=60)
+    return out.withColumn("avg_energy", F.round("avg_energy", 6))
+
+
+def q_stream_session_native(spark, sf_dir):
+    """Native session_window() per-prefix sessions (batch-mode parity)."""
+    from . import synth
+    from .streaming import windows as _sw
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clips = synth.clips_df(spark, 2000)
+    out = _sw.session_windows_native(clips, gap_sec=300)
+    return out.withColumn("avg_energy", F.round("avg_energy", 6))
+
+
+def q_stream_join_corrections(spark, sf_dir):
+    """Watermarked interval stream-stream join, batch-mode parity run:
+    clips left-join late transcript corrections within tolerance."""
+    from . import synth
+    from .streaming import join as _sj
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clips_pdf = synth.make_clips_pdf(2000)
+    clips = spark.createDataFrame(clips_pdf)
+    corr = synth.corrections_df(spark, clips_pdf)
+    return _sj.corrected_transcripts(clips, corr, tolerance_sec=60)
+
+
+def q_stream_transcript_tokens(spark, sf_dir):
+    """Windowed transcript token counts — the text-feature path of the
+    same streaming windowing (batch-mode parity)."""
+    from . import synth
+    from .streaming import windows as _sw
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    clips = synth.clips_df(spark, 2000)
+    return _sw.windowed_transcript_tokens(clips, window_sec=60)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -922,6 +1191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_circular_sd": q_ts_circular_sd,
     "ts_pivot": q_ts_pivot,
     "ts_linreg_trend": q_ts_linreg_trend,
+    "ts_exp_smooth": q_ts_exp_smooth,
     "dq_tag_correlation": q_dq_tag_correlation,
     "dq_ksigma": q_dq_ksigma,
     "dq_missing_intervals": q_dq_missing_intervals,
@@ -951,6 +1221,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_window_energy": q_audio_window_energy,
     "stream_tumbling_energy": q_stream_tumbling_energy,
     "stream_sessionize": q_stream_sessionize,
+    "dq_normalize_minmax": q_dq_normalize_minmax,
+    "dq_normalize_mean": q_dq_normalize_mean,
+    "dq_denormalize": q_dq_denormalize,
+    "dq_missing_pattern": q_dq_missing_pattern,
+    "media_image_stats": q_media_image_stats,
+    "media_frame_stats": q_media_frame_stats,
+    "stream_sliding_energy": q_stream_sliding_energy,
+    "stream_session_native": q_stream_session_native,
+    "stream_join_corrections": q_stream_join_corrections,
+    "stream_transcript_tokens": q_stream_transcript_tokens,
+    "text_token_stats": q_text_token_stats,
+    "ts_raw_limit": q_ts_raw_limit,
+    "transform_pcdm_split": q_transform_pcdm_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -988,4 +1271,11 @@ ORACLES: dict[str, str] = {
     "ts_uom_join": SQL_TS_UOM_JOIN,
     "dq_binning": SQL_DQ_BINNING,
     "transform_json_props": SQL_TRANSFORM_JSON_PROPS,
+    "dq_normalize_minmax": SQL_DQ_NORMALIZE_MINMAX,
+    "dq_normalize_mean": SQL_DQ_NORMALIZE_MEAN,
+    "dq_denormalize": SQL_DQ_DENORMALIZE,
+    "dq_missing_pattern": SQL_DQ_MISSING_PATTERN,
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "ts_raw_limit": SQL_TS_RAW_LIMIT,
+    "transform_pcdm_split": SQL_TRANSFORM_PCDM_SPLIT,
 }

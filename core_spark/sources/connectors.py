@@ -160,3 +160,40 @@ class KafkaSink:
         for k, v in self.options().items():
             w = w.option(k, v)
         return w.start()
+
+
+@dataclass
+class KinesisSource:
+    """reference pipelines/sources/spark/kinesis.py:23 — format('kinesis')
+    with the standard stream/region/position options; payload arrives as
+    ``data:binary + approximateArrivalTimestamp`` (KINESIS_SCHEMA,
+    _pipeline_utils/spark.py:600-608)."""
+
+    stream_name: str
+    region: str
+    initial_position: str = "earliest"
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        return {
+            "streamName": self.stream_name,
+            "region": self.region,
+            "initialPosition": self.initial_position,
+            **self.extra_options,
+        }
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        r = spark.readStream.format("kinesis")
+        for k, v in self.options().items():
+            r = r.option(k, v)
+        return r.load()
+
+    @staticmethod
+    def project_body(df: DataFrame) -> DataFrame:
+        """kinesis envelope -> engine shape: data->body, arrival ts."""
+        return df.select(
+            F.col("data").alias("body"),
+            F.col("approximateArrivalTimestamp").alias("enqueuedTime"),
+            F.col("partitionKey").alias("partitionId"),
+            F.col("sequenceNumber").cast("string").alias("sequenceNumber"),
+        )

@@ -1,0 +1,72 @@
+"""Physical-plan audit for the headline queries.
+
+For each audited query: print the formatted plan and assert the properties
+that matter at 100 TB —
+
+- time-range + tag filters reach the parquet scan (PushedFilters);
+- the scan reads only needed columns (ReadSchema pruning);
+- small dimension joins broadcast (BroadcastHashJoin, no SortMergeJoin for
+  the UoM-style decoration);
+- no CartesianProduct / BroadcastNestedLoopJoin anywhere.
+
+Run: PYTHONPATH=. python tools/explain_audit.py [sf_dir]
+Exit code 1 if any assertion fails (usable as a CI gate).
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, REPO)
+
+from core_spark.session import get_spark  # noqa: E402
+from core_spark import registry  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    # query -> (must_contain, must_not_contain)
+    "ts_raw": (["GreaterThanOrEqual(ts", "ReadSchema"], ["CartesianProduct"]),
+    "ts_resample_avg": (["GreaterThanOrEqual(ts", "HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "ts_summary": (["HashAggregate"], ["SortMergeJoin"]),
+    "ts_uom_join": (["BroadcastHashJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    "dq_ksigma": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    "sim_topk_cosine": ([], ["CartesianProduct"]),
+    "text_doc_stats": (["ReadSchema"], ["Exchange"]),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("explain-audit", cores=4, shuffle_partitions=8)
+    failures = []
+    for name, (need, forbid) in CHECKS.items():
+        df = registry.QUERIES[name](spark, sf_dir)
+        p = plan_of(df)
+        print(f"\n{'=' * 70}\n{name}\n{'=' * 70}\n{p}")
+        for s in need:
+            if s not in p:
+                failures.append(f"{name}: missing {s!r}")
+        for s in forbid:
+            if s in p:
+                failures.append(f"{name}: forbidden {s!r} present")
+    if failures:
+        print("\nFAILURES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print(f"\nall {len(CHECKS)} plan audits passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
