@@ -565,13 +565,24 @@ def time_weighted_average(
         # (segments before the first observation have no value to weight)
         .withColumn("__good", good & F.col("__tw").isNotNull())
     )
+    # Order-insensitive summation: per-segment __tw/__dt are identical
+    # doubles in any engine (identical expression trees over identical
+    # operands), but a float SUM's value depends on partial-sum order, which
+    # varies run to run with task scheduling — and TWA bucket means of
+    # 2-decimal inputs land EXACTLY on round-half boundaries of the output
+    # digits, where a 1-ulp jitter flips the rounded value. Summing each
+    # segment as a scaled integer (tw at 1e-6, dt at 1e-3 — error bounded by
+    # n*5e-7/sum_dt, far below round_digits) makes the aggregate exact and
+    # the final division chain a deterministic IEEE computation.
+    tw_i = F.when(F.col("__good"), F.round(F.col("__tw") * 1e6).cast("long"))
+    dt_i = F.when(F.col("__good"), F.round(F.col("__dt") * 1e3).cast("long"))
     return (
         segs.withColumn("__b", _bucket(every_seconds, 0))
         .groupBy(TAG, F.col("__b").alias(TS))
         .agg(
             F.round(
-                F.sum(F.when(F.col("__good"), F.col("__tw"))).cast("double")
-                / F.sum(F.when(F.col("__good"), F.col("__dt"))).cast("double"),
+                (F.sum(tw_i).cast("double") / 1e6)
+                / (F.sum(dt_i).cast("double") / 1e3),
                 round_digits,
             ).alias(VAL)
         )

@@ -349,8 +349,11 @@ segs3 AS (SELECT *, ((st IS NULL OR st <> 'Bad') AND tw IS NOT NULL) AS good
           FROM segs2
           WHERE dt > 0 AND event_time >= TIMESTAMP '{START}' AND event_time < TIMESTAMP '{END}')
 SELECT tagname, {_bucket_sql('event_time', every)} AS event_time,
-       ROUND(CAST(SUM(CASE WHEN good THEN tw END) AS DOUBLE)
-             / CAST(SUM(CASE WHEN good THEN dt END) AS DOUBLE), 4) AS value
+       -- exact scaled-integer sums (order-insensitive; see
+       -- timeseries.time_weighted_average) then one deterministic
+       -- division chain — identical expression in the Spark impl
+       ROUND((CAST(SUM(CASE WHEN good THEN CAST(ROUND(tw * 1000000.0) AS BIGINT) END) AS DOUBLE) / 1000000.0)
+             / (CAST(SUM(CASE WHEN good THEN CAST(ROUND(dt * 1000.0) AS BIGINT) END) AS DOUBLE) / 1000.0), 4) AS value
 FROM segs3 GROUP BY 1, 2
 """
 
@@ -471,6 +474,27 @@ c AS (SELECT *, CAST(CAST(flat AS INT) <> COALESCE(CAST(lag(flat) OVER (PARTITIO
 r AS (SELECT *, SUM(chg) OVER (PARTITION BY tagname ORDER BY event_time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM c)
 SELECT tagname, MIN(event_time) AS run_start, MAX(event_time) AS run_end, COUNT(*) AS run_length
 FROM r WHERE flat GROUP BY tagname, run HAVING COUNT(*) >= 2
+"""
+
+
+def q_dq_flatline_filter(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events").withColumn("value", F.floor("value"))
+    return dq.flatline_filter(ev, EVENTS_SPEC, min_run_length=2, flat_values=(0.0,))
+
+
+SQL_DQ_FLATLINE_FILTER = """
+WITH s AS (SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS event_time,
+                  CAST(FLOOR(value) AS DOUBLE) AS value, 'Good' AS status FROM events),
+m AS (SELECT *, (value IS NULL OR value IN (0.0)) AS flat FROM s),
+c AS (SELECT *, CAST(CAST(flat AS INT) <> COALESCE(CAST(lag(flat) OVER (PARTITION BY tagname ORDER BY event_time) AS INT), -1) AS INT) AS chg FROM m),
+r AS (SELECT *, SUM(chg) OVER (PARTITION BY tagname ORDER BY event_time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM c),
+runs AS (SELECT tagname, MIN(event_time) AS run_start, MAX(event_time) AS run_end
+         FROM r WHERE flat GROUP BY tagname, run HAVING COUNT(*) >= 2)
+SELECT s.tagname, s.event_time, s.value, s.status
+FROM s WHERE NOT EXISTS (
+  SELECT 1 FROM runs
+  WHERE runs.tagname = s.tagname
+    AND s.event_time BETWEEN runs.run_start AND runs.run_end)
 """
 
 
@@ -1196,6 +1220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_ksigma": q_dq_ksigma,
     "dq_missing_intervals": q_dq_missing_intervals,
     "dq_flatline_runs": q_dq_flatline_runs,
+    "dq_flatline_filter": q_dq_flatline_filter,
     "dq_moving_average": q_dq_moving_average,
     "dq_normalize_zscore": q_dq_normalize_zscore,
     "dq_out_of_range": q_dq_out_of_range,
@@ -1258,6 +1283,7 @@ ORACLES: dict[str, str] = {
     "dq_ksigma": SQL_DQ_KSIGMA,
     "dq_missing_intervals": SQL_DQ_MISSING_INTERVALS,
     "dq_flatline_runs": SQL_DQ_FLATLINE_RUNS,
+    "dq_flatline_filter": SQL_DQ_FLATLINE_FILTER,
     "dq_moving_average": SQL_DQ_MOVING_AVERAGE,
     "dq_normalize_zscore": SQL_DQ_NORMALIZE_ZSCORE,
     "dq_out_of_range": SQL_DQ_OUT_OF_RANGE,

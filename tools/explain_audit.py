@@ -42,6 +42,11 @@ CHECKS = {
     "dq_ksigma": (["BroadcastHashJoin"], ["CartesianProduct"]),
     "sim_topk_cosine": ([], ["CartesianProduct"]),
     "text_doc_stats": (["ReadSchema"], ["Exchange"]),
+    "ts_ohlc": (["HashAggregate"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "ts_interpolate_linear": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "dq_missing_pattern": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    "transform_pcdm_split": (["ReadSchema"], ["CartesianProduct"]),
+    "ts_raw_limit": (["GreaterThanOrEqual(ts"], ["CartesianProduct"]),
 }
 
 
