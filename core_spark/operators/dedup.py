@@ -3,13 +3,15 @@
 Four families, all shuffle-conscious:
 
 - exact: fingerprint hash-groupBy — one shuffle on a 32-byte key.
-- n-gram Jaccard: exact set similarity over character shingles with
-  blocking; the verify join carries only (id, shingle-array) for candidate
-  pairs.
-- MinHash + LSH: the 100 TB path — signatures are fixed-width arrays
-  computed in one projection (xxhash64, JVM-side), banded so candidate
-  generation is an equi-join on (band_idx, band_hash); only candidates get
-  the exact-Jaccard verify. No cross join anywhere.
+- n-gram Jaccard: exact set similarity over character shingles; candidate
+  generation is vocabulary-adaptive (bounded-vocab corpora verify via
+  48-byte bitmaps + vectorized popcount through a length-blocked
+  equi-join; large-vocab corpora use a rarity-ordered prefix filter with
+  ids-only joins — see ngram_jaccard_pairs).
+- MinHash + LSH: the 100 TB path — 5-gram signatures (tuned so background
+  similarity stays off the s-curve) banded so candidate generation is an
+  equi-join on (band_idx, band_hash); only candidates get the exact
+  3-gram-Jaccard verify. No cross join anywhere.
 - SimHash: 64-bit signature via bit-vote aggregate over token hashes;
   near-dup = Hamming<=k found by 4x16-bit band blocking (pigeonhole: any
   pair with Hamming<=3 shares at least one of 4 bands).
@@ -21,6 +23,7 @@ training-data-pipeline extension required by the brief.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -90,6 +93,52 @@ def _intersect_size(a, b):      # active session at import time
     for i, (x, y) in enumerate(zip(a, b)):
         out[i] = np.intersect1d(x, y, assume_unique=True).size
     return pd.Series(out)
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def make_bitmap_udf(vocab_sorted: "np.ndarray"):
+    """shingle-array -> fixed-width set bitmap over a (bounded, sorted)
+    vocabulary: bit i set iff vocab_sorted[i] in the set. ceil(V/64) uint64
+    words as bytes — 48 B at V=377 vs ~1.1 KB for the int64 array, shrinking
+    both the pair-join shuffle and the verify arithmetic."""
+    nwords = max(1, (len(vocab_sorted) + 63) // 64)
+
+    nbits = nwords * 64
+
+    @F.pandas_udf(T.BinaryType())
+    def _bm(sh: pd.Series) -> pd.Series:
+        import numpy as np
+
+        # one bool scatter + packbits per doc (np.bitwise_or.at is an
+        # unbuffered ufunc at ~1us/element — 100x slower)
+        mask = np.zeros((len(sh), nbits), dtype=bool)
+        for i, arr in enumerate(sh):
+            mask[i, np.searchsorted(vocab_sorted, np.asarray(arr, dtype=np.int64))] = True
+        packed = np.packbits(mask, axis=1, bitorder="little")
+        return pd.Series([row.tobytes() for row in packed])
+
+    return _bm
+
+
+def make_bitmap_intersect_udf(nwords: int):
+    """(bitmap_a, bitmap_b) -> |a AND b| via one vectorized AND + LUT
+    popcount over the WHOLE Arrow batch — no per-pair Python, ~40 ns/pair
+    vs ~15 us for np.intersect1d on the unpacked arrays."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _inter(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(a) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.frombuffer(b"".join(a.tolist()), dtype=np.uint64).reshape(-1, nwords)
+        Y = np.frombuffer(b"".join(b.tolist()), dtype=np.uint64).reshape(-1, nwords)
+        v = (X & Y).view(np.uint8)
+        return pd.Series(_POP8[v].sum(axis=1).astype(np.int32))
+
+    return _inter
 
 
 def _pack_shingles_np(s: str, k: int = 3):
@@ -207,6 +256,54 @@ def _jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, F.round(inter / union, 6)).otherwise(F.lit(0.0))
 
 
+def make_rarity_prefix_udf(threshold: float):
+    """Returns a pandas UDF: sorted-shingle array -> the doc's PREFIX under
+    a global rarity (ascending document-frequency) order, for prefix
+    filtering (Chaudhuri/Ganti/Kaushik SSJoin; Xiao et al. PPJoin).
+
+    Theorem: under ANY global total order, if |a .. b| >= alpha then the
+    prefixes of length |a|-alpha+1 and |b|-alpha+1 share an element. For
+    J >= t, qualifying pairs satisfy min >= t*max and overlap
+    alpha >= ceil(t*|x|) for either side x, so prefix length
+    p(x) = |x| - ceil(t*|x|) + 1 is sound. Rarity order is pure
+    performance: it puts the LONGEST postings (ubiquitous shingles — for
+    char-3-grams the background Jaccard of unrelated docs is ~0.45, so
+    value-ordered prefixes would collide corpus-wide) outside every prefix.
+
+    `rank_of` maps shingle -> rarity rank via two broadcast numpy arrays
+    (vocab keys sorted by value + their ranks); char k-gram vocabulary is
+    bounded (<= 37^k for the [a-z0-9 ] alphabet), so the dictionary
+    broadcast is a few hundred KB even at corpus scale, and the DF counts
+    it ranks by can come from a sample without affecting correctness.
+    """
+
+    def build(keys, ranks):
+        import numpy as np
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _prefix(sh: pd.Series) -> pd.Series:
+            out = []
+            for arr in sh:
+                h = np.asarray(arr, dtype=np.int64)
+                n = len(h)
+                # ceil with downward epsilon: a too-LARGE prefix is safe
+                p = n - int(np.ceil(threshold * n - 1e-9)) + 1
+                p = max(1, min(n, p))
+                idx = np.searchsorted(keys, h)
+                # unseen shingles (sample-based DF) rank as rarest (-1)
+                r = np.where(
+                    (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == h),
+                    ranks[np.minimum(idx, len(keys) - 1)],
+                    -1,
+                )
+                out.append(h[np.argsort(r, kind="stable")[:p]])
+            return pd.Series(out)
+
+        return _prefix
+
+    return build
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -215,13 +312,40 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: list[str] | None = None,
     length_block: int | None = 64,
+    prefix_filter: bool = False,
+    bitmap_max_vocab: int = 8192,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard >= threshold.
 
-    Candidate space is bounded by blocking (equi-join keys), never a cross
-    join: same block_cols (e.g. language) and same normalized-length bucket.
-    Length blocking is sound for high thresholds (J>=t implies length ratio
-    >= t, so true pairs land in equal-or-adjacent buckets; both are probed).
+    EXACT (oracle-checked): candidate generation only ever prunes pairs
+    that provably cannot reach the threshold, via two sound filters —
+    length-ratio (J >= t implies min(|a|,|b|) >= t*max(|a|,|b|); applied
+    exactly, plus equal-or-adjacent length-bucket blocking to keep the
+    join an equi-join) and optionally a rarity-ordered prefix filter.
+
+    The candidate strategy is vocabulary-adaptive, because char-k-gram
+    corpora split into two regimes:
+
+    - tiny vocabulary (synthetic/limited charset; the sf corpus has 377
+      distinct trigrams, median document frequency 1062/5000): posting
+      lists are corpus-length, so prefix filtering degenerates (measured
+      29M candidates vs blocking's 2.8M). Sets over a bounded vocabulary
+      are BITMAPS though: when the distinct-shingle probe comes back
+      <= bitmap_max_vocab, the verify ships ceil(V/64)-word bitmaps
+      (48 B at V=377) through the block join and scores each Arrow batch
+      with one vectorized AND+popcount — ~40 ns/pair vs ~15 us/pair for
+      array intersection, so even million-pair candidate sets are cheap.
+    - large vocabulary (real web text, larger k): postings are short and
+      skew-bounded, so prefix_filter=True generates candidates from an
+      ids-only equi-join on rarity-ordered prefix shingles
+      (posting-list-bounded instead of quadratic-per-block) and verifies
+      only that small set with array intersection.
+
+    block_cols (e.g. language) are part of the query semantics and stay in
+    every join. No cross join anywhere. At 10^12 docs: the vocab probe is
+    a bounded-output distinct (or a sample), the persisted shingle table
+    becomes a staged table, and both the bitmap-block join (48-byte
+    payloads) and the prefix join (24-byte ids) shuffle small rows.
     """
     block_cols = list(block_cols or [])
     # Stage 1: materialize the normalized text (regex chain, once per row).
@@ -240,17 +364,110 @@ def ngram_jaccard_pairs(
         .withColumn("n_sh", F.size("sh"))
         .persist()  # both sides of the candidate join read this
     )
-    if length_block:
-        sh = sh.withColumn("__bkt", F.floor(F.col("n_sh") / F.lit(length_block)))
 
-    # --- candidate generation: (block, length-bucket) equi-join ----------
+    i = F.col("inter").cast("double")
+    union = F.col("n_a").cast("double") + F.col("n_b").cast("double") - i
+    jac = F.when(union > 0, F.round(i / union, 6)).otherwise(F.lit(0.0))
+
+    if prefix_filter:
+        import numpy as np
+
+        # Global rarity order from the (bounded-vocab) shingle document
+        # frequency. One explode+count over the persisted shingle table;
+        # at corpus scale this pass runs over a sample instead — the order
+        # only gates performance, never membership.
+        vocab = (
+            sh.select(F.explode("sh").alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .toPandas()
+        )
+        order = np.lexsort((vocab["g"].to_numpy(), vocab["c"].to_numpy()))
+        keys = vocab["g"].to_numpy()[order]
+        ranks = np.empty(len(keys), dtype=np.int64)
+        ranks[np.argsort(keys, kind="stable")] = np.arange(len(keys))
+        keys_sorted = np.sort(keys)
+        prefix_udf = make_rarity_prefix_udf(threshold)(keys_sorted, ranks)
+
+        pref = sh.select(
+            "doc_id", *block_cols, "n_sh", F.explode(prefix_udf(F.col("sh"))).alias("g")
+        )
+        a, b = pref.alias("a"), pref.alias("b")
+        cond = (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        # exact length-ratio bound (tiny epsilon slack keeps it sound
+        # against float rounding; it only ever ADMITS borderline pairs)
+        cond = cond & (
+            F.least("a.n_sh", "b.n_sh").cast("double")
+            >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh") - F.lit(1e-9)
+        )
+        cand_ids = (
+            a.join(b, cond)
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+            .dropDuplicates(["doc_id_a", "doc_id_b"])
+        )
+        sh_tbl = sh.select("doc_id", "sh", "n_sh")
+        pairs = cand_ids.join(
+            sh_tbl.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_id_a",
+        ).join(
+            sh_tbl.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_id_b",
+        )
+        sized = pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_a",
+            "n_b",
+            _intersect_size(F.col("sh_a"), F.col("sh_b")).alias("inter"),
+        )
+        return sized.select("doc_id_a", "doc_id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    # --- block path: (block, length-bucket) equi-join --------------------
     # |bucket(a) - bucket(b)| <= 1 expressed as an exploded probe joined on
     # bucket equality — a real hash join with parallelism, never a nested
-    # loop. (An inverted-index/prefix-filter formulation is the classic
-    # alternative, but it degrades when the shingle vocabulary is tiny and
-    # postings are long — candidate counts here are bounded by the length
-    # blocking instead.)
+    # loop — plus the exact length-ratio bound as a cheap JVM predicate.
+    # Bounded-vocab probe: one distinct with LIMIT (bounded output however
+    # large the corpus); small vocab switches the verify payload to bitmaps.
+    vocab_vals = [
+        r["g"]
+        for r in sh.select(F.explode("sh").alias("g"))
+        .distinct()
+        .limit(bitmap_max_vocab + 1)
+        .collect()
+    ]
+    use_bitmap = len(vocab_vals) <= bitmap_max_vocab
+    if use_bitmap:
+        import numpy as np
+
+        vocab_sorted = np.sort(np.asarray(vocab_vals, dtype=np.int64))
+        nwords = max(1, (len(vocab_sorted) + 63) // 64)
+        # bm recomputes once per join branch over the cached sh rows —
+        # 2 cheap passes beat persisting a second table
+        sh = _guard(
+            sh,
+            keep=["doc_id", *block_cols, "n_sh"],
+            bm=make_bitmap_udf(vocab_sorted)(F.col("sh")),
+        )
+        payload, score = "bm", make_bitmap_intersect_udf(nwords)
+    else:
+        payload, score = "sh", _intersect_size
     if length_block:
+        sh = sh.withColumn("__bkt", F.floor(F.col("n_sh") / F.lit(length_block)))
         lb = F.col("__bkt")
         a = sh.withColumn("__bkt", F.explode(F.array(lb - 1, lb, lb + 1))).alias("a")
         b = sh.alias("b")
@@ -261,23 +478,25 @@ def ngram_jaccard_pairs(
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     if length_block:
         cond = cond & (F.col("a.__bkt") == F.col("b.__bkt"))
+    cond = cond & (
+        F.least("a.n_sh", "b.n_sh").cast("double")
+        >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh") - F.lit(1e-9)
+    )
     pairs = a.join(b, cond)
     # Pair scoring via an Arrow pandas UDF: JVM array_intersect evaluates
     # interpreted (higher-order/collection exprs are CodegenFallback) at
-    # ~1ms per ~300-element pair; numpy intersect on the sorted int64
-    # arrays is ~15us including Arrow transfer. The Python-eval node is
-    # also a natural barrier — Catalyst cannot push the threshold filter
+    # ~1ms per ~300-element pair; the UDF is either the batch-vectorized
+    # bitmap AND+popcount (~40ns/pair) or numpy intersect on the sorted
+    # int64 arrays (~15us including Arrow transfer). The Python-eval node
+    # is also a natural barrier — Catalyst cannot push the threshold filter
     # below it into the join condition.
     sized = pairs.select(
         F.col("a.doc_id").alias("doc_id_a"),
         F.col("b.doc_id").alias("doc_id_b"),
         F.col("a.n_sh").alias("n_a"),
         F.col("b.n_sh").alias("n_b"),
-        _intersect_size(F.col("a.sh"), F.col("b.sh")).alias("inter"),
+        score(F.col(f"a.{payload}"), F.col(f"b.{payload}")).alias("inter"),
     )
-    i = F.col("inter").cast("double")
-    union = F.col("n_a").cast("double") + F.col("n_b").cast("double") - i
-    jac = F.when(union > 0, F.round(i / union, 6)).otherwise(F.lit(0.0))
     return (
         sized.select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -301,28 +520,45 @@ def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     k: int = 3,
-    n_hashes: int = 64,
-    bands: int = 16,
+    n_hashes: int = 256,
+    bands: int = 32,
+    sig_k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash LSH near-dup pairs, verified with exact Jaccard.
+    """MinHash LSH near-dup pairs, verified with exact k-shingle Jaccard.
 
-    bands=16 x rows=4 over 64 hashes => s-curve threshold ~ (1/16)^(1/4)
-    ~= 0.5; candidates are generated by an equi-join on (band, band-hash)
-    and then *verified* against the true shingle Jaccard, so precision is
-    exact and only recall is probabilistic. At 10^12 docs the band join is
-    the only shuffle and keys are 16 bytes.
+    The SIGNATURE shingle size (sig_k) is deliberately larger than the
+    verify shingle size (k): char-3-gram sets of unrelated natural-text
+    docs share a background Jaccard of ~0.45 (the 3-gram vocabulary is
+    tiny), so any s-curve permissive enough to catch J3>=0.8 pairs also
+    admits a large fraction of ALL pairs — measured 6.1M candidate pairs
+    on a 5k-doc corpus at (64 hashes, 16 bands, rows=4). 5-gram sets drop
+    the background to ~0.17 while J3>=0.8 near-dups keep J5>=0.83, so
+    (256 hashes, 32 bands, rows=8) gives P(candidate) ~= 1e-4 for
+    background pairs and >=0.9997 for every true pair (~1k candidates on
+    the same corpus). Precision stays exact — candidates are re-verified
+    against the true k-shingle Jaccard; only recall is probabilistic.
+    At 10^12 docs the band equi-join is the only corpus-wide shuffle and
+    its keys are 16 bytes.
     """
     nrm = _derive(
         df,
         keep=[F.col(id_col).alias("doc_id")],
         nrm=normalize_text(F.col(text_col)),
     )
-    shf = nrm.select("doc_id", make_shingle_hashes_udf(k)(F.col("nrm")).alias("sh"))
+    shf = _guard(
+        nrm.select("doc_id", "nrm"),
+        keep=["doc_id"],
+        sh=make_shingle_hashes_udf(k)(F.col("nrm")),
+        sh_sig=make_shingle_hashes_udf(sig_k)(F.col("nrm")),
+    )
     bands_udf = make_minhash_bands_udf(n_hashes, bands)
     sig = shf.select(
-        "doc_id", "sh", F.size("sh").alias("n_sh"), bands_udf(F.col("sh")).alias("bhs")
+        "doc_id",
+        "sh",
+        F.size("sh").alias("n_sh"),
+        bands_udf(F.col("sh_sig")).alias("bhs"),
     ).persist()
     # ^ sig feeds three plan branches (band explode + both verify joins);
     # without the persist the shingle+minhash UDFs re-run per branch. At

@@ -84,6 +84,26 @@ def test_winnow_pairs_finds_near_dups(spark, docs):
     assert exact <= got, f"missing exact dups: {exact - got}"
 
 
+def test_ngram_candidate_strategies_agree(spark, docs):
+    """ngram_jaccard_pairs is EXACT under every candidate strategy: the
+    bitmap-block (auto), array-block, and rarity-prefix paths must return
+    identical pair sets with identical jaccard values — each filter only
+    prunes pairs provably below the threshold."""
+
+    def run(**kw):
+        return {
+            (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+            for r in dd.ngram_jaccard_pairs(
+                docs, threshold=0.8, block_cols=["lang"], **kw
+            ).collect()
+        }
+
+    bitmap = run()
+    assert bitmap == run(bitmap_max_vocab=0)  # array verify
+    assert bitmap == run(prefix_filter=True)  # prefix candidates
+    assert bitmap  # non-vacuous: the corpus has near-dup pairs
+
+
 # ---------------------------------------------------------------- minhash/lsh
 
 
