@@ -14,6 +14,8 @@ Layout:
                   dedup, similarity search)
     streaming/  — windows, watermarks, stream-stream join, sessionization,
                   idempotent exactly-once sink, end-to-end CEP job
+    query_builder — fluent TimeSeriesQueryBuilder / SQLQueryBuilder facade
+                  (the reference's primary user-facing query API)
 """
 
 __version__ = "0.1.0"

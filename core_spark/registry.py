@@ -614,6 +614,45 @@ FROM a LEFT JOIN meta USING (tagname)
 """
 
 
+def q_qb_resample_uom(spark, sf_dir):
+    """End-to-end through the fluent TimeSeriesQueryBuilder facade
+    (query_builder.py ~ TSQB:33): source-column rebinding, interval-string
+    parsing, resample verb, broadcast UoM decoration, ordered output."""
+    from .query_builder import TimeSeriesQueryBuilder
+
+    meta = spark.createDataFrame(UOM_MAP, "TagName string, UoM string")
+    tags = [t for t, _ in UOM_MAP]
+    return (
+        TimeSeriesQueryBuilder()
+        .connect(spark)
+        .source(
+            _load(spark, sf_dir, "events"),
+            tagname_column="event_type",
+            timestamp_column="ts",
+            status_column=None,
+            value_column="value",
+        )
+        .m_source(meta)
+        .resample(
+            tags, START, END, "1", "day", "count",
+            display_uom=True, sort=False,
+        )
+        .withColumnRenamed("UoM", "uom")
+    )
+
+
+SQL_QB_RESAMPLE_UOM = f"""
+WITH s AS (SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS event_time,
+                  CAST(value AS DOUBLE) AS value FROM events
+           WHERE ts >= TIMESTAMP '{START}' AND ts < TIMESTAMP '{END}'),
+a AS (SELECT tagname, {_bucket_sql('event_time', 86400)} AS event_time, CAST(COUNT(value) AS DOUBLE) AS value
+      FROM s GROUP BY 1, 2),
+meta(tagname, uom) AS (VALUES {", ".join(f"('{t}', '{u}')" for t, u in UOM_MAP)})
+SELECT a.tagname, a.event_time, a.value, meta.uom
+FROM a LEFT JOIN meta USING (tagname)
+"""
+
+
 def q_ts_linreg_trend(spark, sf_dir):
     return ts.linreg_trend(
         _load(spark, sf_dir, "events"), EVENTS_SPEC, START, END,
@@ -1238,6 +1277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow": q_dedup_winnow,
     "ts_interpolate_at_time": q_ts_interpolate_at_time,
     "ts_uom_join": q_ts_uom_join,
+    "qb_resample_uom": q_qb_resample_uom,
     "dq_binning": q_dq_binning,
     "dq_impute_missing": q_dq_impute_missing,
     "dq_gaussian_smooth": q_dq_gaussian_smooth,
@@ -1295,6 +1335,7 @@ ORACLES: dict[str, str] = {
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "ts_interpolate_at_time": _iat_sql(),
     "ts_uom_join": SQL_TS_UOM_JOIN,
+    "qb_resample_uom": SQL_QB_RESAMPLE_UOM,
     "dq_binning": SQL_DQ_BINNING,
     "transform_json_props": SQL_TRANSFORM_JSON_PROPS,
     "dq_normalize_minmax": SQL_DQ_NORMALIZE_MINMAX,
