@@ -79,6 +79,52 @@ def brute_force_topk(
     )
 
 
+def knn_classify(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 5,
+) -> DataFrame:
+    """K-nearest-neighbor majority-vote classification over the embedding
+    corpus — the engine's distributed form of the reference's
+    KNearestNeighbors component (forecasting/spark/k_nearest_neighbors.py:22;
+    SURVEY §2.11), recast from its fit/predict pandas shape to a single
+    broadcast-scan plan: exact cosine top-k (one pass over the corpus, query
+    side broadcast, zero shuffle on the big side) → per-(query, label) vote
+    count → deterministic arg-max (votes desc, label asc).
+
+    Output: query_id, predicted_label, votes, true_label, correct. At
+    corpus scale the top-k stage swaps for :func:`lsh_topk`/:func:`ivf_topk`
+    unchanged — voting is downstream of whichever candidate generator runs.
+    """
+    topk = brute_force_topk(
+        df, query_ids, k=k, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    )
+    labels = df.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).cast("long").alias("nbr_label")
+    )
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("query_id", F.col("nbr_label").alias("predicted_label"), "votes")
+    )
+    truth = df.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).cast("long").alias("true_label")
+    )
+    return pred.join(truth, "query_id").withColumn(
+        "correct", (F.col("predicted_label") == F.col("true_label")).cast("int")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side constants, ~KBs)."""
     rng = np.random.default_rng(seed)

@@ -732,6 +732,44 @@ def linreg_trend(
     return agg
 
 
+def ar1_forecast(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    start: str | None = None,
+    end: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-tag AR(1) fit over a resampled series + one-step forecast — the
+    autoregressive half of the reference's ARIMA surface
+    (forecasting/spark/arima.py:42; SURVEY §2.11), expressed entirely as
+    distributed SQL regression aggregates so it is oracle-checkable (unlike
+    the sequential SES recurrence in :func:`exp_smooth`).
+
+    Pipeline: exact-decimal resample (order-independent bucket means) →
+    lag(1) per tag → regr_slope/intercept of y_t on y_{t-1} → forecast
+    y_{T+1} = intercept + phi * y_T from the ROUNDED coefficients so both
+    engines compute the identical product. Two shuffles total (bucket agg,
+    per-tag window+agg share one partitioning on tag).
+    """
+    s = resample(
+        df, spec, every_seconds, "avg", start, end,
+        round_digits=None, exact_decimals=2,
+    )
+    w = Window.partitionBy(TAG).orderBy(TS)
+    b = s.withColumn("y_prev", F.lag(VAL).over(w)).filter(F.col("y_prev").isNotNull())
+    agg = b.groupBy(TAG).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(VAL, "y_prev"), round_digits).alias("phi"),
+        F.round(F.regr_intercept(VAL, "y_prev"), round_digits).alias("intercept"),
+        F.round(F.max_by(VAL, TS), round_digits).alias("y_last"),
+    )
+    return agg.withColumn(
+        "forecast",
+        F.round(F.col("intercept") + F.col("phi") * F.col("y_last"), round_digits),
+    )
+
+
 def exp_smooth(
     df: DataFrame,
     spec: TSSpec,

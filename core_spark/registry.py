@@ -653,6 +653,28 @@ FROM a LEFT JOIN meta USING (tagname)
 """
 
 
+def q_qb_metadata(spark, sf_dir):
+    """The builder's metadata verb (TSQB:729-779): filtered dimension rows."""
+    from .query_builder import TimeSeriesQueryBuilder
+
+    meta = spark.createDataFrame(UOM_MAP, "tagname string, uom string")
+    return (
+        TimeSeriesQueryBuilder()
+        .connect(spark)
+        .source(_load(spark, sf_dir, "events"), tagname_column="event_type",
+                timestamp_column="ts", status_column=None, value_column="value")
+        .m_source(meta, metadata_tagname_column="tagname", metadata_uom_column="uom")
+        .metadata(tagname_filter=["click", "purchase", "view"])
+    )
+
+
+SQL_QB_METADATA = (
+    "WITH meta(tagname, uom) AS (VALUES "
+    + ", ".join(f"('{t}', '{u}')" for t, u in UOM_MAP)
+    + ") SELECT * FROM meta WHERE tagname IN ('click', 'purchase', 'view')"
+)
+
+
 def q_ts_linreg_trend(spark, sf_dir):
     return ts.linreg_trend(
         _load(spark, sf_dir, "events"), EVENTS_SPEC, START, END,
@@ -675,6 +697,31 @@ SELECT *, ROUND(intercept + slope_per_day *
                 (({_usec("TIMESTAMP '2024-02-15 00:00:00'")} - {_usec("TIMESTAMP '2024-01-01 00:00:00'")}) / 86400.0),
                 4) AS forecast
 FROM a
+"""
+
+
+def q_ts_ar1_forecast(spark, sf_dir):
+    return ts.ar1_forecast(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 3600, START, END
+    )
+
+
+SQL_TS_AR1_FORECAST = f"""
+WITH s AS (SELECT DISTINCT * FROM ({_scan_sql(START, END)})),
+a AS (SELECT tagname, {_bucket_sql('event_time', 3600)} AS event_time,
+             {_AVG_EXACT} AS value
+      FROM s GROUP BY 1, 2),
+b AS (SELECT tagname, event_time, value,
+             lag(value) OVER (PARTITION BY tagname ORDER BY event_time) AS y_prev
+      FROM a),
+r AS (SELECT tagname, COUNT(*) AS n,
+             ROUND(regr_slope(value, y_prev), 4) AS phi,
+             ROUND(regr_intercept(value, y_prev), 4) AS intercept,
+             ROUND(max_by(value, event_time), 4) AS y_last
+      FROM b WHERE y_prev IS NOT NULL GROUP BY 1)
+SELECT tagname, n, phi, intercept, y_last,
+       ROUND(intercept + phi * y_last, 4) AS forecast
+FROM r
 """
 
 
@@ -999,6 +1046,34 @@ SELECT * FROM p WHERE cosine_sim >= 0.45
 """
 
 
+def q_ml_knn(spark, sf_dir):
+    return sim.knn_classify(_emb_double(spark, sf_dir), query_ids=list(range(20)), k=10)
+
+
+SQL_ML_KNN = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                  CAST(label AS BIGINT) AS label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19)),
+p AS (SELECT q.query_id, e.vec_id, e.label,
+             ROUND(list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]))
+                   / (SQRT(list_sum(list_transform(e.v, x -> x * x)))
+                      * SQRT(list_sum(list_transform(q.qv, x -> x * x)))), 5) + 0.0 AS cosine_sim
+      FROM e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank FROM p),
+v AS (SELECT query_id, label AS nbr_label, COUNT(*) AS votes
+      FROM r WHERE rank <= 10 GROUP BY 1, 2),
+pr AS (SELECT query_id, nbr_label AS predicted_label, votes,
+              row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nbr_label ASC) AS rr
+       FROM v)
+SELECT pr.query_id, pr.predicted_label, pr.votes,
+       e2.label AS true_label,
+       CAST(pr.predicted_label = e2.label AS INT) AS correct
+FROM pr JOIN e e2 ON pr.query_id = e2.vec_id
+WHERE pr.rr = 1
+"""
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     # LSH-bucketed ANN: recall vs brute force asserted in tests => rows-only
     return sim.lsh_topk(
@@ -1254,6 +1329,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_circular_sd": q_ts_circular_sd,
     "ts_pivot": q_ts_pivot,
     "ts_linreg_trend": q_ts_linreg_trend,
+    "ts_ar1_forecast": q_ts_ar1_forecast,
+    "ml_knn": q_ml_knn,
+    "qb_metadata": q_qb_metadata,
     "ts_exp_smooth": q_ts_exp_smooth,
     "dq_tag_correlation": q_dq_tag_correlation,
     "dq_ksigma": q_dq_ksigma,
@@ -1319,6 +1397,9 @@ ORACLES: dict[str, str] = {
     "ts_circular_sd": _circ_sql(86400, 0.0, 20.0, sd=True),
     "ts_pivot": SQL_TS_PIVOT,
     "ts_linreg_trend": SQL_TS_LINREG_TREND,
+    "ts_ar1_forecast": SQL_TS_AR1_FORECAST,
+    "ml_knn": SQL_ML_KNN,
+    "qb_metadata": SQL_QB_METADATA,
     "dq_tag_correlation": SQL_DQ_TAG_CORRELATION,
     "dq_ksigma": SQL_DQ_KSIGMA,
     "dq_missing_intervals": SQL_DQ_MISSING_INTERVALS,

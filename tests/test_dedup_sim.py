@@ -154,3 +154,27 @@ def test_lsh_recall_vs_brute_force(spark, embeddings):
     lsh = _topk_sets(sim.lsh_topk(embeddings, qids, k=10).collect())
     recalls = [len(brute[q] & lsh.get(q, set())) / len(brute[q]) for q in brute]
     assert sum(recalls) / len(recalls) >= 0.3, recalls  # sign-LSH theory for near-random 64-d: 1-(1-p^6)^12 ~ 0.44
+
+
+def test_knn_classify_majority_vote(spark):
+    # 3 tight clusters in 2-D; every query's 4 nearest neighbours are its own
+    # cluster mates => prediction == true label, 4 votes each.
+    import math
+
+    rows = []
+    centers = {0: (1.0, 0.0), 1: (0.0, 1.0), 2: (-1.0, -1.0)}
+    vid = 0
+    for lbl, (cx, cy) in centers.items():
+        for j in range(5):
+            eps = 0.01 * j
+            n = math.hypot(cx + eps, cy + eps) or 1.0
+            rows.append((vid, [(cx + eps) / n, (cy + eps) / n], lbl))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    from core_spark.operators import similarity as sim
+
+    out = sim.knn_classify(df, query_ids=[0, 5, 10], k=4).collect()
+    by_q = {r["query_id"]: r for r in out}
+    assert by_q[0]["predicted_label"] == 0 and by_q[0]["correct"] == 1
+    assert by_q[5]["predicted_label"] == 1 and by_q[5]["votes"] == 4
+    assert by_q[10]["predicted_label"] == 2

@@ -52,3 +52,30 @@ def test_tag_correlation_perfect_and_inverse(spark):
     assert r1["n_buckets"] == 30
     r2 = dq.tag_correlation(df, SPEC, "a", "c", 3600).collect()[0]
     assert r2["corr"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_ar1_recovers_known_coefficients(spark):
+    # y_t = 5 + 0.5 * y_{t-1} exactly (values quantized to 2 decimals so the
+    # exact-decimal resample path is lossless): AR(1) fit must recover phi
+    # and intercept to the 4-digit rounding.
+    ys = [20.0]
+    for _ in range(49):
+        ys.append(round(5.0 + 0.5 * ys[-1], 2))
+    rows = [("a", T0 + timedelta(hours=h), y) for h, y in enumerate(ys)]
+    r = ts.ar1_forecast(_mk(spark, rows), SPEC, 3600).collect()[0]
+    assert r["n"] == 49
+    assert r["phi"] == pytest.approx(0.5, abs=2e-3)
+    assert r["intercept"] == pytest.approx(5.0, abs=2e-2)
+    assert r["forecast"] == pytest.approx(5.0 + 0.5 * r["y_last"], abs=1e-3)
+
+
+def test_ar1_buckets_before_fitting(spark):
+    # two same-bucket observations average (exactly) before the lag/fit, so
+    # y_last reflects the bucket mean, not either raw row
+    rows = [
+        ("a", T0, 1.0),
+        ("a", T0 + timedelta(hours=1), 2.0),
+        ("a", T0 + timedelta(hours=1, minutes=30), 4.0),
+    ]
+    r = ts.ar1_forecast(_mk(spark, rows), SPEC, 3600).collect()[0]
+    assert r["y_last"] == pytest.approx(3.0)
