@@ -1309,6 +1309,42 @@ def q_stream_transcript_tokens(spark, sf_dir):
     return _sw.windowed_transcript_tokens(clips, window_sec=60)
 
 
+def q_stream_dedup_watermark(spark, sf_dir):
+    """Streaming duplicate removal (dropDuplicatesWithinWatermark) over a
+    redelivered stream: every clip is re-sent once with a +5s jittered
+    ingest_ts (an at-least-once transport replay); exactly one row per
+    clip_id survives. Real readStream path, Trigger.availableNow. Reference:
+    duplicate_detection.py:75-80 recast with watermark-bounded state
+    (SURVEY §2.10/§2.12). Rows-only; batch parity in tests/test_streaming.py."""
+    import os as _os
+    import tempfile
+
+    from . import synth
+    from .streaming import source as _src
+    from .streaming import windows as _sw
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pq = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream", "redelivered")
+    if not _os.path.isdir(pq):
+        clips = synth.clips_df(spark, 2000)
+        dup = clips.withColumn(
+            "ingest_ts", F.col("ingest_ts") + F.expr("INTERVAL 5 SECONDS")
+        )
+        clips.unionByName(dup).repartition(4).write.mode("overwrite").parquet(pq)
+    stream = _src.clips_stream(spark, pq)
+    out = _sw.dedup_within_watermark(stream, ["clip_id"], watermark_sec=30)
+    q = (
+        out.select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+        .writeStream.format("memory")
+        .queryName("entry_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("entry_stream_dedup")
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1374,6 +1410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_native": q_stream_session_native,
     "stream_join_corrections": q_stream_join_corrections,
     "stream_transcript_tokens": q_stream_transcript_tokens,
+    "stream_dedup_watermark": q_stream_dedup_watermark,
     "text_token_stats": q_text_token_stats,
     "ts_raw_limit": q_ts_raw_limit,
     "transform_pcdm_split": q_transform_pcdm_split,

@@ -197,6 +197,33 @@ def session_windows_native(
     )
 
 
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    watermark_sec: int = 30,
+    event_col: str = "ingest_ts",
+) -> DataFrame:
+    """Streaming duplicate removal — the reference's DuplicateDetection
+    (data_quality/data_manipulation/spark/duplicate_detection.py:75-80,
+    a plain ``dropDuplicates(pk_cols)``) recast for unbounded streams:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state is bounded by (arrival rate x delay) instead
+    of growing with the corpus — the only formulation that survives a
+    10^12-clip stream. Redelivered rows (at-least-once transports re-sending
+    the same clip_id with a jittered ingest_ts) collapse to one row as long
+    as they arrive within the watermark delay of each other.
+
+    On a batch frame this degrades to exact ``dropDuplicates`` over the same
+    keys — the parity contract the tests assert.
+    """
+    keys = list(keys or ["clip_id"])
+    if df.isStreaming:
+        return df.withWatermark(
+            event_col, f"{watermark_sec} seconds"
+        ).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def windowed_transcript_tokens(
     df: DataFrame,
     window_sec: int = 60,

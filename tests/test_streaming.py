@@ -173,6 +173,29 @@ def test_sessionize_native_agrees(spark, clips_dir):
     assert native["n_clips"].sum() == N
 
 
+def test_dedup_within_watermark_stream(spark, clips_dir, tmp_path):
+    # redelivered stream: every clip re-sent once with a +5s jittered
+    # ingest_ts (at-least-once transport replay) — exactly one row per
+    # clip_id must survive the streaming dedup
+    batch = src.clips_batch(spark, clips_dir)
+    dup = batch.withColumn(
+        "ingest_ts", F.col("ingest_ts") + F.expr("INTERVAL 5 SECONDS")
+    )
+    dup_dir = str(tmp_path / "redelivered")
+    batch.unionByName(dup).repartition(4).write.parquet(dup_dir)
+
+    stream = src.clips_stream(spark, dup_dir)
+    got = _run_to_memory(
+        sw.dedup_within_watermark(stream, ["clip_id"], watermark_sec=30),
+        "t_dedup",
+        mode="append",
+    )
+    assert got.count() == N
+    assert got.select("clip_id").distinct().count() == N
+    # batch degradation = exact dropDuplicates on the same keys
+    assert sw.dedup_within_watermark(batch.unionByName(dup)).count() == N
+
+
 def test_sink_exactly_once_and_merge(spark, tmp_path):
     d = str(tmp_path / "table")
     sink = sk.MergeSink(d, key_cols=["k", "p"], partition_expr="p")

@@ -47,6 +47,12 @@ CHECKS = {
     "dq_missing_pattern": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
     "transform_pcdm_split": (["ReadSchema"], ["CartesianProduct"]),
     "ts_raw_limit": (["GreaterThanOrEqual(ts"], ["CartesianProduct"]),
+    # AR(1): one bucket agg + one per-tag window/agg chain, no joins at all
+    "ts_ar1_forecast": (["HashAggregate"], ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"]),
+    # KNN: corpus scanned once against the broadcast query side (the
+    # broadcast nested loop IS the intended plan for a 20-row query set);
+    # label/truth joins must broadcast, never sort-merge
+    "ml_knn": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
 }
 
 
