@@ -188,6 +188,16 @@ def run_scaling(n_clips: int) -> dict:
 
 def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # a skip-scaling run must not clobber the scaling evidence of the last
+    # full run — carry the existing section forward verbatim
+    kept_scaling_md: str | None = None
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if scaling is None and os.path.exists(md_path):
+        with open(md_path) as f:
+            old = f.read()
+        marker = "## Streaming scaling"
+        if marker in old:
+            kept_scaling_md = old[old.index(marker) :].rstrip("\n")
     lines = [
         "# BENCH/BASELINE.md — measured engine numbers",
         "",
@@ -235,7 +245,9 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             " (window-close latency proxy: a window's rows commit with the"
             " micro-batch that closes it)",
         ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    if kept_scaling_md:
+        lines += ["", kept_scaling_md]
+    with open(md_path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
 

@@ -725,6 +725,63 @@ def simhash_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document that
+    appears in a pair gets its component id (the min doc_id reachable through
+    pair edges) and the component size — the keeper-selection step that turns
+    pairwise near-dup output into dedup groups (keep ``doc_id ==
+    component_id``, drop the rest).
+
+    Algorithm: min-label propagation — labels start as the node id; each
+    round every node takes the min of its own and its neighbors' labels;
+    fixpoint in O(graph diameter) rounds. Near-dup components are small and
+    dense (diameter is almost always <= 3), so the round count is tiny and
+    each round is one equi-join + one aggregate. The label column is
+    monotonically non-increasing, so the fixpoint test is "sum of labels
+    unchanged" — one scalar per round, no row-wise diff join.
+    ``localCheckpoint`` truncates the plan each round (iterative joins
+    otherwise stack lineage and re-execute the whole history every action).
+    At 10^12-doc scale with adversarial long chains, swap the loop body for
+    alternating large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce"), which converges in O(log n) rounds with the same
+    join+agg shape; the interface stays identical.
+    """
+    e1 = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    edges = e1.unionByName(
+        e1.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).persist()
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        nb = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node2"))
+            .agg(F.min("comp").alias("nb_min"))
+        )
+        labels = labels.join(nb, labels["node"] == nb["node2"], "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nb_min", "comp")).alias("comp"),
+        )
+        cur = labels.agg(F.sum("comp")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("group_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        "group_size",
+    )
+
+
 # ---------------------------------------------------------------- winnowing
 
 

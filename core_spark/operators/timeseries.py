@@ -806,3 +806,68 @@ def exp_smooth(
         smooth,
         schema=f"{TAG} string, {TS} timestamp, {VAL} double, level double, forecast double",
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Nearest-previous (as-of) left join: for every left row, attach the
+    right row with the greatest ``right_ts <= left_ts`` for the same keys.
+
+    The reference has NO as-of join — its nearest-previous semantics are
+    done with ``last_value(x, true) OVER (... ROWS UNBOUNDED PRECEDING)``
+    forward-fill inside one table (_time_series_query_builder.py:1453-1454;
+    SURVEY §2.3 "as-of join: absent"). This operator generalizes that trick
+    to TWO tables the Spark-first way: union-tag the sides, one window
+    forward-fill, filter back to the left side. No theta join anywhere —
+    Catalyst would turn ``l.ts >= r.ts`` into a BroadcastNestedLoopJoin,
+    which is quadratic and single-stage; the union+window form is one
+    shuffle on ``keys`` plus an in-partition sort, the same cost as any
+    windowed verb, and scales to arbitrarily many rows per key.
+
+    Tie rule: right rows sort BEFORE left rows at equal timestamps, so an
+    exactly-simultaneous right row matches (the >= convention, identical to
+    ANSI/DuckDB ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`` — the
+    oracle the driver checks this against). If several right rows share
+    (keys, right_ts), pre-aggregate them first (the packed struct max makes
+    the pick deterministic: greatest (ts, values...) struct wins).
+    """
+    keys = list(keys)
+    payload = F.struct(
+        F.col(right_ts).alias(f"{prefix}ts"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        payload.alias("__r"),
+        F.lit(0).alias("__side"),
+    )
+    # deterministic collapse of (keys, ts) duplicates on the build side:
+    # struct max orders by ts first (equal here), then by value columns
+    r = r.groupBy(*keys, "__ts", "__side").agg(F.max("__r").alias("__r"))
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.lit(1).alias("__side"),
+    )
+    u = l.unionByName(r.select(*keys, "__ts", "__r", "__side"), allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols,
+        F.col(f"__m.{prefix}ts").alias(f"{prefix}ts"),
+        *[F.col(f"__m.{prefix}{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )

@@ -993,6 +993,70 @@ FROM p WHERE CASE WHEN u > 0 THEN ROUND(i / u, 6) ELSE 0.0 END >= 0.8
 """
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Connected-components dedup groups over the exact n-gram-Jaccard pair
+    graph — keeper selection (keep doc_id == component_id). Oracle: the same
+    pair SQL + a recursive-CTE transitive closure with MIN-reachable labels."""
+    pairs = dd.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.8, k=3,
+        block_cols=["lang"], length_block=64,
+    )
+    return dd.dedup_components(pairs)
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE n AS (SELECT doc_id, lang, {_NORM} AS s FROM documents),
+sh AS (SELECT doc_id, lang,
+              list_distinct([substr(s, i, 3) for i in range(1, greatest(len(s) - 2, 1) + 1)]) AS sh
+       FROM n),
+sh2 AS (SELECT *, len(sh) AS n_sh FROM sh),
+p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+             CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS u
+      FROM sh2 a JOIN sh2 b
+        ON a.doc_id < b.doc_id AND a.lang = b.lang
+       AND (FLOOR(a.n_sh / 64) = FLOOR(b.n_sh / 64)
+         OR FLOOR(a.n_sh / 64) = FLOOR(b.n_sh / 64) + 1
+         OR FLOOR(a.n_sh / 64) + 1 = FLOOR(b.n_sh / 64))),
+pairs AS (SELECT doc_id_a, doc_id_b FROM p
+          WHERE CASE WHEN u > 0 THEN ROUND(i / u, 6) ELSE 0.0 END >= 0.8),
+edges AS (SELECT doc_id_a AS s, doc_id_b AS d FROM pairs
+          UNION SELECT doc_id_b, doc_id_a FROM pairs),
+reach(node, r) AS (
+    SELECT s, s FROM edges GROUP BY s
+    UNION
+    SELECT re.node, e.d FROM reach re JOIN edges e ON e.s = re.r),
+comp AS (SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node)
+SELECT c.doc_id, c.component_id, s.group_size
+FROM comp c
+JOIN (SELECT component_id, COUNT(*) AS group_size FROM comp GROUP BY 1) s
+  USING (component_id)
+"""
+
+
+def q_ts_asof_join(spark, sf_dir):
+    """As-of (nearest-previous) join: each click event picks up the latest
+    preceding purchase value of the same user. The reference has no as-of
+    join (SURVEY §2.3); DuckDB's native ASOF LEFT JOIN is the oracle."""
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return ts.asof_join(clicks, purch, ["user_id"], "ts", "ts", ["value"])
+
+
+SQL_TS_ASOF_JOIN = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, MAX(value) AS value FROM events
+      WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     # xxhash64 signatures have no DuckDB equivalent => rows-only check;
     # tests/test_dedup.py verifies recall vs the exact-Jaccard oracle.
@@ -1382,6 +1446,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_doc_stats": q_text_doc_stats,
     "text_dedup_exact": q_text_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_groups": q_dedup_groups,
+    "ts_asof_join": q_ts_asof_join,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -1449,6 +1515,8 @@ ORACLES: dict[str, str] = {
     "text_doc_stats": _doc_stats_sql(),
     "text_dedup_exact": SQL_TEXT_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_groups": SQL_DEDUP_GROUPS,
+    "ts_asof_join": SQL_TS_ASOF_JOIN,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "ts_interpolate_at_time": _iat_sql(),

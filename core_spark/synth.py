@@ -176,8 +176,27 @@ def make_corrections_pdf(
     )
 
 
-def clips_df(spark: SparkSession, n: int, seed: int = 42, **kw) -> DataFrame:
-    return spark.createDataFrame(make_clips_pdf(n, seed, **kw), schema=CLIPS_SCHEMA)
+def clips_df(
+    spark: SparkSession, n: int, seed: int = 42, n_chunks: int | None = None, **kw
+) -> DataFrame:
+    """Distributed clips frame: executors generate disjoint global-index
+    chunks via the chunk-independent generator, so no payload bytes ship
+    from the driver (createDataFrame of n pre-built rows serializes the
+    whole table into one task — a ~73 MB task at n=2000 and a driver OOM
+    at scale)."""
+    if n_chunks is None:
+        n_chunks = max(1, min(32, n // 250))
+
+    def gen(it):
+        for pdf in it:
+            for cid in pdf["id"].tolist():
+                lo, hi = cid * n // n_chunks, (cid + 1) * n // n_chunks
+                if hi > lo:
+                    yield make_clips_pdf(hi - lo, seed, start=lo, **kw)
+
+    return spark.range(0, n_chunks, 1, numPartitions=n_chunks).mapInPandas(
+        gen, schema=CLIPS_SCHEMA
+    )
 
 
 def corrections_df(spark: SparkSession, clips_pdf: pd.DataFrame, seed: int = 42) -> DataFrame:

@@ -178,3 +178,18 @@ def test_knn_classify_majority_vote(spark):
     assert by_q[0]["predicted_label"] == 0 and by_q[0]["correct"] == 1
     assert by_q[5]["predicted_label"] == 1 and by_q[5]["votes"] == 4
     assert by_q[10]["predicted_label"] == 2
+
+
+def test_dedup_components_chain_and_fixpoint(spark):
+    # chain 1-2-3-4 plus isolated pair (10,11): two components, min labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["component_id"], r["group_size"])
+        for r in dd.dedup_components(pairs).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }

@@ -213,3 +213,31 @@ def test_pivot_wide(events):
     out = tsq.pivot_wide(events, SPEC, 600, ["TAG-A", "TAG-B"]).orderBy("event_time").collect()
     assert out[0]["TAG-A"] == 2.5
     assert out[0]["TAG-B"] == pytest.approx(103.5)
+
+
+def test_asof_join_nearest_previous_and_ties(spark):
+    from core_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:00:10"),
+         (2, 100, "2024-01-01 00:00:20"),
+         (3, 100, "2024-01-01 00:00:05"),
+         (4, 200, "2024-01-01 00:00:30")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:10", 1.0),   # tie: matches event 1 (>=)
+         (100, "2024-01-01 00:00:15", 2.0),
+         (100, "2024-01-01 00:00:15", 5.0)],  # dup (key, ts): max value wins
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    got = {
+        r["event_id"]: (r["asof_value"], r["asof_ts"] is not None)
+        for r in asof_join(
+            left, right, ["user_id"], "ts", "ts", ["value"]
+        ).collect()
+    }
+    assert got[1] == (1.0, True)   # equal-timestamp right row matches
+    assert got[2] == (5.0, True)   # nearest previous; dup collapsed to max
+    assert got[3] == (None, False)  # nothing at or before => nulls
+    assert got[4] == (None, False)  # no right rows for this key

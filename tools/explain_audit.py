@@ -53,6 +53,12 @@ CHECKS = {
     # broadcast nested loop IS the intended plan for a 20-row query set);
     # label/truth joins must broadcast, never sort-merge
     "ml_knn": (["BroadcastHashJoin"], ["CartesianProduct", "SortMergeJoin"]),
+    # as-of join: union + window forward-fill — NO join operator at all
+    # (a theta-join formulation would show up as BroadcastNestedLoopJoin)
+    "ts_asof_join": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
 }
 
 
