@@ -166,6 +166,46 @@ def test_sessionize_gap_detection(spark):
     assert g["n_clips"] == 11 and g["max_gap_sec"] == 1.0
 
 
+def test_sessionize_state_spans_micro_batches(spark, tmp_path):
+    # a session that STARTS in micro-batch 1 and CONTINUES in micro-batch 2
+    # must be emitted once, merged — proves applyInPandasWithState state
+    # survives across batches (file = micro-batch with maxFilesPerTrigger=1)
+    import time as _time
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1)
+    in_dir = str(tmp_path / "in")
+
+    def write_file(specs):
+        pdf = synth.make_clips_pdf(len(specs))
+        pdf["clip_id"] = [c for c, _ in specs]
+        pdf["ingest_ts"] = [t for _, t in specs]
+        spark.createDataFrame(pdf, schema=synth.CLIPS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: clips at t=0..10s (open session)
+    write_file([("aw-%08d" % i, base + timedelta(seconds=i)) for i in range(11)])
+    _time.sleep(1.1)  # distinct mtimes => deterministic file order
+    # batch 2: t=15..20s (same session, gap 5s < 300) then t=1000s (gap
+    # closes the merged session inline)
+    write_file(
+        [("aw-%08d" % (50 + i), base + timedelta(seconds=15 + i)) for i in range(6)]
+        + [("aw-%08d" % 99, base + timedelta(seconds=1000))]
+    )
+
+    stream = src.clips_stream(spark, in_dir, max_files_per_trigger=1)
+    got = _run_to_memory(
+        ss.sessionize(stream, gap_sec=300, watermark_sec=1), "t_sess_span", mode="append"
+    ).toPandas()
+    assert len(got) == 1
+    g = got.iloc[0]
+    assert g["n_clips"] == 17  # 11 from batch 1 + 6 from batch 2, merged
+    assert g["session_start"] == base
+    assert g["session_end"] == base + timedelta(seconds=20)
+    assert g["max_gap_sec"] == 5.0  # the cross-batch 10s->15s hop
+
+
 def test_sessionize_native_agrees(spark, clips_dir):
     batch = src.clips_batch(spark, clips_dir)
     native = sw.session_windows_native(batch, gap_sec=300).toPandas()
