@@ -456,13 +456,19 @@ def ngram_jaccard_pairs(
 
         vocab_sorted = np.sort(np.asarray(vocab_vals, dtype=np.int64))
         nwords = max(1, (len(vocab_sorted) + 63) // 64)
-        # bm recomputes once per join branch over the cached sh rows —
-        # 2 cheap passes beat persisting a second table
-        sh = _guard(
+        # Pin the bitmap column in cache BEFORE the self-join. An unpinned
+        # Python-UDF projection above a cached plan has free placement: on
+        # cold runs Catalyst evaluates it after the join — once per
+        # candidate-pair side (~2.7M bitmap builds at sf0.1, 80s) instead of
+        # once per doc row (15k, <2s). persist+count makes the join read
+        # 48-byte bitmaps out of the cache on every plan.
+        prev, sh = sh, _guard(
             sh,
             keep=["doc_id", *block_cols, "n_sh"],
             bm=make_bitmap_udf(vocab_sorted)(F.col("sh")),
-        )
+        ).persist()
+        sh.count()
+        prev.unpersist()  # superseded: the bm frame carries everything needed
         payload, score = "bm", make_bitmap_intersect_udf(nwords)
     else:
         payload, score = "sh", _intersect_size
