@@ -163,6 +163,71 @@ class KafkaSink:
 
 
 @dataclass
+class RestSink:
+    """destinations/spark/rest_api.py:39,226,240 — micro-batched HTTP POST.
+
+    Differences from the reference, on purpose: the reference re-enters the
+    driver per micro-batch and POSTs from a driver-side thread pool; here
+    rows are serialized and POSTed from the EXECUTORS (``foreachPartition``),
+    packed ``batch_size`` rows per request — the only shape that survives a
+    wide cluster (the driver never sees the data). The transport is an
+    injectable ``poster(payload_json) -> status`` so the connector logic is
+    testable offline (no HTTP in this sandbox); the default transport is a
+    stdlib urllib POST constructed lazily on the executor.
+    """
+
+    url: str
+    batch_size: int = 100
+    method: str = "POST"
+    headers: dict[str, str] = field(default_factory=dict)
+    poster: object | None = None  # Callable[[str], int]; None => urllib
+
+    def _poster(self):
+        if self.poster is not None:
+            return self.poster
+        url, headers, method = self.url, dict(self.headers), self.method
+
+        def post(payload: str) -> int:
+            import urllib.request
+
+            req = urllib.request.Request(
+                url,
+                data=payload.encode("utf-8"),
+                method=method,
+                headers={"Content-Type": "application/json", **headers},
+            )
+            with urllib.request.urlopen(req) as resp:  # noqa: S310 (configured URL)
+                return resp.status
+
+        return post
+
+    def write_batch(self, df: DataFrame) -> None:
+        post, bs = self._poster(), self.batch_size
+
+        def send(rows) -> None:
+            import json
+
+            buf = []
+            for r in rows:
+                buf.append(r.asDict(recursive=True))
+                if len(buf) >= bs:
+                    post(json.dumps(buf, default=str))
+                    buf = []
+            if buf:
+                post(json.dumps(buf, default=str))
+
+        df.foreachPartition(send)
+
+    def write_stream(self, df: DataFrame, checkpoint: str, available_now: bool = True):
+        w = (
+            df.writeStream.foreachBatch(lambda b, _id: self.write_batch(b))
+            .option("checkpointLocation", checkpoint)
+        )
+        w = w.trigger(availableNow=True) if available_now else w
+        return w.start()
+
+
+@dataclass
 class KinesisSource:
     """reference pipelines/sources/spark/kinesis.py:23 — format('kinesis')
     with the standard stream/region/position options; payload arrives as

@@ -256,3 +256,35 @@ def test_fixed_width_binning_edges(spark):
     df = spark.createDataFrame(rows, "tag string, ts timestamp, v double")
     out = dq.fixed_width_binning(df, SPEC, 0.0, 20.0, 10).orderBy("value").collect()
     assert [r["bin"] for r in out] == [0, 0, 4, 5, 9]
+
+
+def test_rest_sink_executor_side_batched_post(spark, tmp_path):
+    # transport fake: each POST payload lands as one JSON file; executors
+    # run on this host in local mode so a shared dir observes all posts
+    import glob
+    import os
+    import uuid
+
+    from core_spark.sources.connectors import RestSink
+
+    out_dir = str(tmp_path / "posts")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fake_post(payload: str) -> int:
+        with open(os.path.join(out_dir, f"{uuid.uuid4().hex}.json"), "w") as f:
+            f.write(payload)
+        return 200
+
+    df = spark.range(0, 25, 1, numPartitions=3).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    RestSink(url="http://example.invalid/ingest", batch_size=4, poster=fake_post).write_batch(df)
+
+    rows = []
+    for p in glob.glob(os.path.join(out_dir, "*.json")):
+        with open(p) as f:
+            batch = json.loads(f.read())
+        assert 1 <= len(batch) <= 4  # batch_size respected per request
+        rows.extend(batch)
+    assert sorted(r["id"] for r in rows) == list(range(25))
+    assert all(r["v"] == r["id"] * 2 for r in rows)
