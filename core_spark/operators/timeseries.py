@@ -808,6 +808,54 @@ def exp_smooth(
     )
 
 
+def gap_sessions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    gap_seconds: int,
+    exact_decimals: int = 4,
+) -> DataFrame:
+    """Gap-based sessionization as a pure window/aggregate program: a new
+    session starts when the inter-event gap within a key exceeds
+    ``gap_seconds`` — the reference's lag-gap rule
+    (monitoring/spark/identify_missing_data_interval.py:137-141,
+    missing_value_imputation.py:147-151) taken to its session conclusion
+    (gap flag → running sum = session id → per-session aggregate).
+
+    This is the SQL-expressible face of the engine's sessionization family
+    (the stateful streaming form lives in streaming/sessions.py and
+    session_windows_native): fully oracle-checkable, one shuffle on the key,
+    and the window + groupBy reuse the same partitioning so the session
+    aggregate adds no second exchange.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # cast handles TIMESTAMP_NTZ sources (session tz is pinned UTC => lossless)
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    brk = F.when(
+        prev_ms.isNull() | (ms - prev_ms > gap_seconds * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_id = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    # exact scaled-integer sum (same rationale as resample exact_decimals):
+    # order-independent => bit-identical across engines and partitionings
+    scale = float(10**exact_decimals)
+    units = F.round(F.col(value_col) * scale).cast("long")
+    return with_id.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(units).cast("double") / scale).alias("sum_value"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

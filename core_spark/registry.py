@@ -1057,6 +1057,36 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_ts_gap_sessions(spark, sf_dir):
+    """Oracle-checked gap sessionization: per-user sessions split at >30min
+    inter-event gaps (lag-gap -> running-sum session id -> session agg).
+    The SQL face of the engine's session family (streaming/sessions.py is
+    the stateful form); sums are exact scaled integers for cross-engine
+    bit-parity."""
+    ev = _load(spark, sf_dir, "events")
+    return ts.gap_sessions(ev, "user_id", "ts", "value", gap_seconds=1800)
+
+
+SQL_TS_GAP_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (SELECT user_id, ts, value,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM o)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     # xxhash64 signatures have no DuckDB equivalent => rows-only check;
     # tests/test_dedup.py verifies recall vs the exact-Jaccard oracle.
@@ -1448,6 +1478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_groups": q_dedup_groups,
     "ts_asof_join": q_ts_asof_join,
+    "ts_gap_sessions": q_ts_gap_sessions,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -1517,6 +1548,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "ts_asof_join": SQL_TS_ASOF_JOIN,
+    "ts_gap_sessions": SQL_TS_GAP_SESSIONS,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "ts_interpolate_at_time": _iat_sql(),

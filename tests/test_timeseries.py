@@ -241,3 +241,22 @@ def test_asof_join_nearest_previous_and_ties(spark):
     assert got[2] == (5.0, True)   # nearest previous; dup collapsed to max
     assert got[3] == (None, False)  # nothing at or before => nulls
     assert got[4] == (None, False)  # no right rows for this key
+
+
+def test_gap_sessions_split_and_aggregate(spark):
+    from core_spark.operators.timeseries import gap_sessions
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),   # same session (gap 10m < 30m)
+        (1, "2024-01-01 01:00:00", 4.0),   # new session (gap 50m)
+        (2, "2024-01-01 00:00:00", 8.0),   # separate key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in gap_sessions(df, "user_id", "ts", "value", 1800).collect()
+    }
+    assert got == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
