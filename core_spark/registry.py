@@ -1386,9 +1386,10 @@ def q_stream_join_corrections(spark, sf_dir):
     from .streaming import join as _sj
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    clips_pdf = synth.make_clips_pdf(2000)
-    clips = spark.createDataFrame(clips_pdf)
-    corr = synth.corrections_df(spark, clips_pdf)
+    clips = synth.clips_df(spark, 2000)  # payload bytes generated on executors
+    corr = spark.createDataFrame(
+        synth.make_corrections_pdf_range(0, 2000), schema=synth.CORRECTIONS_SCHEMA
+    )
     return _sj.corrected_transcripts(clips, corr, tolerance_sec=60)
 
 

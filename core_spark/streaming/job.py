@@ -127,9 +127,9 @@ def main(argv=None) -> dict:
     else:  # join
         corr_dir = os.path.join(work, "corrections")
         if not os.path.isdir(corr_dir):
-            pdf = synth.make_clips_pdf(a.n_clips)
             spark.createDataFrame(
-                synth.make_corrections_pdf(pdf), schema=synth.CORRECTIONS_SCHEMA
+                synth.make_corrections_pdf_range(0, a.n_clips),
+                schema=synth.CORRECTIONS_SCHEMA,
             ).repartition(n_files).write.mode("overwrite").parquet(corr_dir)
         corr = src.corrections_stream(spark, corr_dir)
         result = sj.corrected_transcripts(stream, corr, tolerance_sec=60)

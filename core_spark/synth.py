@@ -85,6 +85,34 @@ def _hash_uniform(i: np.ndarray, seed: int) -> np.ndarray:
     return (h >> np.uint64(11)).astype(np.float64) / float(2**53)
 
 
+def _meta_fields(
+    i: np.ndarray,
+    seed: int,
+    step_ms: int,
+    disorder_ms: int,
+    late_every: int,
+    late_by_ms: int,
+    gap_every: int,
+    gap_len: int,
+) -> tuple[list[str], list[str], np.ndarray]:
+    """(clip_id, transcript, ts_ms) for arbitrary global indices ``i`` —
+    every field is a pure function of the index, so strided/chunked callers
+    all see the same values the full-table generation would."""
+    pref_idx = _zipf_prefix_indices(_hash_uniform(i, seed))
+    jitter = (_hash_uniform(i, seed + 7) * disorder_ms).astype(np.int64)
+    ts_ms = i * step_ms + jitter
+    late_mask = (i % late_every) == (late_every - 1)
+    ts_ms = np.where(late_mask, ts_ms + late_by_ms, ts_ms)
+    in_gap = (i % gap_every) >= (gap_every - gap_len)
+    ts_ms = np.where(in_gap, ts_ms + 3 * late_by_ms, ts_ms)
+    clip_ids = [f"{PREFIXES[p]}-{k:08d}" for p, k in zip(pref_idx, i)]
+    words = [
+        " ".join(_VOCAB[(g * 7 + j) % len(_VOCAB)] for j in range(3 + g % 4))
+        for g in i
+    ]
+    return clip_ids, words, ts_ms
+
+
 def make_clips_pdf(
     n: int,
     seed: int = 42,
@@ -106,21 +134,14 @@ def make_clips_pdf(
     the session-window tests key off these (FIXTURES.md §A3).
     """
     i = np.arange(start, start + n)
-    pref_idx = _zipf_prefix_indices(_hash_uniform(i, seed))
     amps = 0.1 + (i % 10) * 0.1
     freqs = 110.0 + (i % 8) * 110.0
     srs = np.array([8000, 16000, 44100])[i % 3]
     durs = 200 + (i * 37) % 1801  # 200..2000 ms
     codecs = np.where(i % 2 == 0, "pcm16", "ulaw")
-
-    # event times: base + i*step, jittered within disorder_ms, with
-    # deterministic late stragglers and session gaps
-    jitter = (_hash_uniform(i, seed + 7) * disorder_ms).astype(np.int64)
-    ts_ms = i * step_ms + jitter
-    late_mask = (i % late_every) == (late_every - 1)
-    ts_ms = np.where(late_mask, ts_ms + late_by_ms, ts_ms)
-    in_gap = (i % gap_every) >= (gap_every - gap_len)
-    ts_ms = np.where(in_gap, ts_ms + 3 * late_by_ms, ts_ms)
+    clip_ids, words, ts_ms = _meta_fields(
+        i, seed, step_ms, disorder_ms, late_every, late_by_ms, gap_every, gap_len
+    )
 
     payloads: list[bytes] = []
     for k in range(n):
@@ -128,13 +149,9 @@ def make_clips_pdf(
         x = amps[k] * np.sin(2 * np.pi * freqs[k] * t)
         payloads.append(pcm16_encode(x) if codecs[k] == "pcm16" else ulaw_encode(x))
 
-    words = [
-        " ".join(_VOCAB[(g * 7 + j) % len(_VOCAB)] for j in range(3 + g % 4))
-        for g in i
-    ]
     return pd.DataFrame(
         {
-            "clip_id": [f"{PREFIXES[p]}-{k:08d}" for p, k in zip(pref_idx, i)],
+            "clip_id": clip_ids,
             "bytes": payloads,
             "sr_hz": srs.astype("int32"),
             "dur_ms": durs.astype("int32"),
@@ -171,6 +188,43 @@ def make_corrections_pdf(
             "correction_ts": [
                 t + timedelta(milliseconds=int(m))
                 for t, m in zip(sel["ingest_ts"], lag)
+            ],
+        }
+    )
+
+
+def make_corrections_pdf_range(
+    lo: int,
+    hi: int,
+    seed: int = 42,
+    within_lag_ms: int = 30_000,
+    beyond_lag_ms: int = 3_600_000,
+    step_ms: int = 200,
+    disorder_ms: int = 5_000,
+    late_every: int = 97,
+    late_by_ms: int = 600_000,
+    gap_every: int = 500,
+    gap_len: int = 40,
+) -> pd.DataFrame:
+    """Corrections for clip indices in [lo, hi) WITHOUT generating payload
+    bytes: every 10th clip gets one, every 3rd of those arrives beyond the
+    join tolerance. Identical values to
+    ``make_corrections_pdf(make_clips_pdf(n))`` (asserted in tests) but
+    O(metadata) instead of O(audio bytes) — payloads never touch the driver."""
+    i = np.arange(lo + (-lo % 10), hi, 10)
+    clip_ids, words, ts_ms = _meta_fields(
+        i, seed, step_ms, disorder_ms, late_every, late_by_ms, gap_every, gap_len
+    )
+    k = i // 10
+    late = (k % 3) == 2
+    lag = np.where(late, beyond_lag_ms, (k * 131) % within_lag_ms)
+    return pd.DataFrame(
+        {
+            "clip_id": clip_ids,
+            "corrected_transcript": [w + "-corr" for w in words],
+            "correction_ts": [
+                BASE_TS + timedelta(milliseconds=int(t + m))
+                for t, m in zip(ts_ms, lag)
             ],
         }
     )

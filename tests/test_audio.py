@@ -131,3 +131,18 @@ def test_arrow_spectral_path_equals_pandas_udf_path(spark):
         assert abs(a[cid]["energy"] - b[cid]["energy"]) < 1e-12, cid
         assert a[cid]["dominant_freq_hz"] == b[cid]["dominant_freq_hz"], cid
         assert abs(a[cid]["spectral_centroid_hz"] - b[cid]["spectral_centroid_hz"]) < 1e-9, cid
+
+
+def test_corrections_range_matches_pdf_path():
+    """The payload-free corrections generator must be byte-identical to the
+    original clips-pdf-derived one (it is what the distributed / large-n
+    paths use so audio bytes never ship through the driver)."""
+    from core_spark.synth import make_corrections_pdf, make_corrections_pdf_range
+
+    full = make_corrections_pdf(make_clips_pdf(500)).reset_index(drop=True)
+    fast = make_corrections_pdf_range(0, 500).reset_index(drop=True)
+    assert full.equals(fast)
+    # a non-aligned sub-range [101, 347) covers clip indices 110..340 step 10,
+    # i.e. rows 11..34 of the full corrections frame
+    part = make_corrections_pdf_range(101, 347).reset_index(drop=True)
+    assert part.equals(full[11:35].reset_index(drop=True))
