@@ -586,6 +586,99 @@ SQL_TRANSFORM_JSON_PROPS = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
 """
 
+
+def q_transform_fledge_pcdm(spark, sf_dir):
+    """Fledge-envelope JSON -> PCDM (transformers.fledge_json_to_pcdm,
+    reference fledge_opcua_json_to_pcdm.py:111-140). The events table is
+    packed into Fledge messages (asset + readings map + ISO timestamp) and
+    parsed back; the oracle computes the same rows straight from the
+    columns, so the parse must recover them exactly — including the
+    microsecond timestamp round-trip and the float-castability ValueType."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    body = F.to_json(
+        F.array(
+            F.struct(
+                F.col("event_type").alias("asset"),
+                F.create_map(
+                    F.lit("k"),
+                    F.get_json_object("props", "$.k"),
+                    F.lit("label"),
+                    F.col("event_type"),
+                ).alias("readings"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias(
+                    "timestamp"
+                ),
+            )
+        )
+    )
+    out = tr.fledge_json_to_pcdm(ev.select(body.alias("body")))
+    return out.select(
+        F.col("TagName").alias("tagname"),
+        F.col("EventTime").alias("event_time"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_FLEDGE_PCDM = """
+WITH e AS (SELECT ts, event_type, json_extract_string(props, '$.k') AS kv FROM events)
+SELECT 'k' AS tagname, ts AS event_time, 'Good' AS status, kv AS value,
+       'float' AS value_type, 'insert' AS change_type FROM e
+UNION ALL
+SELECT 'label' AS tagname, ts AS event_time, 'Good' AS status, event_type AS value,
+       'string' AS value_type, 'insert' AS change_type FROM e
+"""
+
+
+def q_transform_edgex_pcdm(spark, sf_dir):
+    """EdgeX-envelope JSON -> PCDM (transformers.edgex_json_to_pcdm,
+    reference edgex_opcua_json_to_pcdm.py:92-138): ns-epoch origin recovered
+    exactly via integer-µs division; EdgeX type names map to PCDM
+    ValueType (alternating Int64/Float64 here exercises both branches)."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs an instant — under the
+    # pinned UTC session the cast is a pure reinterpretation
+    origin = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    reading = F.struct(
+        F.col("event_id").cast("string").alias("id"),
+        origin.alias("origin"),
+        F.col("event_type").alias("resourceName"),
+        k.alias("value"),
+        F.when(k.cast("long") % 2 == 0, "Int64").otherwise("Float64").alias("valueType"),
+    )
+    msg = F.struct(
+        F.lit("v3").alias("apiVersion"),
+        F.col("event_id").cast("string").alias("id"),
+        F.col("event_type").alias("deviceName"),
+        origin.alias("origin"),
+        F.array(reading).alias("readings"),
+    )
+    out = tr.edgex_json_to_pcdm(ev.select(F.to_json(msg).alias("body")))
+    return out.select(
+        F.col("TagName").alias("tagname"),
+        F.col("EventTime").alias("event_time"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_EDGEX_PCDM = """
+WITH e AS (SELECT ts, event_type, json_extract_string(props, '$.k') AS kv FROM events)
+SELECT event_type AS tagname, ts AS event_time, 'Good' AS status, kv AS value,
+       CASE WHEN CAST(kv AS BIGINT) % 2 = 0 THEN 'integer' ELSE 'float' END AS value_type,
+       'insert' AS change_type
+FROM e
+"""
+
 UOM_MAP = [
     ("click", "count"),
     ("error", "count"),
@@ -1512,6 +1605,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": q_text_token_stats,
     "ts_raw_limit": q_ts_raw_limit,
     "transform_pcdm_split": q_transform_pcdm_split,
+    "transform_fledge_pcdm": q_transform_fledge_pcdm,
+    "transform_edgex_pcdm": q_transform_edgex_pcdm,
 }
 
 ORACLES: dict[str, str] = {
@@ -1564,4 +1659,6 @@ ORACLES: dict[str, str] = {
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "ts_raw_limit": SQL_TS_RAW_LIMIT,
     "transform_pcdm_split": SQL_TRANSFORM_PCDM_SPLIT,
+    "transform_fledge_pcdm": SQL_TRANSFORM_FLEDGE_PCDM,
+    "transform_edgex_pcdm": SQL_TRANSFORM_EDGEX_PCDM,
 }

@@ -262,3 +262,140 @@ class KinesisSource:
             F.col("partitionKey").alias("partitionId"),
             F.col("sequenceNumber").cast("string").alias("sequenceNumber"),
         )
+
+
+@dataclass
+class EventhubSource:
+    """reference pipelines/sources/spark/eventhub.py:25,149,172 —
+    format('eventhubs') with `eventhubs.*` options. The azure connector jar
+    is not in this sandbox; the builder layer (option map, consumer-group /
+    starting-position plumbing) is what the engine owns and tests."""
+
+    connection_string: str
+    consumer_group: str = "$Default"
+    starting_position: str | None = None  # JSON EventPosition string
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        o = {
+            "eventhubs.connectionString": self.connection_string,
+            "eventhubs.consumerGroup": self.consumer_group,
+            **self.extra_options,
+        }
+        if self.starting_position is not None:
+            o["eventhubs.startingPosition"] = self.starting_position
+        return o
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        r = spark.readStream.format("eventhubs")
+        for k, v in self.options().items():
+            r = r.option(k, v)
+        return r.load()
+
+    def read_batch(self, spark: SparkSession) -> DataFrame:
+        r = spark.read.format("eventhubs")
+        for k, v in self.options().items():
+            r = r.option(k, v)
+        return r.load()
+
+
+@dataclass
+class DeltaSharingSource:
+    """reference pipelines/sources/spark/delta_sharing.py:24 —
+    format('deltaSharing').load('<profile>#<share>.<schema>.<table>')."""
+
+    table_path: str  # "<credentials-file>#<share>.<schema>.<table>"
+    options_: dict[str, str] = field(default_factory=dict)
+
+    def read_batch(self, spark: SparkSession) -> DataFrame:
+        r = spark.read.format("deltaSharing")
+        for k, v in self.options_.items():
+            r = r.option(k, v)
+        return r.load(self.table_path)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        r = spark.readStream.format("deltaSharing")
+        for k, v in self.options_.items():
+            r = r.option(k, v)
+        return r.load(self.table_path)
+
+
+@dataclass
+class EventhubSink:
+    """destinations/spark/eventhub.py:118-161 — rows must present a
+    string/binary `body` column (the reference casts or raises, :155-161);
+    everything else rides in `eventhubs.*` options."""
+
+    connection_string: str
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        return {
+            "eventhubs.connectionString": self.connection_string,
+            **self.extra_options,
+        }
+
+    @staticmethod
+    def serialize(df: DataFrame, value_cols: list[str] | None = None) -> DataFrame:
+        """Pack rows into the required `body` column. If `body` already
+        exists it is cast to string when not string/binary (the reference's
+        coercion rule); otherwise the named columns are JSON-packed."""
+        from pyspark.sql import types as _T
+
+        if "body" in df.columns:
+            dt = df.schema["body"].dataType
+            if not isinstance(dt, (_T.StringType, _T.BinaryType)):
+                df = df.withColumn("body", F.col("body").cast("string"))
+            return df
+        cols = value_cols or df.columns
+        return df.select(
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("body")
+        )
+
+    def write_stream(self, df: DataFrame, checkpoint: str):
+        w = df.writeStream.format("eventhubs").option("checkpointLocation", checkpoint)
+        for k, v in self.options().items():
+            w = w.option(k, v)
+        return w.start()
+
+    def write_batch(self, df: DataFrame) -> None:
+        w = df.write.format("eventhubs")
+        for k, v in self.options().items():
+            w = w.option(k, v)
+        w.save()
+
+
+@dataclass
+class KinesisSink:
+    """destinations/spark/kinesis.py:116-141 — format('kinesis') with a
+    (partitionKey, data) record shape."""
+
+    stream_name: str
+    region: str
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        return {
+            "streamName": self.stream_name,
+            "region": self.region,
+            **self.extra_options,
+        }
+
+    @staticmethod
+    def serialize(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
+        return df.select(
+            F.col(key_col).cast("string").alias("partitionKey"),
+            F.to_json(F.struct(*[F.col(c) for c in value_cols])).alias("data"),
+        )
+
+    def write_stream(self, df: DataFrame, checkpoint: str):
+        w = df.writeStream.format("kinesis").option("checkpointLocation", checkpoint)
+        for k, v in self.options().items():
+            w = w.option(k, v)
+        return w.start()
+
+    def write_batch(self, df: DataFrame) -> None:
+        w = df.write.format("kinesis")
+        for k, v in self.options().items():
+            w = w.option(k, v)
+        w.save()

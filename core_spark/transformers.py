@@ -112,3 +112,115 @@ def pcdm_split_by_type(df: DataFrame) -> dict[str, DataFrame]:
             "ChangeType",
         )
     return out
+
+
+# Fledge south-service envelope (reference fledge_opcua_json_to_pcdm.py:
+# FLEDGE_SCHEMA, _pipeline_utils/spark.py:611-619): an array of asset
+# messages, each with a string->string readings map and a timestamp.
+FLEDGE_JSON_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("asset", T.StringType()),
+            T.StructField("readings", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("timestamp", T.StringType()),
+        ]
+    )
+)
+
+
+def fledge_json_to_pcdm(
+    df: DataFrame,
+    source_col: str = "body",
+    status_null_value: str = "Good",
+    change_type_value: str = "insert",
+    timestamp_formats: list[str] | None = None,
+) -> DataFrame:
+    """Fledge JSON -> PCDM rows (fledge_opcua_json_to_pcdm.py:111-140):
+    inline the message array, explode the readings map to (TagName, Value)
+    rows, multi-format-parse the timestamp, infer ValueType by float
+    castability. try_to_timestamp instead of to_timestamp because Spark 4's
+    ANSI mode makes a failed format throw rather than null out of the
+    coalesce ladder."""
+    fmts = timestamp_formats or _TS_FORMATS
+    rows = (
+        df.withColumn("__m", F.from_json(F.col(source_col).cast("string"), FLEDGE_JSON_SCHEMA))
+        .select(F.explode("__m").alias("m"))
+        .select(F.explode("m.readings").alias("TagName", "Value"), F.col("m.timestamp").alias("__ts"))
+    )
+    ts = F.coalesce(*[F.try_to_timestamp(F.col("__ts"), F.lit(f)) for f in fmts])
+    return rows.select(
+        "TagName",
+        ts.alias("EventTime"),
+        F.lit(status_null_value).alias("Status"),
+        "Value",
+        # the reference's cast-to-null probe (non-ANSI); Spark 4 ANSI casts
+        # throw on malformed strings, so the probe must be try_cast
+        F.when(F.col("Value").try_cast("float").isNotNull(), "float")
+        .otherwise("string")
+        .alias("ValueType"),
+        F.lit(change_type_value).alias("ChangeType"),
+    )
+
+
+# EdgeX event envelope (edgex_opcua_json_to_pcdm.py; EDGEX_SCHEMA,
+# _pipeline_utils/spark.py:621-650): readings array with ns-epoch origin
+# and a typed value.
+EDGEX_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("apiVersion", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("deviceName", T.StringType()),
+        T.StructField("origin", T.LongType()),
+        T.StructField(
+            "readings",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("origin", T.LongType()),
+                        T.StructField("resourceName", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                        T.StructField("valueType", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_EDGEX_INT_TYPES = [f"{s}{w}" for s in ("Int", "Uint") for w in (8, 16, 32, 64)]
+
+
+def edgex_json_to_pcdm(
+    df: DataFrame,
+    source_col: str = "body",
+    status_null_value: str = "Good",
+    change_type_value: str = "insert",
+    tagname_field: str = "resourceName",
+) -> DataFrame:
+    """EdgeX JSON -> PCDM rows (edgex_opcua_json_to_pcdm.py:92-138): explode
+    readings, ns-epoch origin -> event time, EdgeX type names -> PCDM
+    ValueType. The reference converts origin with float division
+    (origin/1e9 -> to_timestamp); at ns magnitudes doubles carry ~2^8 ns of
+    rounding error, so the engine uses exact integer division to
+    microseconds (timestamp_micros(origin DIV 1000)) — same mapping, no
+    rounding."""
+    rows = (
+        df.withColumn("__m", F.from_json(F.col(source_col).cast("string"), EDGEX_JSON_SCHEMA))
+        .select(F.explode("__m.readings").alias("r"))
+    )
+    vt = F.col("r.valueType")
+    mapped = (
+        F.when(vt.isin(_EDGEX_INT_TYPES), "integer")
+        .when(vt.isin("Float32", "Float64"), "float")
+        .when(vt == "Bool", "bool")
+        .otherwise("string")
+    )
+    return rows.select(
+        F.col(f"r.{tagname_field}").alias("TagName"),
+        F.expr("timestamp_micros(CAST(r.origin DIV 1000 AS LONG))").alias("EventTime"),
+        F.lit(status_null_value).alias("Status"),
+        F.col("r.value").alias("Value"),
+        mapped.alias("ValueType"),
+        F.lit(change_type_value).alias("ChangeType"),
+    )

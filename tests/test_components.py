@@ -288,3 +288,69 @@ def test_rest_sink_executor_side_batched_post(spark, tmp_path):
         rows.extend(batch)
     assert sorted(r["id"] for r in rows) == list(range(25))
     assert all(r["v"] == r["id"] * 2 for r in rows)
+
+
+def test_eventhub_delta_sharing_kinesis_connectors(spark):
+    from core_spark.sources.connectors import (
+        DeltaSharingSource,
+        EventhubSink,
+        EventhubSource,
+        KinesisSink,
+    )
+
+    src = EventhubSource(
+        "Endpoint=sb://ns/;EntityPath=hub", "cg1", '{"offset": "-1"}'
+    )
+    o = src.options()
+    assert o["eventhubs.connectionString"].startswith("Endpoint=sb://")
+    assert o["eventhubs.consumerGroup"] == "cg1"
+    assert o["eventhubs.startingPosition"] == '{"offset": "-1"}'
+
+    ds = DeltaSharingSource("/creds.share#share.schema.tbl", {"ignoreChanges": "true"})
+    assert ds.table_path.endswith("share.schema.tbl")
+
+    ks = KinesisSink("events", "us-east-1", {"awsUseInstanceProfile": "true"})
+    assert ks.options()["streamName"] == "events"
+    df = spark.createDataFrame([("aw-1", 2.0)], "clip_id string, e double")
+    r = KinesisSink.serialize(df, "clip_id", ["e"]).first()
+    assert r["partitionKey"] == "aw-1" and json.loads(r["data"]) == {"e": 2.0}
+
+    # eventhub body coercion: non-string/binary body -> cast to string
+    b1 = EventhubSink.serialize(spark.createDataFrame([(5,)], "body int")).first()
+    assert b1["body"] == "5"
+    b2 = EventhubSink.serialize(spark.createDataFrame([(b"x",)], "body binary")).first()
+    assert bytes(b2["body"]) == b"x"
+    b3 = EventhubSink.serialize(
+        spark.createDataFrame([("aw-1", 1.5)], "clip_id string, e double")
+    ).first()
+    assert json.loads(b3["body"]) == {"clip_id": "aw-1", "e": 1.5}
+
+
+def test_fledge_and_edgex_transformers(spark):
+    from core_spark.transformers import edgex_json_to_pcdm, fledge_json_to_pcdm
+
+    fledge_body = (
+        '[{"asset":"pump1","readings":{"temp":"21.5","state":"RUNNING"},'
+        '"timestamp":"2024-03-01T00:00:01.500000Z"}]'
+    )
+    rows = {r["TagName"]: r for r in fledge_json_to_pcdm(
+        spark.createDataFrame([(fledge_body,)], "body string")
+    ).collect()}
+    assert rows["temp"]["ValueType"] == "float" and rows["temp"]["Value"] == "21.5"
+    assert rows["state"]["ValueType"] == "string"
+    assert rows["temp"]["EventTime"] == _ts("2024-03-01 00:00:01.5")
+    assert rows["temp"]["Status"] == "Good" and rows["temp"]["ChangeType"] == "insert"
+
+    edgex_body = (
+        '{"apiVersion":"v3","id":"m1","deviceName":"d1","origin":1709251200000000000,'
+        '"readings":['
+        '{"id":"r1","origin":1709251200123456000,"resourceName":"flow","value":"7","valueType":"Uint16"},'
+        '{"id":"r2","origin":1709251200123456000,"resourceName":"ok","value":"true","valueType":"Bool"}]}'
+    )
+    out = {r["TagName"]: r for r in edgex_json_to_pcdm(
+        spark.createDataFrame([(edgex_body,)], "body string")
+    ).collect()}
+    assert out["flow"]["ValueType"] == "integer"
+    assert out["ok"]["ValueType"] == "bool"
+    # ns origin -> exact microsecond event time (no float rounding)
+    assert out["flow"]["EventTime"] == _ts("2024-03-01 00:00:00.123456")
