@@ -1535,6 +1535,297 @@ def q_stream_dedup_watermark(spark, sf_dir):
 
 # ---------------------------------------------------------------- registry
 
+
+# ------------------------------------------------- transformer family (§2.9)
+
+
+def q_transform_aio_pcdm(spark, sf_dir):
+    """AIO envelope -> PCDM (transformers.aio_json_to_pcdm, reference
+    aio_json_to_pcdm.py:92-115). Events are packed into the two-level AIO
+    envelope (outer Payload string, inner tag->sample map with one float and
+    one string tag per message) and parsed back; the oracle computes the
+    same rows straight from the columns, so the double from_json + explode
+    must recover them exactly, including the µs timestamp and the
+    float-castability ValueType probe."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    payload = F.to_json(
+        F.create_map(
+            F.concat_ws("_", "event_type", F.lit("k")),
+            F.struct(iso.alias("SourceTimestamp"), k.alias("Value")),
+            F.concat_ws("_", "event_type", F.lit("label")),
+            F.struct(iso.alias("SourceTimestamp"), F.col("event_type").alias("Value")),
+        )
+    )
+    body = F.to_json(F.struct(payload.alias("Payload")))
+    out = tr.aio_json_to_pcdm(ev.select(body.alias("body")))
+    return out.select(
+        F.col("EventTime").alias("event_time"),
+        F.col("TagName").alias("tagname"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_AIO_PCDM = """
+WITH e AS (SELECT ts, event_type, json_extract_string(props, '$.k') AS kv FROM events)
+SELECT ts AS event_time, event_type || '_k' AS tagname, 'Good' AS status,
+       kv AS value, 'float' AS value_type, 'insert' AS change_type FROM e
+UNION ALL
+SELECT ts, event_type || '_label', 'Good', event_type, 'string', 'insert' FROM e
+"""
+
+
+def q_transform_mirico_pcdm(spark, sf_dir):
+    """Mirico flat-map envelope -> PCDM (transformers.mirico_json_to_pcdm,
+    reference mirico_json_to_pcdm.py:109-186): every map entry becomes a row
+    with TagName = SITE_RETRO_KEY (GASPPM gets the gas type appended); the
+    oracle rebuilds all five rows per event, including the formatted
+    timeStamp string that itself becomes a row's Value."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    body = F.to_json(
+        F.create_map(
+            F.lit("timeStamp"), F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lit("siteName"), F.col("event_type"),
+            F.lit("gasType"), F.lit("CH4"),
+            F.lit("retroName"), F.concat(F.lit("R"), (k % 3).cast("string")),
+            F.lit("gasPpm"), F.col("value").cast("string"),
+        )
+    )
+    out = tr.mirico_json_to_pcdm(ev.select(body.alias("body")))
+    return out.select(
+        F.col("EventTime").alias("event_time"),
+        F.col("TagName").alias("tagname"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_MIRICO_PCDM = """
+WITH e AS (SELECT ts, UPPER(event_type) AS site,
+                  'R' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS VARCHAR) AS retro,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS tstr,
+                  event_type, CAST(value AS VARCHAR) AS ppm
+           FROM events)
+SELECT ts AS event_time, site || '_' || retro || '_TIMESTAMP' AS tagname, 'Good' AS status,
+       tstr AS value, 'string' AS value_type, 'insert' AS change_type FROM e
+UNION ALL
+SELECT ts, site || '_' || retro || '_SITENAME', 'Good', event_type, 'string', 'insert' FROM e
+UNION ALL
+SELECT ts, site || '_' || retro || '_GASTYPE', 'Good', 'CH4', 'string', 'insert' FROM e
+UNION ALL
+SELECT ts, site || '_' || retro || '_RETRONAME', 'Good', retro, 'string', 'insert' FROM e
+UNION ALL
+SELECT ts, site || '_' || retro || '_GASPPM_CH4', 'Good', ppm, 'float', 'insert' FROM e
+"""
+
+
+def q_transform_apm_pcdm(spark, sf_dir):
+    """Honeywell APM envelope -> PCDM (transformers.honeywell_apm_to_pcdm,
+    reference honeywell_apm_to_pcdm.py:94-111): SystemTimeSeries.Samples
+    explode with the multi-format Time parse ladder."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    body = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit("sys-1").alias("Id"),
+                F.array(
+                    F.struct(
+                        F.col("event_type").alias("ItemName"),
+                        iso.alias("Time"),
+                        k.alias("Value"),
+                    )
+                ).alias("Samples"),
+            ).alias("SystemTimeSeries")
+        )
+    )
+    out = tr.honeywell_apm_to_pcdm(ev.select(body.alias("body")))
+    return out.select(
+        F.col("TagName").alias("tagname"),
+        F.col("EventTime").alias("event_time"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_APM_PCDM = """
+SELECT event_type AS tagname, ts AS event_time, 'Good' AS status,
+       json_extract_string(props, '$.k') AS value, 'float' AS value_type,
+       'insert' AS change_type
+FROM events
+"""
+
+
+def q_transform_apm_out(spark, sf_dir):
+    """PCDM -> Honeywell APM CloudPlatformEvent and back out of the Body
+    JSON (transformers.pcdm_to_honeywell_apm, reference
+    pcdm_to_honeywell_apm.py:107-215): proves the deterministic envelope —
+    sha2 guid as partition key and the HistorySamples payload — carries the
+    rows losslessly. to_json writes timestamps at ms precision, so the
+    oracle ms-truncates; guid is sha256 hex in both engines."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    pcdm = ev.select(
+        F.col("event_type").alias("TagName"),
+        F.col("ts").cast("timestamp").alias("EventTime"),
+        F.lit("Good").alias("Status"),
+        F.get_json_object("props", "$.k").alias("Value"),
+    )
+    apm = tr.pcdm_to_honeywell_apm(pcdm, created_time="2024-06-01 00:00:00")
+    b = F.from_json(
+        F.col("CloudPlatformEvent.Body.value"),
+        "SystemGuid string, HistorySamples array<struct<ItemName string, Quality string, Time timestamp, Value string>>",
+    )
+    return (
+        apm.select(F.col("partitionKey").alias("guid"), b.alias("b"))
+        .select("guid", F.explode("b.HistorySamples").alias("h"))
+        .select(
+            "guid",
+            F.col("h.ItemName").alias("tagname"),
+            F.col("h.Time").alias("event_time"),
+            F.col("h.Quality").alias("quality"),
+            F.col("h.Value").alias("value"),
+        )
+    )
+
+
+SQL_TRANSFORM_APM_OUT = """
+SELECT sha256(event_type) AS guid, event_type AS tagname,
+       date_trunc('milliseconds', ts) AS event_time, 'Good' AS quality,
+       json_extract_string(props, '$.k') AS value
+FROM events
+"""
+
+
+SEM_TEST_MAPPING = {0: ("obc_energy", "float"), 1: ("obc_err", "integer"), 2: ("gps_mode", "string")}
+
+
+def q_transform_sem_pcdm(spark, sf_dir):
+    """SEM/OBC envelope -> PCDM (transformers.sem_json_to_pcdm, reference
+    sem_json_to_pcdm.py:110-160): the readings array is collapsed to the
+    dID/d/t triplet, the bracketed 'd' vector posexplodes through a literal
+    position->tag map (no per-row UDF, unlike the reference), and the
+    '<epoch10><frac>' timestamp is reassembled with exact integer µs math."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    es = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    t_str = F.concat(es.cast("string"), F.lit("123"))
+    d_str = F.concat(
+        F.lit("["), k.cast("string"), F.lit(","), (k + 1).cast("string"),
+        F.lit(","), (k + 2).cast("string"), F.lit("]"),
+    )
+    reading = lambda name, val: F.struct(name.alias("resourceName"), val.alias("value"))
+    body = F.to_json(
+        F.struct(
+            F.lit("v2").alias("apiVersion"),
+            F.array(
+                reading(F.lit("dID"), F.col("event_type")),
+                reading(F.lit("d"), d_str),
+                reading(F.lit("t"), t_str),
+            ).alias("readings"),
+        )
+    )
+    out = tr.sem_json_to_pcdm(ev.select(body.alias("body")), SEM_TEST_MAPPING)
+    return out.select(
+        F.col("EventTime").alias("event_time"),
+        F.col("TagName").alias("tagname"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_SEM_PCDM = """
+WITH e AS (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
+           FROM events)
+SELECT make_timestamp(es*1000000 + 123000) AS event_time,
+       event_type || ':obc_energy' AS tagname, 'Good' AS status,
+       CAST(kk AS VARCHAR) AS value, 'float' AS value_type, 'insert' AS change_type FROM e
+UNION ALL
+SELECT make_timestamp(es*1000000 + 123000), event_type || ':obc_err', 'Good',
+       CAST(kk + 1 AS VARCHAR), 'integer', 'insert' FROM e
+UNION ALL
+SELECT make_timestamp(es*1000000 + 123000), event_type || ':gps_mode', 'Good',
+       CAST(kk + 2 AS VARCHAR), 'string', 'insert' FROM e
+"""
+
+
+def q_transform_ssip_binary(spark, sf_dir):
+    """Embedded-parquet binary decode (transformers.ssip_binary_parquet_to_pcdm,
+    reference ssip_pi_binary_file_to_pcdm.py:80-135): events are packed into
+    one parquet blob per tag on the EXECUTORS (applyInPandas), then decoded
+    back with the engine's shuffle-free mapInPandas path. The oracle computes
+    the same rows from the raw columns, so the parquet round-trip (µs
+    timestamps, string values, schema-derived ValueType default) must be
+    lossless."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    pcdm = ev.select(
+        F.col("event_type").alias("TagName"),
+        F.col("ts").cast("timestamp").alias("EventTime"),
+        F.lit("Good").alias("Status"),
+        F.get_json_object("props", "$.k").alias("Value"),
+        F.lit("float").alias("ValueType"),
+    )
+
+    def pack(pdf):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        buf = io.BytesIO()
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), buf)
+        return pd.DataFrame(
+            {"path": [str(pdf["TagName"].iloc[0])], "content": [buf.getvalue()]}
+        )
+
+    blobs = pcdm.groupBy("TagName").applyInPandas(pack, "path string, content binary")
+    out = tr.ssip_binary_parquet_to_pcdm(blobs, "content")
+    # DATE columns surface as python date objects via Arrow while DuckDB
+    # returns datetime64 — compare as ISO strings
+    return out.select(
+        F.col("EventDate").cast("string").alias("event_date"),
+        F.col("TagName").alias("tagname"),
+        F.col("EventTime").alias("event_time"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_SSIP_BINARY = """
+SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type AS tagname, ts AS event_time,
+       'Good' AS status, json_extract_string(props, '$.k') AS value,
+       'float' AS value_type, 'insert' AS change_type
+FROM events
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -1607,6 +1898,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_pcdm_split": q_transform_pcdm_split,
     "transform_fledge_pcdm": q_transform_fledge_pcdm,
     "transform_edgex_pcdm": q_transform_edgex_pcdm,
+    "transform_aio_pcdm": q_transform_aio_pcdm,
+    "transform_mirico_pcdm": q_transform_mirico_pcdm,
+    "transform_apm_pcdm": q_transform_apm_pcdm,
+    "transform_apm_out": q_transform_apm_out,
+    "transform_sem_pcdm": q_transform_sem_pcdm,
+    "transform_ssip_binary": q_transform_ssip_binary,
 }
 
 ORACLES: dict[str, str] = {
@@ -1661,4 +1958,10 @@ ORACLES: dict[str, str] = {
     "transform_pcdm_split": SQL_TRANSFORM_PCDM_SPLIT,
     "transform_fledge_pcdm": SQL_TRANSFORM_FLEDGE_PCDM,
     "transform_edgex_pcdm": SQL_TRANSFORM_EDGEX_PCDM,
+    "transform_aio_pcdm": SQL_TRANSFORM_AIO_PCDM,
+    "transform_mirico_pcdm": SQL_TRANSFORM_MIRICO_PCDM,
+    "transform_apm_pcdm": SQL_TRANSFORM_APM_PCDM,
+    "transform_apm_out": SQL_TRANSFORM_APM_OUT,
+    "transform_sem_pcdm": SQL_TRANSFORM_SEM_PCDM,
+    "transform_ssip_binary": SQL_TRANSFORM_SSIP_BINARY,
 }

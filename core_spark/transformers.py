@@ -224,3 +224,401 @@ def edgex_json_to_pcdm(
         mapped.alias("ValueType"),
         F.lit(change_type_value).alias("ChangeType"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AIO envelope (reference aio_json_to_pcdm.py:92-115; AIO_SCHEMA,
+# _pipeline_utils/spark.py:714-722): outer JSON carries a `Payload` string,
+# itself a JSON map of tag -> {SourceTimestamp, Value}.
+# ---------------------------------------------------------------------------
+AIO_PAYLOAD_SCHEMA = T.MapType(
+    T.StringType(),
+    T.StructType(
+        [
+            T.StructField("SourceTimestamp", T.TimestampType()),
+            T.StructField("Value", T.StringType()),
+        ]
+    ),
+)
+
+
+def aio_json_to_pcdm(
+    df: DataFrame,
+    source_col: str = "body",
+    status_null_value: str = "Good",
+    change_type_value: str = "insert",
+) -> DataFrame:
+    """AIO JSON -> PCDM rows (aio_json_to_pcdm.py:92-115): two-level
+    from_json (envelope string, then tag map), explode the map, ValueType
+    by float castability (try_cast: Spark 4 ANSI casts throw on malformed
+    strings). Pure projection — Catalyst fuses it into the scan."""
+    payload = F.from_json(F.col(source_col).cast("string"), "Payload STRING")
+    rows = (
+        df.withColumn("__m", F.from_json(payload["Payload"], AIO_PAYLOAD_SCHEMA))
+        .select(F.explode("__m").alias("TagName", "v"))
+    )
+    return rows.select(
+        F.col("v.SourceTimestamp").alias("EventTime"),
+        "TagName",
+        F.lit(status_null_value).alias("Status"),
+        F.col("v.Value").alias("Value"),
+        F.when(F.col("v.Value").try_cast("float").isNotNull(), "float")
+        .otherwise("string")
+        .alias("ValueType"),
+        F.lit(change_type_value).alias("ChangeType"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Honeywell APM envelope (honeywell_apm_to_pcdm.py:94-111; APM_SCHEMA,
+# _pipeline_utils/spark.py:649-681): SystemTimeSeries.Samples array.
+# ---------------------------------------------------------------------------
+APM_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "SystemTimeSeries",
+            T.StructType(
+                [
+                    T.StructField("Id", T.StringType()),
+                    T.StructField("TenantId", T.StringType()),
+                    T.StructField("IdType", T.StringType()),
+                    T.StructField(
+                        "Samples",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("ItemName", T.StringType()),
+                                    T.StructField("Time", T.StringType()),
+                                    T.StructField("Value", T.StringType()),
+                                    T.StructField("Unit", T.StringType()),
+                                    T.StructField("NormalizedQuality", T.StringType()),
+                                    T.StructField("HighValue", T.DoubleType()),
+                                    T.StructField("LowValue", T.DoubleType()),
+                                    T.StructField("TargetValue", T.DoubleType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def honeywell_apm_to_pcdm(
+    df: DataFrame,
+    source_col: str = "body",
+    status_null_value: str = "Good",
+    change_type_value: str = "insert",
+) -> DataFrame:
+    """Honeywell APM JSON -> PCDM (honeywell_apm_to_pcdm.py:94-111): parse
+    SystemTimeSeries, explode Samples, ItemName -> TagName, float-probe
+    ValueType."""
+    rows = (
+        df.withColumn("__m", F.from_json(F.col(source_col).cast("string"), APM_JSON_SCHEMA))
+        .select(F.explode("__m.SystemTimeSeries.Samples").alias("s"))
+    )
+    ts = F.coalesce(
+        *[F.try_to_timestamp(F.col("s.Time"), F.lit(f)) for f in _TS_FORMATS]
+    )
+    return rows.select(
+        F.col("s.ItemName").alias("TagName"),
+        ts.alias("EventTime"),
+        F.lit(status_null_value).alias("Status"),
+        F.col("s.Value").alias("Value"),
+        F.when(F.col("s.Value").try_cast("float").isNotNull(), "float")
+        .otherwise("string")
+        .alias("ValueType"),
+        F.lit(change_type_value).alias("ChangeType"),
+    )
+
+
+def pcdm_to_honeywell_apm(
+    df: DataFrame,
+    quality: str = "Good",
+    history_samples_per_message: int = 1,
+    created_time: str | None = None,
+) -> DataFrame:
+    """PCDM -> Honeywell APM CloudPlatformEvent (pcdm_to_honeywell_apm.py:
+    107-215). Divergences from the reference, both deliberate:
+    - the reference stamps CreatedTime=datetime.now() and Id=uuid() —
+      non-reproducible and checkpoint-hostile; the engine takes an injectable
+      `created_time` and derives Id deterministically from the content key
+      (sha2(TagName||EventTime)), so micro-batch replay emits identical rows
+      (exactly-once sink requirement);
+    - the reference gzip+b64 compresses via a per-row Python UDF; the engine
+      returns the uncompressed JSON column and leaves transport compression
+      to the sink (Kafka/Eventhub producer compression), keeping the hot
+      path JVM-side.
+    Batching: history_samples_per_message>1 groups each tag's rows into
+    fixed-size HistorySamples arrays exactly like the reference's
+    floor((row_number-0.01)/n) window trick."""
+    from pyspark.sql import Window
+
+    guid = F.sha2(F.col("TagName"), 256)
+    sample = F.struct(
+        F.col("TagName").alias("ItemName"),
+        F.lit(quality).alias("Quality"),
+        F.col("EventTime").alias("Time"),
+        F.col("Value").alias("Value"),
+    )
+    if history_samples_per_message > 1:
+        w = Window.partitionBy("TagName").orderBy("EventTime")
+        grouped = (
+            df.withColumn(
+                "__idx",
+                F.floor(
+                    (F.row_number().over(w) - F.lit(0.01))
+                    / F.lit(history_samples_per_message)
+                ),
+            )
+            .withColumn("__s", sample)
+            .groupBy("TagName", "__idx")
+            .agg(
+                F.collect_list("__s").alias("HistorySamples"),
+                F.max("EventTime").alias("__maxt"),
+            )
+            .withColumn("guid", F.sha2(F.col("TagName"), 256))
+            .withColumn("__key", F.concat("TagName", F.col("__maxt").cast("string")))
+        )
+    else:
+        grouped = (
+            df.withColumn("guid", guid)
+            .withColumn("HistorySamples", F.array(sample))
+            .withColumn(
+                "__key", F.concat("TagName", F.col("EventTime").cast("string"))
+            )
+        )
+    body_value = F.struct(
+        F.col("guid").alias("SystemGuid"), F.col("HistorySamples")
+    )
+    event = F.struct(
+        F.lit(created_time).cast("timestamp").alias("CreatedTime"),
+        F.sha2(F.col("__key"), 256).alias("Id"),
+        F.col("guid").alias("CreatorId"),
+        F.lit("CloudPlatformSystem").alias("CreatorType"),
+        F.lit(None).cast("string").alias("GeneratorId"),
+        F.lit("CloudPlatformTenant").alias("GeneratorType"),
+        F.col("guid").alias("TargetId"),
+        F.lit("CloudPlatformTenant").alias("TargetType"),
+        F.lit(None).cast("string").alias("TargetContext"),
+        F.struct(
+            F.lit("TextualBody").alias("type"),
+            F.to_json(body_value).alias("value"),
+            F.lit("application/json").alias("format"),
+        ).alias("Body"),
+        F.array(
+            F.struct(F.lit("SystemType").alias("Key"), F.lit("apm-system").alias("Value")),
+            F.struct(F.lit("SystemGuid").alias("Key"), F.col("guid").alias("Value")),
+        ).alias("BodyProperties"),
+        F.lit("DataChange.Update").alias("EventType"),
+    )
+    return grouped.select(
+        event.alias("CloudPlatformEvent"),
+        F.lit(",").alias("AnnotationStreamIds"),
+        F.col("guid").alias("partitionKey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mirico envelope (mirico_json_to_pcdm.py:109-186): flat JSON string->string
+# map; every entry becomes a PCDM row with an assembled TagName.
+# ---------------------------------------------------------------------------
+
+# key -> ValueType, the semantic content of the reference's positional
+# MIRICO_FIELD_MAPPINGS (_pipeline_utils/mirico_field_mappings.py:1-20).
+# The reference maps by posexplode position over a parsed map — map entry
+# order is an implementation detail of the JSON parser, so the engine keys
+# the mapping by field NAME instead (same tags, order-independent).
+MIRICO_STRING_FIELDS = {"timeStamp", "gasType", "retroName", "siteKey", "siteName", "gps_utcTime"}
+
+
+def mirico_json_to_pcdm(
+    df: DataFrame,
+    source_col: str = "body",
+    status_null_value: str = "Good",
+    change_type_value: str = "insert",
+    tagname_field: str | None = None,
+) -> DataFrame:
+    """Mirico JSON -> PCDM (mirico_json_to_pcdm.py:109-186): parse the flat
+    map, explode every entry to a row, TagName =
+    [TAGNAME_FIELD:]SITENAME_RETRONAME_KEY with the reference's GASPPM ->
+    GASPPM_<GASTYPE> special case; ValueType 'string' for the known string
+    fields, else 'float'."""
+    m = F.from_json(F.col(source_col).cast("string"), "map<string,string>")
+    rows = df.select(
+        m.alias("x"),
+        F.try_to_timestamp(m["timeStamp"]).alias("EventTime"),
+        F.upper(m["siteName"]).alias("__site"),
+        F.upper(m["gasType"]).alias("__gas"),
+        F.upper(m["retroName"]).alias("__retro"),
+    ).select("EventTime", "__site", "__gas", "__retro", F.explode("x").alias("key", "Value"))
+    keypart = F.when(
+        F.upper(F.col("key")) == "GASPPM",
+        F.concat_ws("_", F.upper(F.col("key")), F.col("__gas")),
+    ).otherwise(F.upper(F.col("key")))
+    tag = F.concat_ws("_", F.col("__site"), F.col("__retro"), keypart)
+    if tagname_field is not None:
+        tag = F.concat_ws(":", F.upper(F.lit(tagname_field)), tag)
+    vt = (
+        F.when(F.col("key").isin(*sorted(MIRICO_STRING_FIELDS)), "string")
+        .otherwise("float")
+    )
+    return rows.select(
+        "EventTime",
+        tag.alias("TagName"),
+        F.lit(status_null_value).alias("Status"),
+        "Value",
+        vt.alias("ValueType"),
+        F.lit(change_type_value).alias("ChangeType"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SEM / OBC envelope (sem_json_to_pcdm.py:110-160; SEM_SCHEMA,
+# _pipeline_utils/spark.py:685-712): readings rows carry (resourceName,
+# value) pairs; the 'd' resource is a bracketed CSV vector whose positions
+# map to tags, 't' is an epoch with the fraction glued on, 'dID' the device.
+# ---------------------------------------------------------------------------
+SEM_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("apiVersion", T.StringType()),
+        T.StructField("deviceName", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("origin", T.LongType()),
+        T.StructField("profileName", T.StringType()),
+        T.StructField(
+            "readings",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("deviceName", T.StringType()),
+                        T.StructField("id", T.StringType()),
+                        T.StructField("origin", T.LongType()),
+                        T.StructField("profileName", T.StringType()),
+                        T.StructField("resourceName", T.StringType()),
+                        T.StructField("value", T.StringType()),
+                        T.StructField("valueType", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("sourceName", T.StringType()),
+    ]
+)
+
+
+def sem_json_to_pcdm(
+    df: DataFrame,
+    field_mappings: dict[int, tuple[str, str]],
+    source_col: str = "body",
+    status_null_value: str = "Good",
+    change_type_value: str = "insert",
+) -> DataFrame:
+    """SEM v10 JSON -> PCDM (sem_json_to_pcdm.py:110-160): collapse the
+    readings array to a resourceName->value map, split the 'd' vector
+    "[v0,v1,...]" with posexplode, key each position through
+    `field_mappings` {pos: (tag_suffix, value_type)} (the semantic of the
+    reference's OBC_FIELD_MAPPINGS_V10, supplied by the caller — deployment
+    config, not engine code), and rebuild the '<epoch10>.<frac>' timestamp
+    exactly with integer string surgery instead of the reference's
+    regexp+double cast (doubles lose sub-ms precision at epoch magnitude).
+    TagName = dID:tag_suffix. Mapping lookup is a literal map column —
+    no Python UDF (the reference uses a per-row lambda UDF here)."""
+    items = []
+    for pos, (tag, vt) in sorted(field_mappings.items()):
+        items += [F.lit(pos), F.struct(F.lit(tag).alias("t"), F.lit(vt).alias("vt"))]
+    mapping = F.create_map(*items)
+    # one message = one readings array carrying the dID/d/t triplet as
+    # (resourceName, value) rows; the reference melts+map_from_arrays —
+    # same collapse, directly on the parsed array:
+    src = df.withColumn(
+        "__m", F.from_json(F.col(source_col).cast("string"), SEM_JSON_SCHEMA)
+    ).select(
+        F.map_from_entries(
+            F.transform(
+                "__m.readings",
+                lambda r: F.struct(r["resourceName"].alias("k"), r["value"].alias("v")),
+            )
+        ).alias("x")
+    )
+    # exact µs reassembly: <epoch10><frac...> -> epoch10*1e6 + frac-padded-µs
+    ts = F.expr(
+        "timestamp_micros(CAST(substring(x['t'], 1, 10) AS BIGINT) * 1000000"
+        " + CAST(rpad(substring(x['t'], 11, 6), 6, '0') AS BIGINT))"
+    )
+    d_inner = F.expr("substring(x['d'], 2, length(x['d'])-2)")
+    rows = src.select(
+        ts.alias("EventTime"),
+        F.col("x")["dID"].alias("__did"),
+        F.posexplode(F.split(d_inner, ",")).alias("pos", "Value"),
+    )
+    looked = F.element_at(mapping, F.col("pos"))
+    return rows.select(
+        "EventTime",
+        F.concat_ws(":", F.col("__did"), looked["t"]).alias("TagName"),
+        F.lit(status_null_value).alias("Status"),
+        "Value",
+        looked["vt"].alias("ValueType"),
+        F.lit(change_type_value).alias("ChangeType"),
+    ).where(F.col("TagName").isNotNull())
+
+
+def ssip_binary_parquet_to_pcdm(df: DataFrame, binary_col: str = "content") -> DataFrame:
+    """Embedded-parquet binary files -> PCDM rows (reference
+    ssip_pi_binary_file_to_pcdm.py:80-135, which does groupBy(path)
+    .applyInPandas one file per group). The engine uses mapInPandas instead:
+    no shuffle at all — each input partition's files are decoded in place
+    with pyarrow over the Arrow batch, and a partition can hold many files
+    (the reference's groupBy forces a shuffle AND caps parallelism at the
+    file count). ValueType falls back to the parquet Value column's physical
+    type (int16/int32 -> 'integer') exactly like the reference."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    out_schema = (
+        "EventDate DATE, TagName STRING, EventTime TIMESTAMP, Status STRING, "
+        "Value STRING, ValueType STRING, ChangeType STRING"
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for blob in pdf[binary_col]:
+                if blob is None:
+                    continue
+                try:
+                    table = pq.read_table(pa.py_buffer(bytes(blob)))
+                except Exception:  # malformed file -> skip, as the reference does
+                    continue
+                out = table.to_pandas()
+                if "ValueType" not in out.columns:
+                    vt = str(table.schema.field("Value").type)
+                    if vt in ("int16", "int32"):
+                        vt = "integer"
+                    out["ValueType"] = vt
+                if "ChangeType" not in out.columns:
+                    out["ChangeType"] = "insert"
+                out["EventDate"] = pd.to_datetime(out["EventTime"]).dt.date
+                out["Value"] = out["Value"].astype(str)
+                frames.append(
+                    out[["EventDate", "TagName", "EventTime", "Status", "Value", "ValueType", "ChangeType"]]
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return df.select(binary_col).mapInPandas(decode, schema=out_schema)
+
+
+def pyspark_to_pandas(df: DataFrame):
+    """Reference pyspark_to_pandas.py:76 — driver materialization via Arrow
+    (spark.sql.execution.arrow.pyspark.enabled is set by session.get_spark).
+    Driver-side by definition; only for small result sets."""
+    return df.toPandas()
+
+
+def pandas_to_pyspark(spark, pdf) -> DataFrame:
+    """Reference pandas_to_pyspark.py — createDataFrame over Arrow."""
+    return spark.createDataFrame(pdf)

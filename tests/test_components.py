@@ -354,3 +354,145 @@ def test_fledge_and_edgex_transformers(spark):
     assert out["ok"]["ValueType"] == "bool"
     # ns origin -> exact microsecond event time (no float rounding)
     assert out["flow"]["EventTime"] == _ts("2024-03-01 00:00:00.123456")
+
+
+def test_aio_transformer(spark):
+    body = json.dumps(
+        {
+            "Payload": json.dumps(
+                {
+                    "tag1": {"SourceTimestamp": "2024-01-01T00:00:01.500000+00:00", "Value": "4.5"},
+                    "tag2": {"SourceTimestamp": "2024-01-01T00:00:02+00:00", "Value": "open"},
+                }
+            )
+        }
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    out = {r["TagName"]: r for r in tr.aio_json_to_pcdm(df).collect()}
+    assert out["tag1"]["ValueType"] == "float" and out["tag1"]["Value"] == "4.5"
+    assert out["tag2"]["ValueType"] == "string"
+    assert out["tag1"]["EventTime"] == _ts("2024-01-01 00:00:01.500")
+    assert out["tag2"]["Status"] == "Good" and out["tag2"]["ChangeType"] == "insert"
+
+
+def test_honeywell_apm_roundtrip(spark):
+    body = json.dumps(
+        {
+            "SystemTimeSeries": {
+                "Id": "s",
+                "Samples": [
+                    {"ItemName": "T1", "Time": "2024-01-01T01:02:03+00:00", "Value": "7.25"},
+                    {"ItemName": "T2", "Time": "2024-01-01 01:02:04", "Value": "hi"},
+                ],
+            }
+        }
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = {r["TagName"]: r for r in tr.honeywell_apm_to_pcdm(df).collect()}
+    assert rows["T1"]["ValueType"] == "float"
+    assert rows["T2"]["ValueType"] == "string"
+    assert rows["T2"]["EventTime"] == _ts("2024-01-01 01:02:04")
+
+    pcdm = spark.createDataFrame(
+        [
+            ("T1", _ts("2024-01-01 00:00:01"), "Good", "1.0"),
+            ("T1", _ts("2024-01-01 00:00:02"), "Good", "2.0"),
+            ("T1", _ts("2024-01-01 00:00:03"), "Good", "3.0"),
+            ("T2", _ts("2024-01-01 00:00:01"), "Good", "9.0"),
+        ],
+        "TagName string, EventTime timestamp, Status string, Value string",
+    )
+    # batching: 3 T1 rows at 2/message -> 2 messages; 1 T2 row -> 1 message
+    out = tr.pcdm_to_honeywell_apm(
+        pcdm, history_samples_per_message=2, created_time="2024-06-01 00:00:00"
+    ).collect()
+    assert len(out) == 3
+    by_pk = {}
+    for r in out:
+        by_pk.setdefault(r["partitionKey"], []).append(r)
+    assert sorted(len(v) for v in by_pk.values()) == [1, 2]
+    body_val = json.loads(out[0]["CloudPlatformEvent"]["Body"]["value"])
+    assert set(body_val) == {"SystemGuid", "HistorySamples"}
+    assert body_val["SystemGuid"] == out[0]["partitionKey"]
+    # deterministic: same input -> identical Ids (replay-safe, unlike uuid())
+    out2 = tr.pcdm_to_honeywell_apm(
+        pcdm, history_samples_per_message=2, created_time="2024-06-01 00:00:00"
+    ).collect()
+    assert sorted(r["CloudPlatformEvent"]["Id"] for r in out) == sorted(
+        r["CloudPlatformEvent"]["Id"] for r in out2
+    )
+
+
+def test_mirico_transformer_tag_assembly(spark):
+    body = json.dumps(
+        {
+            "timeStamp": "2024-01-01 00:00:05",
+            "siteName": "siteA",
+            "gasType": "ch4",
+            "retroName": "r9",
+            "gasPpm": "1.25",
+        }
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    rows = {r["TagName"]: r for r in tr.mirico_json_to_pcdm(df).collect()}
+    assert "SITEA_R9_GASPPM_CH4" in rows
+    assert rows["SITEA_R9_GASPPM_CH4"]["ValueType"] == "float"
+    assert rows["SITEA_R9_SITENAME"]["ValueType"] == "string"
+    assert rows["SITEA_R9_GASTYPE"]["Value"] == "ch4"
+    pref = {r["TagName"] for r in tr.mirico_json_to_pcdm(df, tagname_field="mz").collect()}
+    assert "MZ:SITEA_R9_GASPPM_CH4" in pref
+
+
+def test_sem_transformer_vector_positions(spark):
+    body = json.dumps(
+        {
+            "apiVersion": "v2",
+            "readings": [
+                {"resourceName": "dID", "value": "dev7"},
+                {"resourceName": "d", "value": "[10,11,12]"},
+                {"resourceName": "t", "value": "1704067200500"},
+            ],
+        }
+    )
+    df = spark.createDataFrame([(body,)], "body string")
+    mapping = {0: ("a", "float"), 1: ("b", "integer"), 2: ("c", "string")}
+    rows = {r["TagName"]: r for r in tr.sem_json_to_pcdm(df, mapping).collect()}
+    assert rows["dev7:a"]["Value"] == "10" and rows["dev7:a"]["ValueType"] == "float"
+    assert rows["dev7:c"]["Value"] == "12"
+    # '<epoch10><frac>' -> exact 500ms fraction
+    assert rows["dev7:b"]["EventTime"] == _ts("2024-01-01 00:00:00.500")
+
+
+def test_ssip_binary_parquet_decode_skips_malformed(spark):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "TagName": ["A", "A"],
+            "EventTime": pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:02"]),
+            "Status": ["Good", "Good"],
+            "Value": pd.array([1, 2], dtype="int32"),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), buf)
+    df = spark.createDataFrame(
+        [(bytearray(buf.getvalue()),), (bytearray(b"not parquet"),)], "content binary"
+    )
+    out = tr.ssip_binary_parquet_to_pcdm(df, "content").collect()
+    assert len(out) == 2  # malformed blob skipped, not fatal
+    r = sorted(out, key=lambda r: r["EventTime"])[0]
+    # ValueType falls back to the parquet physical type: int32 -> integer
+    assert r["ValueType"] == "integer" and r["Value"] == "1"
+    assert r["EventDate"] == r["EventTime"].date()
+    assert r["ChangeType"] == "insert"
+
+
+def test_pandas_bridges(spark):
+    pdf = pd.DataFrame({"a": [1, 2]})
+    sdf = tr.pandas_to_pyspark(spark, pdf)
+    back = tr.pyspark_to_pandas(sdf.orderBy("a"))
+    assert back["a"].tolist() == [1, 2]
