@@ -537,3 +537,64 @@ def missing_data_pattern(
         .distinct()
     )
     return expected.join(matched, [TAG, "expected_time"], "left_anti")
+
+
+def kmeans_binning(
+    df: DataFrame,
+    spec: TSSpec,
+    k: int,
+    max_iter: int = 20,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """1-D Lloyd's k-means over the value column — the reference's k-means
+    DataBinning (data_binning.py:21-70, pyspark.ml KMeans on a single
+    column) as a pure DataFrame program with deterministic initialization.
+
+    Each iteration is one tiny shuffle: assign (pure projection against k
+    broadcast centroid literals — in 1-D the nearest centroid is decided by
+    the k-1 midpoint boundaries, so assignment is a running comparison sum,
+    no distance matrix) then groupBy(bin).avg to re-estimate. Only k rows
+    ever reach the driver per iteration, so the loop costs k·max_iter driver
+    bytes however large the table is. Init = exact percentiles at
+    (2i+1)/2k, which is reproducible across engines and partitionings
+    (pyspark.ml's k-means|| init is seed- and partition-order-dependent —
+    useless for a cross-engine-checkable pipeline).
+
+    Returns the scanned rows with their final ``bin`` (0..k-1, bins ordered
+    by centroid) and the bin's ``centroid`` value.
+    """
+    base = scan(df, spec)
+    qs = [(2 * i + 1) / (2.0 * k) for i in range(k)]
+    first = base.agg(F.percentile(VAL, F.array(*[F.lit(q) for q in qs]))).first()
+    centroids = sorted(float(c) for c in first[0])
+
+    def assign_expr(cents: list[float]):
+        # bin = #boundaries below the value; boundaries = adjacent midpoints
+        bounds = [(cents[i] + cents[i + 1]) / 2.0 for i in range(len(cents) - 1)]
+        e = F.lit(0)
+        for b in bounds:
+            e = e + F.when(F.col(VAL) > F.lit(b), 1).otherwise(0)
+        return e.cast("long")
+
+    base = base.persist()
+    try:
+        for _ in range(max_iter):
+            est = (
+                base.withColumn("bin", assign_expr(centroids))
+                .groupBy("bin")
+                .agg(F.avg(VAL).alias("c"))
+                .collect()
+            )
+            got = {int(r["bin"]): float(r["c"]) for r in est}
+            new = [got.get(i, centroids[i]) for i in range(k)]  # empty bin keeps its centroid
+            new = sorted(new)
+            shift = max(abs(a - b) for a, b in zip(new, centroids))
+            centroids = new
+            if shift <= tol:
+                break
+    finally:
+        base.unpersist()
+
+    cent_arr = F.array(*[F.lit(c) for c in centroids])
+    out = scan(df, spec).withColumn("bin", assign_expr(centroids))
+    return out.withColumn("centroid", F.element_at(cent_arr, F.col("bin").cast("int") + 1))

@@ -919,3 +919,92 @@ def asof_join(
         F.col(f"__m.{prefix}ts").alias(f"{prefix}ts"),
         *[F.col(f"__m.{prefix}{c}").alias(f"{prefix}{c}") for c in value_cols],
     )
+
+
+def ar_auto_forecast(
+    df: DataFrame,
+    spec: TSSpec,
+    every_seconds: int,
+    max_p: int = 3,
+    horizon_steps: int = 1,
+    start: str | None = None,
+    end: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-tag AR(p) with automatic order selection by AICc — the engine's
+    distributed analog of the reference's ArimaAutoPrediction
+    (forecasting/spark/auto_arima.py:23, a driver-side statsmodels
+    auto_arima loop over tags; SURVEY §2.11). The differencing/MA terms are
+    out of scope (as in :func:`ar1_forecast`); order selection is the part
+    auto_arima actually adds.
+
+    Shape: exact-decimal resample (order-independent bucket means) →
+    ONE applyInPandas per tag. Tags fan out across executors; inside each
+    group the candidate fits for p = 1..max_p are closed-form least squares
+    on lagged design matrices (numpy lstsq, vectorized — never a per-row
+    loop), scored by AICc, and the winner forecasts ``horizon_steps``
+    recursively. State per task is O(series length), the same bound the
+    resample output already has.
+
+    Returns one row per tag: chosen order, AICc, coefficients (intercept
+    first), and the h-step forecast path.
+    """
+    import numpy as np
+    import pandas as _pd
+
+    s = resample(
+        df, spec, every_seconds, "avg", start, end,
+        round_digits=None, exact_decimals=2,
+    )
+
+    def fit(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values(TS)
+        y = pdf[VAL].to_numpy(dtype=np.float64)
+        tag = pdf[TAG].iloc[0]
+        best = None
+        for p in range(1, max_p + 1):
+            n = len(y) - p
+            if n <= p + 2:  # AICc denominator (n - k - 1) must stay positive
+                continue
+            X = np.column_stack(
+                [np.ones(n)] + [y[p - j - 1 : p - j - 1 + n] for j in range(p)]
+            )
+            target = y[p:]
+            coef, *_ = np.linalg.lstsq(X, target, rcond=None)
+            rss = float(np.sum((target - X @ coef) ** 2))
+            kparams = p + 1
+            aicc = (
+                n * np.log(max(rss, 1e-300) / n)
+                + 2 * kparams
+                + (2.0 * kparams * (kparams + 1)) / (n - kparams - 1)
+            )
+            if best is None or aicc < best[0]:
+                best = (float(aicc), p, coef)
+        if best is None:
+            return _pd.DataFrame(
+                {"tagname": [tag], "p": [0], "aicc": [np.nan],
+                 "coef": [[]], "forecast": [[]]}
+            )
+        aicc, p, coef = best
+        hist = list(y)
+        fc = []
+        for _ in range(horizon_steps):
+            nxt = coef[0] + float(
+                np.dot(coef[1:], np.array(hist[-1 : -p - 1 : -1], dtype=np.float64))
+            )
+            fc.append(round(nxt, round_digits))
+            hist.append(nxt)
+        return _pd.DataFrame(
+            {
+                "tagname": [tag],
+                "p": [p],
+                "aicc": [round(aicc, round_digits)],
+                "coef": [[round(float(c), 8) for c in coef]],
+                "forecast": [fc],
+            }
+        )
+
+    return s.groupBy(TAG).applyInPandas(
+        fit,
+        schema="tagname string, p int, aicc double, coef array<double>, forecast array<double>",
+    )

@@ -1826,6 +1826,80 @@ FROM events
 """
 
 
+
+def q_dq_kmeans_binning(spark, sf_dir):
+    """k-means DataBinning (dq.kmeans_binning, reference data_binning.py:21):
+    deterministic percentile init + Lloyd iterations as tiny groupBy shuffles.
+    Rows-only (converged centroids are not one-shot-SQL-expressible); the
+    nearest-centroid and centroid-mean invariants are asserted in
+    tests/test_dq_extra.py."""
+    return dq.kmeans_binning(_load(spark, sf_dir, "events"), EVENTS_SPEC, k=4)
+
+
+def q_ts_ar_auto(spark, sf_dir):
+    """Auto-order AR(p) by AICc (ts.ar_auto_forecast, reference
+    auto_arima.py:23): per-tag applyInPandas closed-form fits. Rows-only;
+    order-recovery and AR(1)-agreement tests in tests/test_trend_corr.py."""
+    return ts.ar_auto_forecast(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 21600, max_p=3,
+        start=START, end=END,
+    )
+
+
+def q_transform_opcae(spark, sf_dir):
+    """OPC Publisher A&E flatten (transformers.opcae_json_to_rows, reference
+    opc_publisher_opcae_json_to_pcdm.py:102-170): double-encoded JSON (array
+    of event strings), per-condition {Value, SourceTimestamp} structs
+    flattened to columns, Time through the ts ladder."""
+    from . import transformers as tr
+
+    fields = [
+        ("ConditionId", "string"),
+        ("ActiveState/Id", "boolean"),
+        ("Severity", "long"),
+        ("Message", "string"),
+        ("Time", "string"),
+    ]
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    fv = lambda v: F.struct(v.alias("Value"))
+    inner = F.to_json(
+        F.struct(
+            F.col("event_type").alias("NodeId"),
+            F.concat(F.lit("dsp-"), "event_type").alias("DisplayName"),
+            F.struct(
+                fv(F.concat(F.lit("c"), k.cast("string"))).alias("ConditionId"),
+                fv((k % 2 == 0)).alias("ActiveState/Id"),
+                fv(k * 10).alias("Severity"),
+                fv(F.col("event_type")).alias("Message"),
+                fv(iso).alias("Time"),
+            ).alias("Value"),
+        )
+    )
+    body = F.to_json(F.array(inner))
+    out = tr.opcae_json_to_rows(ev.select(body.alias("body")), fields=fields)
+    return out.select(
+        F.col("NodeId").alias("node_id"),
+        F.col("DisplayName").alias("display_name"),
+        F.col("ConditionId").alias("condition_id"),
+        F.col("`ActiveState/Id`").alias("active_id"),
+        F.col("Severity").alias("severity"),
+        F.col("Message").alias("message"),
+        F.col("EventTime").alias("event_time"),
+    )
+
+
+SQL_TRANSFORM_OPCAE = """
+WITH e AS (SELECT ts, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk FROM events)
+SELECT event_type AS node_id, 'dsp-' || event_type AS display_name,
+       'c' || CAST(kk AS VARCHAR) AS condition_id,
+       (kk % 2 = 0) AS active_id, kk * 10 AS severity,
+       event_type AS message, ts AS event_time
+FROM e
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -1904,6 +1978,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_apm_out": q_transform_apm_out,
     "transform_sem_pcdm": q_transform_sem_pcdm,
     "transform_ssip_binary": q_transform_ssip_binary,
+    "dq_kmeans_binning": q_dq_kmeans_binning,
+    "ts_ar_auto": q_ts_ar_auto,
+    "transform_opcae": q_transform_opcae,
 }
 
 ORACLES: dict[str, str] = {
@@ -1964,4 +2041,5 @@ ORACLES: dict[str, str] = {
     "transform_apm_out": SQL_TRANSFORM_APM_OUT,
     "transform_sem_pcdm": SQL_TRANSFORM_SEM_PCDM,
     "transform_ssip_binary": SQL_TRANSFORM_SSIP_BINARY,
+    "transform_opcae": SQL_TRANSFORM_OPCAE,
 }

@@ -622,3 +622,104 @@ def pyspark_to_pandas(df: DataFrame):
 def pandas_to_pyspark(spark, pdf) -> DataFrame:
     """Reference pandas_to_pyspark.py — createDataFrame over Arrow."""
     return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# OPC Publisher Alarms & Events envelope (opc_publisher_opcae_json_to_pcdm.py:
+# 102-170; OPC_PUBLISHER_AE_SCHEMA, _pipeline_utils/spark.py:255-…): each
+# condition field is a {Value, SourceTimestamp} struct; the transformer
+# flattens every condition's .Value into a column.
+# ---------------------------------------------------------------------------
+
+# (field name, Spark type of Value) — the reference schema's field list
+OPCAE_CONDITION_FIELDS: list[tuple[str, str]] = [
+    ("ConditionId", "string"),
+    ("AckedState", "string"),
+    ("AckedState/FalseState", "string"),
+    ("AckedState/Id", "boolean"),
+    ("AckedState/TrueState", "string"),
+    ("ActiveState", "string"),
+    ("ActiveState/FalseState", "string"),
+    ("ActiveState/Id", "boolean"),
+    ("ActiveState/TrueState", "string"),
+    ("EnabledState", "string"),
+    ("EnabledState/FalseState", "string"),
+    ("EnabledState/Id", "boolean"),
+    ("EnabledState/TrueState", "string"),
+    ("EventId", "string"),
+    ("EventType", "string"),
+    ("HighHighLimit", "double"),
+    ("HighLimit", "double"),
+    ("InputNode", "string"),
+    ("LowLimit", "double"),
+    ("LowLowLimit", "double"),
+    ("Message", "string"),
+    ("Quality", "string"),
+    ("ReceiveTime", "string"),
+    ("Retain", "boolean"),
+    ("Severity", "long"),
+    ("SourceName", "string"),
+    ("SourceNode", "string"),
+    ("Time", "string"),
+]
+
+
+def _opcae_schema(fields: list[tuple[str, str]]) -> T.StructType:
+    cond = T.StructType(
+        [
+            T.StructField(
+                name,
+                T.StructType(
+                    [
+                        T.StructField("Value", getattr(T, "StringType")()
+                                      if typ == "string" else
+                                      T.BooleanType() if typ == "boolean" else
+                                      T.DoubleType() if typ == "double" else
+                                      T.LongType()),
+                        T.StructField("SourceTimestamp", T.TimestampType()),
+                    ]
+                ),
+            )
+            for name, typ in fields
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("NodeId", T.StringType()),
+            T.StructField("EndpointUrl", T.StringType()),
+            T.StructField("DisplayName", T.StringType()),
+            T.StructField("Value", cond),
+        ]
+    )
+
+
+def opcae_json_to_rows(
+    df: DataFrame,
+    source_col: str = "body",
+    fields: list[tuple[str, str]] | None = None,
+    where: str | None = None,
+    timestamp_formats: list[str] | None = None,
+) -> DataFrame:
+    """OPC Publisher A&E JSON -> flat alarm/event rows
+    (opc_publisher_opcae_json_to_pcdm.py:102-170): the message body is a
+    JSON array of condition-event strings; explode it, parse each with the
+    declared schema, flatten every condition field's .Value, and parse
+    Value.Time through the multi-format ladder into EventTime. ``where``
+    applies the reference's optional pre-parse filter on the raw event
+    string."""
+    fields = fields or OPCAE_CONDITION_FIELDS
+    fmts = timestamp_formats or _TS_FORMATS
+    ev = df.withColumn(
+        "__e", F.explode(F.from_json(F.col(source_col).cast("string"), "array<string>"))
+    )
+    if where is not None:
+        ev = ev.where(where)
+    ev = ev.withColumn("__m", F.from_json(F.col("__e"), _opcae_schema(fields)))
+    cols = [F.col("__m.NodeId").alias("NodeId"), F.col("__m.DisplayName").alias("DisplayName")]
+    for name, _ in fields:
+        if name == "Time":
+            continue
+        cols.append(F.col("__m.Value").getField(name).getField("Value").alias(name))
+    time_raw = F.col("__m.Value").getField("Time").getField("Value")
+    ts = F.coalesce(*[F.try_to_timestamp(time_raw, F.lit(f)) for f in fmts])
+    return ev.select(*cols, ts.alias("EventTime"))

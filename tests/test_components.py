@@ -496,3 +496,35 @@ def test_pandas_bridges(spark):
     sdf = tr.pandas_to_pyspark(spark, pdf)
     back = tr.pyspark_to_pandas(sdf.orderBy("a"))
     assert back["a"].tolist() == [1, 2]
+
+
+def test_opcae_flatten(spark):
+    inner = json.dumps(
+        {
+            "NodeId": "n1",
+            "DisplayName": "alarm-1",
+            "Value": {
+                "ConditionId": {"Value": "c9"},
+                "ActiveState/Id": {"Value": True},
+                "Severity": {"Value": 700},
+                "Message": {"Value": "high temp"},
+                "Time": {"Value": "2024-01-01T00:00:09.500000+00:00"},
+            },
+        }
+    )
+    body = json.dumps([inner])
+    df = spark.createDataFrame([(body,)], "body string")
+    fields = [
+        ("ConditionId", "string"),
+        ("ActiveState/Id", "boolean"),
+        ("Severity", "long"),
+        ("Message", "string"),
+        ("Time", "string"),
+    ]
+    r = tr.opcae_json_to_rows(df, fields=fields).collect()[0]
+    assert r["NodeId"] == "n1" and r["DisplayName"] == "alarm-1"
+    assert r["ConditionId"] == "c9" and r["ActiveState/Id"] is True
+    assert r["Severity"] == 700 and r["Message"] == "high temp"
+    assert r["EventTime"] == _ts("2024-01-01 00:00:09.500")
+    # where-filter applies pre-parse on the raw event string
+    assert tr.opcae_json_to_rows(df, fields=fields, where="__e NOT LIKE '%n1%'").count() == 0

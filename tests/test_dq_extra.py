@@ -18,6 +18,10 @@ def _mk(spark, rows):
     return spark.createDataFrame(rows, "tag string, ts timestamp, v double")
 
 
+T0 = dt.datetime(2024, 1, 1)
+timedelta = dt.timedelta
+
+
 def _t(s):
     return dt.datetime.fromisoformat(s)
 
@@ -110,3 +114,34 @@ def test_exp_smooth_recurrence(spark):
     got = [r["level"] for r in out]
     assert got == pytest.approx(expect)
     assert all(r["forecast"] == pytest.approx(expect[-1]) for r in out)
+
+
+def test_kmeans_binning_invariants(spark):
+    # three well-separated 1-D clusters; k=3 must find them
+    vals = [1.0, 1.2, 0.8, 10.0, 10.3, 9.7, 50.0, 49.5, 50.5]
+    rows = [("a", T0 + timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    out = dq.kmeans_binning(_mk(spark, rows), SPEC, k=3).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r)
+    assert len(by_bin) == 3
+    # centroid of each bin == mean of its members (Lloyd fixed point)
+    for b, rs in by_bin.items():
+        mean = sum(r["value"] for r in rs) / len(rs)
+        assert rs[0]["centroid"] == pytest.approx(mean, abs=1e-9)
+    # every point is nearer its own centroid than any other
+    cents = sorted({r["centroid"] for r in out})
+    for r in out:
+        own = abs(r["value"] - r["centroid"])
+        assert all(own <= abs(r["value"] - c) + 1e-12 for c in cents)
+    # bins ordered by centroid: cluster around 1 -> bin 0, around 50 -> bin 2
+    assert by_bin[0][0]["centroid"] == pytest.approx(1.0, abs=0.3)
+    assert by_bin[2][0]["centroid"] == pytest.approx(50.0, abs=0.5)
+
+
+def test_kmeans_binning_deterministic(spark):
+    vals = [float((i * 37) % 101) for i in range(60)]
+    rows = [("a", T0 + timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    a = sorted((r["event_time"], r["bin"]) for r in dq.kmeans_binning(_mk(spark, rows), SPEC, k=4).collect())
+    b = sorted((r["event_time"], r["bin"]) for r in dq.kmeans_binning(_mk(spark, rows), SPEC, k=4).collect())
+    assert a == b

@@ -79,3 +79,43 @@ def test_ar1_buckets_before_fitting(spark):
     ]
     r = ts.ar1_forecast(_mk(spark, rows), SPEC, 3600).collect()[0]
     assert r["y_last"] == pytest.approx(3.0)
+
+
+def test_ar_auto_recovers_order_two(spark):
+    # y_t = 10 + 0.5 y_{t-1} + 0.3 y_{t-2} + tiny deterministic ripple;
+    # AICc must pick p=2 and recover the coefficients. Values are rounded
+    # to 2 decimals up front so the exact-decimal resample is an identity.
+    import math
+
+    y = [50.0, 55.0]
+    for i in range(2, 240):
+        y.append(round(10 + 0.5 * y[-1] + 0.3 * y[-2] + 0.01 * math.sin(i), 2))
+    rows = [("a", T0 + timedelta(minutes=i), v) for i, v in enumerate(y)]
+    out = ts.ar_auto_forecast(_mk(spark, rows), SPEC, every_seconds=60, max_p=3,
+                              horizon_steps=2)
+    r = out.collect()[0]
+    assert r["p"] == 2
+    assert r["coef"][1] == pytest.approx(0.5, abs=0.05)
+    assert r["coef"][2] == pytest.approx(0.3, abs=0.05)
+    # recursive forecast from the fitted model continues the recurrence
+    assert r["forecast"][0] == pytest.approx(10 + 0.5 * y[-1] + 0.3 * y[-2], abs=0.2)
+    assert len(r["forecast"]) == 2
+
+
+def test_ar_auto_on_ar1_prefers_order_one_and_matches_ar1(spark):
+    y = [20.0]
+    for i in range(1, 200):
+        y.append(round(5 + 0.7 * y[-1] + 0.02 * ((i * 7919) % 11 - 5), 2))
+    rows = [("a", T0 + timedelta(minutes=i), v) for i, v in enumerate(y)]
+    auto = ts.ar_auto_forecast(_mk(spark, rows), SPEC, every_seconds=60, max_p=3)
+    r = auto.collect()[0]
+    assert r["p"] == 1
+    ar1 = ts.ar1_forecast(_mk(spark, rows), SPEC, every_seconds=60).collect()[0]
+    assert r["coef"][1] == pytest.approx(ar1["phi"], abs=1e-3)
+    assert r["forecast"][0] == pytest.approx(ar1["forecast"], abs=0.05)
+
+
+def test_ar_auto_short_series_degrades(spark):
+    rows = [("a", T0 + timedelta(minutes=i), float(i)) for i in range(3)]
+    r = ts.ar_auto_forecast(_mk(spark, rows), SPEC, every_seconds=60).collect()[0]
+    assert r["p"] == 0 and r["forecast"] == []
