@@ -78,14 +78,19 @@ def run_batch(sf_dir: str, cores: int) -> dict[str, float]:
     return times
 
 
-def _job_cmd(cores: int, n_clips: int, work: str, in_dir: str) -> list[str]:
+def _job_cmd(
+    cores: int, n_clips: int, work: str, in_dir: str, files_per_trigger: int = 112
+) -> list[str]:
+    batches = max(1, 336 // files_per_trigger)  # input is written as 336 files
     return [
         sys.executable, "-m", "core_spark.streaming.job",
         "--cores", str(cores), "--mode", "tumbling", "--salt", "8",
         "--n-clips", str(n_clips), "--work", work,
-        # 480k clips (112 x ~19MB files) per micro-batch: big enough to
-        # amortize per-batch overhead, small enough for sane window-close p99
-        "--input", in_dir, "--batches", "3", "--files-per-trigger", "112",
+        # throughput mode: 480k clips (112 x ~19MB files) per micro-batch —
+        # big enough to amortize per-batch overhead; latency mode passes a
+        # smaller files_per_trigger for many short batches over the SAME input
+        "--input", in_dir, "--batches", str(batches),
+        "--files-per-trigger", str(files_per_trigger),
     ]
 
 
@@ -142,6 +147,17 @@ def run_scaling(n_clips: int) -> dict:
         ):
             best_lo = dict(best_lo, clips_per_sec_steady=r["clips_per_sec_steady"])
 
+    # latency mode (one run): same job + input, 28-file micro-batches
+    # (~120k clips each). The availableNow drain's batch duration is the
+    # window-close latency proxy, so the trigger size IS the latency knob;
+    # this run shows where the engine sits when tuned for latency instead
+    # of throughput (production equivalent: maxFilesPerTrigger / a
+    # processingTime trigger sized to the ingest rate).
+    lat = _run_job(
+        _job_cmd(n_lo, n_clips, os.path.join(work, "lat"), in_dir, files_per_trigger=28)
+    )
+    print(f"  streaming latency-mode 1x local[{n_lo}]: {lat}", file=sys.stderr)
+
     # level 4N: fleet of 4 concurrent executors
     from concurrent.futures import ThreadPoolExecutor
 
@@ -183,6 +199,12 @@ def run_scaling(n_clips: int) -> dict:
         ),
         "batch_ms_p99_hi": best_fleet.get("batch_ms_p99"),
         "batch_ms_p50_hi": best_fleet.get("batch_ms_p50"),
+        "latency_mode": {
+            "clips_per_sec": lat["clips_per_sec"],
+            "n_batches": lat["n_batches"],
+            "batch_ms_p50": lat["batch_ms_p50"],
+            "batch_ms_p99": lat["batch_ms_p99"],
+        },
     }
 
 
@@ -245,6 +267,18 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             " (window-close latency proxy: a window's rows commit with the"
             " micro-batch that closes it)",
         ]
+        lat = scaling.get("latency_mode")
+        if lat:
+            lines += [
+                "",
+                "Latency mode (same job + input, 28-file ~120k-clip"
+                " micro-batches instead of 112-file — the trigger size is the"
+                " latency knob; production equivalent is maxFilesPerTrigger /"
+                f" a processingTime trigger): 1x local[{lo}] sustains"
+                f" {lat['clips_per_sec']} clips/sec across"
+                f" {lat['n_batches']} micro-batches with window-close"
+                f" p50/p99 ms = {lat['batch_ms_p50']} / {lat['batch_ms_p99']}.",
+            ]
     if kept_scaling_md:
         lines += ["", kept_scaling_md]
     with open(md_path, "w") as f:

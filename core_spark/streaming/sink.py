@@ -141,11 +141,25 @@ class MergeSink:
             upserts = batch.filter(
                 F.coalesce(F.col(self.op_col) != self.delete_value, F.lit(True))
             ).drop(self.op_col)
-        if self._table_exists():
-            # partition-pruned read of only the partitions this batch touches;
+        # merge only against partitions that BOTH this batch touches AND
+        # already hold data — in time-ordered ingest most micro-batches open
+        # brand-new (hour) partitions, and for those the merge devolves to a
+        # pure append: no read, no anti-join, no materialization barrier.
+        # (Iceberg MERGE makes the same skip from partition-level stats.)
+        existing_parts = [
+            p
+            for p in parts
+            if os.path.isdir(
+                os.path.join(self._data_dir(), f"{self.partition_col}={p}")
+            )
+        ]
+        if existing_parts:
+            # partition-pruned read of only the overlapping partitions;
             # ALL batch keys (incl. deletes) are anti-joined out, then only
             # the upsert rows come back in
-            existing = self.read(spark).filter(F.col(self.partition_col).isin(parts))
+            existing = self.read(spark).filter(
+                F.col(self.partition_col).isin(existing_parts)
+            )
             keep = existing.join(
                 F.broadcast(batch.select(self.key_cols)), self.key_cols, "left_anti"
             )
