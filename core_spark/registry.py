@@ -1900,6 +1900,326 @@ FROM e
 """
 
 
+
+# ---------------------------------------------------------------- ML features
+
+
+def q_ml_one_hot(spark, sf_dir):
+    """One-hot encoding (ml.one_hot_encode, reference
+    one_hot_encoding.py:117-135): indicator columns over the explicit value
+    vocabulary — one projection, no per-value withColumn chain."""
+    from . import ml
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "event_type")
+    out = ml.one_hot_encode(
+        ev, "event_type", values=["click", "error", "purchase", "signup", "view"]
+    )
+    return out
+
+
+SQL_ML_ONE_HOT = """
+SELECT event_id, event_type,
+       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS event_type_click,
+       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS event_type_error,
+       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS event_type_purchase,
+       CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS event_type_signup,
+       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type_view
+FROM events
+"""
+
+
+def q_ml_poly_features(spark, sf_dir):
+    """Vector assembly + polynomial expansion (ml.columns_to_vector +
+    ml.polynomial_expand; reference columns_to_vector.py:71-86 and
+    polynomial_features.py:89-110): degree-2 expansion of (x, y) in MLlib
+    order (x, x^2, y, xy, y^2), posexploded to one row per feature so the
+    oracle checks every monomial bit-for-bit."""
+    from . import ml
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", F.col("value").alias("x"), (F.col("value") / F.lit(100.0)).alias("y")
+    )
+    vec = ml.columns_to_vector(ev, ["x", "y"], "vec")
+    out = ml.polynomial_expand(vec, "vec", "feats", degree=2, n_features=2)
+    return out.select("event_id", F.posexplode("feats")).select(
+        "event_id", F.col("pos").alias("pos"), F.col("col").alias("feature")
+    )
+
+
+SQL_ML_POLY_FEATURES = """
+WITH e AS (SELECT event_id, value AS x, value / 100.0 AS y FROM events)
+SELECT event_id, 0 AS pos, x AS feature FROM e
+UNION ALL SELECT event_id, 1, x * x FROM e
+UNION ALL SELECT event_id, 2, y FROM e
+UNION ALL SELECT event_id, 3, x * y FROM e
+UNION ALL SELECT event_id, 4, y * y FROM e
+"""
+
+
+# ------------------------------------------------------------ MDM transformers
+
+
+def q_transform_caiso_mdm(spark, sf_dir):
+    """CAISO raw -> MDM usage rows (mdm.raw_to_mdm + mdm.CAISO_SPEC,
+    reference caiso_to_mdm.py:54-72 over base_raw_to_mdm.py:157-257): one
+    cast-typed projection instead of the reference's withColumn chain +
+    createDataFrame(df.rdd) round-trip."""
+    from . import mdm
+
+    ev = _load(spark, sf_dir, "events")
+    raw = ev.select(
+        F.date_trunc("hour", "ts").alias("StartTime"),
+        F.col("event_type").alias("TacAreaName"),
+        F.col("value").alias("Load"),
+    )
+    out = mdm.raw_to_mdm(raw, mdm.CAISO_SPEC, "usage")
+    return out.select(
+        F.col("Uid").alias("uid"),
+        F.col("SeriesId").alias("series_id"),
+        F.col("Timestamp").alias("ts_start"),
+        F.col("IntervalTimestamp").alias("ts_end"),
+        F.col("Value").alias("value"),
+    )
+
+
+SQL_TRANSFORM_CAISO_MDM = """
+SELECT event_type AS uid, 'series_std_001' AS series_id,
+       date_trunc('hour', ts) AS ts_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS ts_end,
+       value
+FROM events
+"""
+
+_ERCOT_ZONES = [
+    "Coast", "East", "FarWest", "North", "NorthCentral",
+    "SouthCentral", "Southern", "West", "SystemTotal",
+]
+
+
+def q_transform_ercot_mdm(spark, sf_dir):
+    """ERCOT wide raw -> MDM meta rows (mdm.raw_to_mdm + mdm.ERCOT_SPEC,
+    reference ercot_to_mdm.py:54-97): native unpivot of the nine zone
+    columns (one Expand node vs the reference's explode-of-struct melt),
+    StartTime reassembled from Date + HourEnding, meta constants + enum
+    literals (SeriesType.Hour=64, ModelType.Default=1, ValueType.Usage=16)."""
+    from . import mdm
+
+    ev = _load(spark, sf_dir, "events")
+    raw = ev.select(
+        F.date_trunc("day", "ts").alias("Date"),
+        F.concat(F.hour("ts").cast("string"), F.lit(":00")).alias("HourEnding"),
+        F.lit("N").alias("DstFlag"),
+        *[(F.col("value") + F.lit(float(i))).alias(z) for i, z in enumerate(_ERCOT_ZONES)],
+    )
+    out = mdm.raw_to_mdm(raw, mdm.ERCOT_SPEC, "meta")
+    return out.select(
+        F.col("Uid").alias("uid"),
+        F.col("SeriesId").alias("series_id"),
+        F.col("SeriesParentId").alias("series_parent_id"),
+        F.col("Name").alias("name"),
+        F.col("Uom").alias("uom"),
+        F.col("Description").alias("description"),
+        F.col("TimestampStart").alias("ts_start"),
+        F.col("TimestampEnd").alias("ts_end"),
+        F.col("Timezone").alias("tz"),
+        F.col("Version").alias("version"),
+        F.col("SeriesType").alias("series_type"),
+        F.col("ModelType").alias("model_type"),
+        F.col("ValueType").alias("value_type"),
+    )
+
+
+SQL_TRANSFORM_ERCOT_MDM = """
+WITH e AS (
+  SELECT date_trunc('day', ts)
+         + CAST(EXTRACT(hour FROM ts) AS INTEGER) * INTERVAL 1 HOUR AS ts_start
+  FROM events
+)
+SELECT z.uid, 'series_parent_std_001' AS series_parent_id,
+       'series_std_001' AS series_id,
+       'ERCOT API' AS name, 'mwh' AS uom,
+       'ERCOT data pulled from ERCOT ISO API' AS description,
+       e.ts_start, e.ts_start + INTERVAL 1 HOUR AS ts_end,
+       'America/Chicago' AS tz, '1' AS version,
+       64 AS series_type, 1 AS model_type, 16 AS value_type
+FROM e
+CROSS JOIN (VALUES ('Coast'), ('East'), ('FarWest'), ('North'), ('NorthCentral'),
+                   ('SouthCentral'), ('Southern'), ('West'), ('SystemTotal')) z(uid)
+"""
+
+
+# ----------------------------------------------------- OPC UA / Mirico / SSIP
+
+
+def q_transform_opcua_pcdm(spark, sf_dir):
+    """OPC UA pub-sub JSON -> PCDM (transformers.opcua_json_to_pcdm,
+    reference opcua_json_to_pcdm.py:89-114): doubly-encoded body (outer
+    Messages string, inner message array), Payload map exploded to
+    (TagName, Value) rows, ValueType by try_cast probe."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    payload = F.create_map(
+        F.col("event_type"), F.struct(F.col("value").cast("string").alias("Value")),
+        F.concat(F.lit("k"), k.cast("string")), F.struct(F.lit("txt").alias("Value")),
+    )
+    inner = F.to_json(
+        F.array(
+            F.struct(
+                F.lit(1).cast("long").alias("DataSetWriterId"),
+                iso.alias("Timestamp"),
+                payload.alias("Payload"),
+            )
+        )
+    )
+    body = F.to_json(F.struct(inner.alias("Messages")))
+    out = tr.opcua_json_to_pcdm(ev.select(body.alias("body")))
+    return out.select(
+        F.col("EventTime").alias("event_time"),
+        F.col("TagName").alias("tagname"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_OPCUA_PCDM = """
+WITH e AS (SELECT ts, event_type, value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
+           FROM events)
+SELECT ts AS event_time, event_type AS tagname, 'Good' AS status,
+       CAST(value AS VARCHAR) AS value, 'float' AS value_type,
+       'insert' AS change_type
+FROM e
+UNION ALL
+SELECT ts, 'k' || CAST(kk AS VARCHAR), 'Good', 'txt', 'string', 'insert' FROM e
+"""
+
+
+def q_transform_mirico_meta(spark, sf_dir):
+    """Mirico JSON -> metadata rows (transformers.mirico_json_to_metadata,
+    reference mirico_json_to_metadata.py:85-119): TagName = SITE_RETRO_GAS,
+    geo fields packed to Properties (flattened here so the oracle checks
+    each float), one row per TagName. Properties are a function of the tag
+    so the dropDuplicates keeper is deterministic."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    k3 = (F.get_json_object("props", "$.k").cast("long") % 3).cast("double")
+    body = F.to_json(
+        F.struct(
+            F.concat(F.lit("R"), (F.get_json_object("props", "$.k").cast("long") % 3).cast("string")).alias("retroName"),
+            F.col("event_type").alias("siteName"),
+            (k3 * 1.5).alias("retroAltitude"),
+            (k3 + 0.25).alias("sensorAltitude"),
+            (k3 * 2.5).alias("retroLongitude"),
+            F.lit("CH4").alias("gasType"),
+            (k3 * 3.0).alias("sensorLatitude"),
+            (k3 * 0.5).alias("retroLatitude"),
+            (k3 - 1.5).alias("sensorLongitude"),
+        )
+    )
+    out = tr.mirico_json_to_metadata(ev.select(body.alias("body")))
+    return out.select(
+        F.col("TagName").alias("tagname"),
+        F.col("Description").alias("description"),
+        F.col("UoM").alias("uom"),
+        F.col("Properties.retroAltitude").alias("retro_alt"),
+        F.col("Properties.retroLongitude").alias("retro_lon"),
+        F.col("Properties.retroLatitude").alias("retro_lat"),
+        F.col("Properties.sensorAltitude").alias("sensor_alt"),
+        F.col("Properties.sensorLongitude").alias("sensor_lon"),
+        F.col("Properties.sensorLatitude").alias("sensor_lat"),
+    )
+
+
+SQL_TRANSFORM_MIRICO_META = """
+WITH e AS (SELECT DISTINCT upper(event_type) AS site,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS k3
+           FROM events)
+SELECT site || '_R' || CAST(k3 AS VARCHAR) || '_CH4' AS tagname,
+       '' AS description, '' AS uom,
+       CAST(k3 * 1.5 AS REAL) AS retro_alt,
+       CAST(k3 * 2.5 AS REAL) AS retro_lon,
+       CAST(k3 * 0.5 AS REAL) AS retro_lat,
+       CAST(k3 + 0.25 AS REAL) AS sensor_alt,
+       CAST(k3 - 1.5 AS REAL) AS sensor_lon,
+       CAST(k3 * 3.0 AS REAL) AS sensor_lat
+FROM e
+"""
+
+_SSIP_PTS = ["Digital", "String", "Float16", "Float32", "Float64", "Int16", "Int32"]
+_SSIP_ACTS = ["Insert", "Add", "Delete", "Update", "Refresh"]
+
+
+def q_transform_ssip_json(spark, sf_dir):
+    """SSIP PI JSON -> PCDM (transformers.ssip_json_to_pcdm, reference
+    ssip_pi_binary_json_to_pcdm.py:100-211): PointType from transport
+    properties -> ValueType map with try_cast demotion (every 11th value is
+    made unparseable to exercise it), Action -> ChangeType verb map. Uses
+    floor() for the integer-string payloads because double->int CAST
+    truncates in Spark but rounds in DuckDB."""
+    from . import transformers as tr
+
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    int_str = F.floor("value").cast("long").cast("string")
+    val = F.when(k % 11 == 0, F.concat(int_str, F.lit("x"))).otherwise(int_str)
+    pt = F.array(*[F.lit(p) for p in _SSIP_PTS])[(k % 7).cast("int")]
+    act = F.array(*[F.lit(a) for a in _SSIP_ACTS])[(k % 5).cast("int")]
+    body = F.to_json(
+        F.struct(
+            F.col("event_type").alias("TagName"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("EventTime"),
+            F.lit("Good").alias("Quality"),
+            val.alias("Value"),
+        )
+    )
+    src = ev.select(
+        body.alias("body"),
+        F.create_map(F.lit("PointType"), pt, F.lit("Action"), act).alias("properties"),
+    )
+    out = tr.ssip_json_to_pcdm(src)
+    return out.select(
+        F.col("EventDate").cast("string").alias("event_date"),
+        F.col("TagName").alias("tagname"),
+        F.col("EventTime").alias("event_time"),
+        F.col("Status").alias("status"),
+        F.col("Value").alias("value"),
+        F.col("ValueType").alias("value_type"),
+        F.col("ChangeType").alias("change_type"),
+    )
+
+
+SQL_TRANSFORM_SSIP_JSON = """
+WITH e AS (SELECT ts, event_type, value,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kk
+           FROM events),
+b AS (SELECT ts, event_type,
+             CASE WHEN kk % 11 = 0
+                  THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || 'x'
+                  ELSE CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) END AS val,
+             ['Digital','String','Float16','Float32','Float64','Int16','Int32'][CAST(kk % 7 AS INTEGER) + 1] AS pt,
+             ['Insert','Add','Delete','Update','Refresh'][CAST(kk % 5 AS INTEGER) + 1] AS act
+      FROM e)
+SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type AS tagname, ts AS event_time,
+       'Good' AS status, val AS value,
+       CASE WHEN pt IN ('Digital', 'String') THEN 'string'
+            WHEN pt IN ('Float16', 'Float32', 'Float64')
+                 THEN CASE WHEN TRY_CAST(val AS REAL) IS NULL THEN 'string' ELSE 'float' END
+            WHEN pt IN ('Int16', 'Int32')
+                 THEN CASE WHEN TRY_CAST(val AS INTEGER) IS NULL THEN 'string' ELSE 'integer' END
+            ELSE 'string' END AS value_type,
+       CASE act WHEN 'Insert' THEN 'insert' WHEN 'Add' THEN 'insert'
+                WHEN 'Delete' THEN 'delete' WHEN 'Update' THEN 'update'
+                WHEN 'Refresh' THEN 'update' END AS change_type
+FROM b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -1980,6 +2300,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_ssip_binary": q_transform_ssip_binary,
     "dq_kmeans_binning": q_dq_kmeans_binning,
     "ts_ar_auto": q_ts_ar_auto,
+    "ml_one_hot": q_ml_one_hot,
+    "ml_poly_features": q_ml_poly_features,
+    "transform_caiso_mdm": q_transform_caiso_mdm,
+    "transform_ercot_mdm": q_transform_ercot_mdm,
+    "transform_opcua_pcdm": q_transform_opcua_pcdm,
+    "transform_mirico_meta": q_transform_mirico_meta,
+    "transform_ssip_json": q_transform_ssip_json,
     "transform_opcae": q_transform_opcae,
 }
 
@@ -2041,5 +2368,12 @@ ORACLES: dict[str, str] = {
     "transform_apm_out": SQL_TRANSFORM_APM_OUT,
     "transform_sem_pcdm": SQL_TRANSFORM_SEM_PCDM,
     "transform_ssip_binary": SQL_TRANSFORM_SSIP_BINARY,
+    "ml_one_hot": SQL_ML_ONE_HOT,
+    "ml_poly_features": SQL_ML_POLY_FEATURES,
+    "transform_caiso_mdm": SQL_TRANSFORM_CAISO_MDM,
+    "transform_ercot_mdm": SQL_TRANSFORM_ERCOT_MDM,
+    "transform_opcua_pcdm": SQL_TRANSFORM_OPCUA_PCDM,
+    "transform_mirico_meta": SQL_TRANSFORM_MIRICO_META,
+    "transform_ssip_json": SQL_TRANSFORM_SSIP_JSON,
     "transform_opcae": SQL_TRANSFORM_OPCAE,
 }

@@ -723,3 +723,196 @@ def opcae_json_to_rows(
     time_raw = F.col("__m.Value").getField("Time").getField("Value")
     ts = F.coalesce(*[F.try_to_timestamp(time_raw, F.lit(f)) for f in fmts])
     return ev.select(*cols, ts.alias("EventTime"))
+
+
+# ---------------------------------------------------------------------------
+# OPC UA pub-sub envelope (opcua_json_to_pcdm.py:89-114; OPCUA_SCHEMA,
+# _pipeline_utils/spark.py:724-742): a doubly-encoded body — the outer JSON
+# carries a Messages field that is itself a JSON array of DataSet messages,
+# each with a Payload map of node-id -> {Value}.
+# ---------------------------------------------------------------------------
+OPCUA_MESSAGES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("DataSetWriterId", T.LongType()),
+            T.StructField("Timestamp", T.TimestampType()),
+            T.StructField(
+                "Payload",
+                T.MapType(
+                    T.StringType(),
+                    T.StructType([T.StructField("Value", T.StringType())]),
+                ),
+            ),
+        ]
+    )
+)
+
+
+def opcua_json_to_pcdm(
+    df: DataFrame,
+    source_col: str = "body",
+    status_null_value: str = "Good",
+    change_type_value: str = "insert",
+) -> DataFrame:
+    """OPC UA pub-sub JSON -> PCDM (opcua_json_to_pcdm.py:89-114): unwrap
+    the double encoding (outer `Messages STRING`, inner message array),
+    inline the messages, explode each Payload map to (TagName, Value) rows
+    stamped with the message Timestamp; ValueType by float-cast probe —
+    all in one projection chain, no UDF."""
+    outer = F.from_json(F.col(source_col).cast("string"), "Messages STRING")
+    msgs = F.from_json(outer.getField("Messages"), OPCUA_MESSAGES_SCHEMA)
+    rows = (
+        df.select(F.explode(msgs).alias("m"))
+        .select(F.col("m.Timestamp").alias("EventTime"), F.explode("m.Payload"))
+        .select("EventTime", F.col("key").alias("TagName"), F.col("value.Value").alias("Value"))
+    )
+    return rows.select(
+        "EventTime",
+        "TagName",
+        F.lit(status_null_value).alias("Status"),
+        "Value",
+        # try_cast probe (the reference's plain cast, opcua_json_to_pcdm.py:104,
+        # predates ANSI mode and would now throw on non-numeric values)
+        F.when(F.expr("try_cast(Value as float)").isNotNull(), "float")
+        .otherwise("string")
+        .alias("ValueType"),
+        F.lit(change_type_value).alias("ChangeType"),
+    )
+
+
+# Mirico metadata envelope (mirico_json_to_metadata.py:85-119; schema at
+# _pipeline_utils/spark.py:744-756).
+MIRICO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("retroName", T.StringType()),
+        T.StructField("siteName", T.StringType()),
+        T.StructField("retroAltitude", T.FloatType()),
+        T.StructField("sensorAltitude", T.FloatType()),
+        T.StructField("retroLongitude", T.FloatType()),
+        T.StructField("gasType", T.StringType()),
+        T.StructField("sensorLatitude", T.FloatType()),
+        T.StructField("retroLatitude", T.FloatType()),
+        T.StructField("sensorLongitude", T.FloatType()),
+    ]
+)
+
+
+def mirico_json_to_metadata(df: DataFrame, source_col: str = "body") -> DataFrame:
+    """Mirico JSON -> metadata rows (mirico_json_to_metadata.py:85-119):
+    TagName = SITE_RETRO_GAS (upper-cased), empty Description/UoM, and the
+    six geo fields packed into a Properties struct; one row per TagName."""
+    body = F.from_json(F.col(source_col).cast("string"), MIRICO_METADATA_SCHEMA)
+    tag = F.concat_ws(
+        "_",
+        F.upper(body.getField("siteName")),
+        F.upper(body.getField("retroName")),
+        F.upper(body.getField("gasType")),
+    )
+    props = F.struct(
+        body.getField("retroAltitude").alias("retroAltitude"),
+        body.getField("retroLongitude").alias("retroLongitude"),
+        body.getField("retroLatitude").alias("retroLatitude"),
+        body.getField("sensorAltitude").alias("sensorAltitude"),
+        body.getField("sensorLongitude").alias("sensorLongitude"),
+        body.getField("sensorLatitude").alias("sensorLatitude"),
+    )
+    return df.select(
+        tag.alias("TagName"),
+        F.lit("").alias("Description"),
+        F.lit("").alias("UoM"),
+        props.alias("Properties"),
+    ).dropDuplicates(["TagName"])
+
+
+# SSIP PI JSON envelope (ssip_pi_binary_json_to_pcdm.py:100-211): each
+# message body is one JSON event; transport properties carry PointType and
+# the CDC Action verb.
+SSIP_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("TagName", T.StringType()),
+        T.StructField("EventTime", T.StringType()),
+        T.StructField("Quality", T.StringType()),
+        T.StructField("Value", T.StringType()),
+    ]
+)
+
+_SSIP_POINT_TYPE_TO_VALUE_TYPE = {
+    "Digital": "string",
+    "String": "string",
+    "Float16": "float",
+    "Float32": "float",
+    "Float64": "float",
+    "Int16": "integer",
+    "Int32": "integer",
+}
+
+_SSIP_ACTION_TO_CHANGE_TYPE = {
+    "Insert": "insert",
+    "Add": "insert",
+    "Delete": "delete",
+    "Update": "update",
+    "Refresh": "update",
+}
+
+
+def ssip_json_to_pcdm(
+    df: DataFrame,
+    source_col: str = "body",
+    properties_col: str = "properties",
+    metadata_df: DataFrame | None = None,
+) -> DataFrame:
+    """SSIP PI JSON -> PCDM (ssip_pi_binary_json_to_pcdm.py:100-211).
+
+    Semantics preserved: PointType from the transport properties map with a
+    metadata-table fallback (left join), PointType -> ValueType mapping with
+    try_cast demotion to 'string' when the value doesn't actually parse, and
+    the Action -> ChangeType verb map. Re-expressed as ONE from_json parse
+    (the reference runs five separate get_json_object passes over the same
+    string, i.e. 5x the JSON parsing work per row) and literal CASE maps;
+    the metadata join broadcasts (per-tag dimension, SURVEY §2.3).
+    """
+    body = F.from_json(F.col(source_col).cast("string"), SSIP_JSON_SCHEMA)
+    props = F.col(properties_col)
+    base = df.select(
+        body.getField("EventTime").cast("date").alias("EventDate"),
+        body.getField("TagName").alias("TagName"),
+        body.getField("EventTime").cast("timestamp").alias("EventTime"),
+        body.getField("Quality").alias("Status"),
+        body.getField("Value").alias("Value"),
+        F.element_at(props, "PointType").alias("PointType"),
+        F.element_at(props, "Action").cast("string").alias("Action"),
+    )
+    if metadata_df is not None:
+        meta = F.broadcast(
+            metadata_df.select("TagName", F.col("PointType").alias("__meta_pt"))
+        )
+        base = base.join(meta, "TagName", "left").withColumn(
+            "PointType", F.coalesce("PointType", "__meta_pt")
+        )
+    vt = F.lit("string")
+    for pt, v in reversed(_SSIP_POINT_TYPE_TO_VALUE_TYPE.items()):
+        vt = F.when(F.col("PointType") == pt, v).otherwise(vt)
+    ct = F.lit(None).cast("string")
+    for a, v in reversed(_SSIP_ACTION_TO_CHANGE_TYPE.items()):
+        ct = F.when(F.col("Action") == a, v).otherwise(ct)
+    typed = base.withColumn("ValueType", vt)
+    # try_cast demotion: declared numeric but unparseable -> 'string'
+    # (reference lines 176-195, Value_Integer/Value_Float probe columns)
+    typed = typed.withColumn(
+        "ValueType",
+        F.when(
+            (F.col("ValueType") == "integer")
+            & F.expr("try_cast(Value as integer)").isNull(),
+            "string",
+        )
+        .when(
+            (F.col("ValueType") == "float")
+            & F.expr("try_cast(Value as float)").isNull(),
+            "string",
+        )
+        .otherwise(F.col("ValueType")),
+    )
+    return typed.select(
+        "EventDate", "TagName", "EventTime", "Status", "Value", "ValueType",
+        ct.alias("ChangeType"),
+    )
