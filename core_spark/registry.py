@@ -2220,6 +2220,129 @@ FROM b
 """
 
 
+def _weather_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic forecast-shaped view of the events table: station tag
+    from user_id, measurement from event_id parity, integer-degree lat/lon
+    from event_id residues (exact doubles, so point-equality predicates are
+    engine-portable), forecast-run time = event time - 1h."""
+    e = _load(spark, sf_dir, "events")
+    return e.select(
+        F.concat(
+            F.lit("ST"), (F.col("user_id") % 50).cast("string"), F.lit("_"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("temperature")).otherwise(
+                F.lit("windspeed")
+            ),
+        ).alias("tagname"),
+        F.col("ts").alias("event_time"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("enqueued_time"),
+        ((F.col("event_id") % 181) - 90).cast("double").alias("latitude"),
+        ((F.col("event_id") % 361) - 180).cast("double").alias("longitude"),
+        F.col("value").alias("value"),
+    )
+
+
+_WEATHER_VIEW_SQL = """
+w AS (SELECT 'ST' || CAST(user_id % 50 AS VARCHAR) || '_' ||
+             (CASE WHEN event_id % 2 = 0 THEN 'temperature' ELSE 'windspeed' END) AS tagname,
+             ts AS event_time,
+             ts - INTERVAL 1 HOUR AS enqueued_time,
+             CAST(event_id % 181 AS DOUBLE) - 90.0 AS latitude,
+             CAST(event_id % 361 AS DOUBLE) - 180.0 AS longitude,
+             value AS value
+      FROM events)
+"""
+
+
+def _weather_builder(spark: SparkSession, sf_dir: str):
+    from .weather import WeatherQueryBuilder
+
+    return (
+        WeatherQueryBuilder()
+        .connect(spark)
+        .source(
+            _weather_view(spark, sf_dir),
+            tagname_column="tagname",
+            timestamp_column="event_time",
+            forecast_run_timestamp_column="enqueued_time",
+            status_column=None,
+            value_column="value",
+            latitude_column="latitude",
+            longitude_column="longitude",
+        )
+    )
+
+
+def q_weather_raw_grid(spark, sf_dir):
+    """WeatherQueryBuilder.raw_grid (weather_query_builder.py:142-216):
+    inclusive BETWEEN on event + forecast-run time, strict bounding box,
+    measurement suffix match — every predicate a scan-level filter."""
+    return _weather_builder(spark, sf_dir).raw_grid(
+        start_date="2024-01-01 00:00:00",
+        end_date="2024-02-01 00:00:00",
+        forecast_run_start_date="2023-12-31 23:00:00",
+        forecast_run_end_date="2024-01-31 23:00:00",
+        min_lat=-60.0, max_lat=60.0, min_lon=-120.0, max_lon=120.0,
+        measurement="temperature",
+    )
+
+
+SQL_WEATHER_RAW_GRID = f"""
+WITH {_WEATHER_VIEW_SQL}
+SELECT * FROM w
+WHERE event_time BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-02-01 00:00:00'
+  AND enqueued_time BETWEEN TIMESTAMP '2023-12-31 23:00:00' AND TIMESTAMP '2024-01-31 23:00:00'
+  AND latitude > -60.0 AND latitude < 60.0
+  AND longitude > -120.0 AND longitude < 120.0
+  AND tagname LIKE '%_temperature'
+"""
+
+
+def q_weather_latest_point(spark, sf_dir):
+    """WeatherQueryBuilder.latest_point (weather_query_builder.py:218-280)
+    over a latest-forecast table materialized by the engine's argmax verb
+    (operators.timeseries.latest pattern): exact lat/lon equality."""
+    w = _weather_view(spark, sf_dir)
+    from pyspark.sql import Window
+
+    latest = (
+        w.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("tagname", "latitude", "longitude").orderBy(
+                    F.desc("event_time"), F.desc("value")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        _weather_builder(spark, sf_dir)
+        .source(
+            latest,
+            tagname_column="tagname",
+            timestamp_column="event_time",
+            forecast_run_timestamp_column="enqueued_time",
+            status_column=None,
+            value_column="value",
+            latitude_column="latitude",
+            longitude_column="longitude",
+        )
+        .latest_point(lat=10.0, lon=-80.0)
+    )
+
+
+SQL_WEATHER_LATEST_POINT = f"""
+WITH {_WEATHER_VIEW_SQL},
+latest AS (SELECT * FROM (
+    SELECT w.*, row_number() OVER (PARTITION BY tagname, latitude, longitude
+                                   ORDER BY event_time DESC, value DESC) AS _rn
+    FROM w) WHERE _rn = 1)
+SELECT tagname, event_time, enqueued_time, latitude, longitude, value
+FROM latest WHERE latitude = 10.0 AND longitude = -80.0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -2308,6 +2431,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_mirico_meta": q_transform_mirico_meta,
     "transform_ssip_json": q_transform_ssip_json,
     "transform_opcae": q_transform_opcae,
+    "weather_raw_grid": q_weather_raw_grid,
+    "weather_latest_point": q_weather_latest_point,
 }
 
 ORACLES: dict[str, str] = {
@@ -2376,4 +2501,6 @@ ORACLES: dict[str, str] = {
     "transform_mirico_meta": SQL_TRANSFORM_MIRICO_META,
     "transform_ssip_json": SQL_TRANSFORM_SSIP_JSON,
     "transform_opcae": SQL_TRANSFORM_OPCAE,
+    "weather_raw_grid": SQL_WEATHER_RAW_GRID,
+    "weather_latest_point": SQL_WEATHER_LATEST_POINT,
 }
