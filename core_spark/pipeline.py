@@ -171,10 +171,14 @@ class PipelineJobExecute:
         self, step: PipelineStep, task: PipelineTask, inputs: list[DataFrame]
     ) -> Any:
         kind = _step_kind(step.component)
+        # component_parameters configure class components at CONSTRUCTION
+        # (the reference's DI container, job.py:102-158, never passes them to
+        # read/write calls); only function transformers take them as call-time
+        # kwargs, since functions have no constructor to hold state.
         params = step.component_parameters
         if kind == "source":
             reader = step.component.read_batch if task.batch_task else step.component.read_stream
-            return reader(self.spark, **params)
+            return reader(self.spark)
         if kind == "transformer":
             return step.component(*inputs, **params)
         if kind == "destination":
@@ -182,8 +186,8 @@ class PipelineJobExecute:
                 step.component.write_batch if task.batch_task else step.component.write_stream
             )
             (data,) = inputs  # a sink consumes exactly one upstream frame
-            return writer(data, **params)
-        return step.component.execute(**params)
+            return writer(data)
+        return step.component.execute()
 
     def run(self) -> dict[str, Any]:
         """Execute every task; returns {task.step: result} for inspection."""
