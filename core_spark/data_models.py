@@ -1,0 +1,264 @@
+"""Typed time-series data models and meter-usage transforms (reference
+data_models/*).
+
+- enums ``Uom`` / ``ModelType`` / ``SeriesType`` / ``ValueType``
+  (data_models/timeseries.py:20-205);
+- value objects ``MetaData`` (timeseries.py:208-273) and ``Usage``
+  (meters/ami_meter.py:18-43) as validated dataclasses with matching Spark
+  schemas (the reference uses pydantic BaseModel — a third-party dependency
+  this engine doesn't assume; validation lives in ``__post_init__``);
+- ``create_timeseries_vo`` / ``create_usage_vo``
+  (utils/CreateTimeSeriesObject.py:22-45, meters/utils/CreateUsageObject.py);
+- ``london_smart_meter_to_usage`` — the London smart-meter → Usage transform
+  (transformers/london_smart_meter_transformer_2_usage.py:28-66). The
+  reference anonymizes and reshapes ONE CSV LINE AT A TIME in a driver-side
+  lambda fed by ``meters/utils/transform.process_file`` (an open()/readline
+  loop — single-core, single-machine). Here it is a pure column program:
+  ``md5`` anonymization, series-id concat, epoch-seconds extraction and value
+  cast all run JVM-side under whole-stage codegen, so the same transform
+  scales to a 100 TB meter dump by adding executors.
+
+Timestamp divergence (deliberate): the reference converts wall-clock strings
+with ``time.mktime`` — epoch seconds in the DRIVER's local timezone, so the
+same file yields different Uids-per-timestamp on differently-configured
+machines. We define interval timestamps as UTC epoch seconds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum, IntFlag, auto
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+class Uom(Enum):
+    """Units of measurement (timeseries.py:20-44)."""
+
+    W = 0
+    WH = 1
+    KW = 2
+    KWH = 3
+    MW = 4
+    MWH = 5
+    WEATHER = 6
+
+
+class ModelType(IntFlag):
+    """Model that produced the series (timeseries.py:47-60)."""
+
+    Default = auto()
+    AMI_USAGE = auto()
+    WEATHER_AG2 = auto()
+    WEATHER_ECMWF = auto()
+
+
+class SeriesType(IntFlag):
+    """Cadence / derivation of the series (timeseries.py:63-152)."""
+
+    RealTime = auto()
+    Minute1 = auto()
+    Minutes5 = auto()
+    Minutes10 = auto()
+    Minutes15 = auto()
+    Minutes30 = auto()
+    Hour = auto()
+    Hours2 = auto()
+    Hours3 = auto()
+    Hours4 = auto()
+    Hours5 = auto()
+    Hours6 = auto()
+    Hours8 = auto()
+    Hours12 = auto()
+    Hours24 = auto()
+    Day = auto()
+    Week = auto()
+    Month = auto()
+    Year = auto()
+    Sum = auto()
+    MeanFilter = auto()
+    MedianFilter = auto()
+    MaxFilter = auto()
+    MinFilter = auto()
+    Test = auto()
+
+
+class ValueType(IntFlag):
+    """Kind of value carried (timeseries.py:155-205), incl. the composed
+    short/long-term forecast flags."""
+
+    Counter = auto()
+    Gauge = auto()
+    Histogram = auto()
+    Summary = auto()
+    Usage = auto()
+    Generation = auto()
+    Prediction = auto()
+    ShortTerm = auto()
+    LongTerm = auto()
+    Actuals = auto()
+    Backcast = auto()
+    Forecast = auto()
+    ShortTermBackcast = ShortTerm | Backcast
+    LongTermBackcast = LongTerm | Backcast
+    ShortTermForecast = ShortTerm | Forecast
+    LongTermForecast = LongTerm | Forecast
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ValueError(msg)
+
+
+@dataclass
+class MetaData:
+    """Sensor/series metadata VO (timeseries.py:208-273)."""
+
+    Uid: str
+    SeriesId: str
+    SeriesParentId: str
+    Name: str
+    Uom: Uom
+    Description: str
+    TimestampStart: int
+    TimestampEnd: int
+    Timezone: str
+    Version: str
+    SeriesType: SeriesType
+    ModelType: ModelType
+    ValueType: ValueType
+    Properties: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        for name in ("Uid", "SeriesId", "SeriesParentId", "Name"):
+            _require(isinstance(getattr(self, name), str), f"{name} must be str")
+        _require(isinstance(self.Uom, Uom), "Uom must be a Uom")
+        _require(isinstance(self.SeriesType, SeriesType), "SeriesType enum required")
+        _require(isinstance(self.ModelType, ModelType), "ModelType enum required")
+        _require(isinstance(self.ValueType, ValueType), "ValueType enum required")
+        self.TimestampStart = int(self.TimestampStart)
+        self.TimestampEnd = int(self.TimestampEnd)
+        _require(
+            self.TimestampEnd >= self.TimestampStart,
+            "TimestampEnd before TimestampStart",
+        )
+
+
+@dataclass
+class Usage:
+    """AMI meter usage VO (meters/ami_meter.py:18-43)."""
+
+    Uid: str
+    SeriesId: str
+    Timestamp: int
+    IntervalTimestamp: int
+    Value: float
+
+    def __post_init__(self) -> None:
+        _require(isinstance(self.Uid, str) and self.Uid != "", "Uid must be str")
+        _require(isinstance(self.SeriesId, str), "SeriesId must be str")
+        self.Timestamp = int(self.Timestamp)
+        self.IntervalTimestamp = int(self.IntervalTimestamp)
+        self.Value = float(self.Value)
+
+
+USAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("Uid", T.StringType(), False),
+        T.StructField("SeriesId", T.StringType(), False),
+        T.StructField("Timestamp", T.LongType(), False),
+        T.StructField("IntervalTimestamp", T.LongType(), False),
+        T.StructField("Value", T.DoubleType(), False),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("Uid", T.StringType(), False),
+        T.StructField("SeriesId", T.StringType(), False),
+        T.StructField("SeriesParentId", T.StringType(), True),
+        T.StructField("Name", T.StringType(), True),
+        T.StructField("Uom", T.StringType(), True),
+        T.StructField("Description", T.StringType(), True),
+        T.StructField("TimestampStart", T.LongType(), True),
+        T.StructField("TimestampEnd", T.LongType(), True),
+        T.StructField("Timezone", T.StringType(), True),
+        T.StructField("Version", T.StringType(), True),
+        T.StructField("SeriesType", T.IntegerType(), True),
+        T.StructField("ModelType", T.IntegerType(), True),
+        T.StructField("ValueType", T.IntegerType(), True),
+        T.StructField("Properties", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def create_timeseries_vo(**kwargs: Any) -> MetaData:
+    """Keyword-argument constructor (utils/CreateTimeSeriesObject.py:22-45)."""
+    try:
+        return MetaData(
+            Uid=kwargs["uid"],
+            SeriesId=kwargs["series_id"],
+            SeriesParentId=kwargs["series_parent_id"],
+            Name=kwargs["name"],
+            Uom=kwargs["uom"],
+            Description=kwargs["description"],
+            TimestampStart=kwargs["timestamp_start"],
+            TimestampEnd=kwargs["timestamp_end"],
+            Timezone=kwargs["time_zone"],
+            Version=kwargs["version"],
+            SeriesType=kwargs["series_type"],
+            ModelType=kwargs["model_type"],
+            ValueType=kwargs["value_type"],
+            Properties=kwargs.get("properties") or {},
+        )
+    except (KeyError, ValueError) as e:
+        raise SystemError(f"Could not create Metadata Value Object: {e}") from e
+
+
+def create_usage_vo(**kwargs: Any) -> Usage:
+    """Keyword-argument constructor (meters/utils/CreateUsageObject.py)."""
+    try:
+        return Usage(
+            Uid=kwargs["uid"],
+            SeriesId=kwargs["series_id"],
+            Timestamp=kwargs["timestamp"],
+            IntervalTimestamp=kwargs["interval_timestamp"],
+            Value=kwargs["value"],
+        )
+    except (KeyError, ValueError) as e:
+        raise SystemError(f"Could not create Usage Value Object: {e}") from e
+
+
+def london_smart_meter_to_usage(
+    df: DataFrame,
+    meter_col: str = "LCLid",
+    interval_col: str = "tstp",
+    value_col: str = "energy",
+    series_id: str = "usage_series_id_001",
+    series_suffix_col: str | None = "stdorToU",
+) -> DataFrame:
+    """London smart-meter rows -> AMI ``Usage`` rows
+    (london_smart_meter_transformer_2_usage.py:28-66), distributed:
+
+    - Uid = md5(meter id) — same anonymization as the reference's
+      ``anonymizer_md5`` (:34-40), computed JVM-side;
+    - SeriesId = ``<series_id>_<tariff>`` (:43-47);
+    - Timestamp = IntervalTimestamp = UTC epoch seconds of the reading time
+      (the reference reuses the interval time for both, :49-67);
+    - Value = reading cast to double (:69).
+    """
+    tariff = (
+        F.col(series_suffix_col)
+        if series_suffix_col is not None
+        else F.lit("default")
+    )
+    epoch = F.unix_timestamp(F.col(interval_col).cast("timestamp"))
+    return df.select(
+        F.md5(F.col(meter_col).cast("string")).alias("Uid"),
+        F.concat(F.lit(series_id), F.lit("_"), tariff).alias("SeriesId"),
+        epoch.alias("Timestamp"),
+        epoch.alias("IntervalTimestamp"),
+        F.col(value_col).cast("double").alias("Value"),
+    )

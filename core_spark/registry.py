@@ -2343,6 +2343,33 @@ FROM latest WHERE latitude = 10.0 AND longitude = -80.0
 """
 
 
+def q_transform_smart_meter_usage(spark, sf_dir):
+    """data_models.london_smart_meter_to_usage
+    (london_smart_meter_transformer_2_usage.py:28-66) over the events table:
+    md5 anonymization + series-id assembly + epoch extraction as one
+    codegen projection — vs the reference's driver-side per-CSV-line lambda."""
+    from .data_models import london_smart_meter_to_usage
+
+    e = _load(spark, sf_dir, "events")
+    return london_smart_meter_to_usage(
+        e, meter_col="user_id", interval_col="ts",
+        value_col="value", series_suffix_col="event_type",
+    ).withColumnRenamed("Uid", "uid").withColumnRenamed("SeriesId", "series_id") \
+     .withColumnRenamed("Timestamp", "timestamp_s") \
+     .withColumnRenamed("IntervalTimestamp", "interval_timestamp_s") \
+     .withColumnRenamed("Value", "usage_value")
+
+
+SQL_TRANSFORM_SMART_METER_USAGE = """
+SELECT md5(CAST(user_id AS VARCHAR)) AS uid,
+       'usage_series_id_001_' || event_type AS series_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS timestamp_s,
+       CAST(floor(epoch(ts)) AS BIGINT) AS interval_timestamp_s,
+       CAST(value AS DOUBLE) AS usage_value
+FROM events
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -2432,6 +2459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_ssip_json": q_transform_ssip_json,
     "transform_opcae": q_transform_opcae,
     "weather_raw_grid": q_weather_raw_grid,
+    "transform_smart_meter_usage": q_transform_smart_meter_usage,
     "weather_latest_point": q_weather_latest_point,
 }
 
@@ -2502,5 +2530,6 @@ ORACLES: dict[str, str] = {
     "transform_ssip_json": SQL_TRANSFORM_SSIP_JSON,
     "transform_opcae": SQL_TRANSFORM_OPCAE,
     "weather_raw_grid": SQL_WEATHER_RAW_GRID,
+    "transform_smart_meter_usage": SQL_TRANSFORM_SMART_METER_USAGE,
     "weather_latest_point": SQL_WEATHER_LATEST_POINT,
 }
