@@ -364,6 +364,256 @@ class ERCOTDailyLoadSource(BaseISOSource):
         return df
 
 
+PJM_PRICING_SCHEMA = T.StructType(
+    [
+        T.StructField("StartTime", T.TimestampType()),
+        T.StructField("PnodeId", T.LongType()),
+        T.StructField("PnodeName", T.StringType()),
+        T.StructField("Voltage", T.StringType()),
+        T.StructField("Equipment", T.StringType()),
+        T.StructField("Type", T.StringType()),
+        T.StructField("Zone", T.StringType()),
+        T.StructField("SystemEnergyPrice", T.DoubleType()),
+        T.StructField("TotalLmp", T.DoubleType()),
+        T.StructField("CongestionPrice", T.DoubleType()),
+        T.StructField("MarginalLossPrice", T.DoubleType()),
+        T.StructField("VersionNbr", T.LongType()),
+    ]
+)
+
+
+class MISOHistoricalLoadSource(MISODailyLoadSource):
+    """MISO historical daily forecast+actual load
+    (miso_historical_load_iso.py:30-255): one `{date}_dfal_HIST` file per
+    year of the requested range, header-row filter, optional forecast
+    fill of missing actuals, per-zone pivot onto MISO_SCHEMA."""
+
+    required_options = ["start_date", "end_date"]
+
+    def _validate_options(self) -> bool:
+        self._validate_date("start_date")
+        self._validate_date("end_date")
+        return True
+
+    @property
+    def _fill_missing(self) -> bool:
+        return str(self.options.get("fill_missing", "true")) == "true"
+
+    def _pull_data(self) -> pd.DataFrame:
+        start = datetime.strptime(self.options["start_date"], self.query_datetime_format)
+        end = datetime.strptime(self.options["end_date"], self.query_datetime_format)
+        frames = []
+        for year in range(start.year, end.year + 1):
+            # reference fetches each year-end snapshot file (:66-74); the
+            # marketreports .xls is consumed as CSV (module docstring)
+            stamp = datetime(year, 12, 31).strftime(self.query_datetime_format)
+            frames.append(
+                pd.read_csv(BytesIO(self._fetch_from_url(f"{stamp}_dfal_HIST")))
+            )
+        return pd.concat(frames, sort=False)
+
+    def _prepare_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        # repeated in-file headers are data rows in the concatenated pull (:134)
+        df = df[df["MarketDay"] != "MarketDay"].copy()
+        if self._fill_missing:  # :137-139
+            df = df.fillna({"ActualLoad (MWh)": df["MTLF (MWh)"]})
+        df = df.rename(
+            columns={
+                "MarketDay": "date", "HourEnding": "hour",
+                "ActualLoad (MWh)": "load", "LoadResource Zone": "zone",
+            }
+        ).dropna()
+        df["date_time"] = pd.to_datetime(df["date"]) + pd.to_timedelta(
+            df["hour"].astype(int) - 1, "h"
+        )
+        df["load"] = df["load"].astype(float)
+        df = df.pivot_table(index="date_time", values="load", columns="zone").reset_index()
+        df.columns = [str(c.split(" ")[0]).upper() for c in df.columns]
+        df = df.rename(columns=self._RENAME)
+        for name in self.spark_schema.names:  # a zone fully dropped by dropna
+            if name not in df.columns:
+                df[name] = float("nan")
+        return df
+
+    def _sanitize_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        # range clip + chronology (reference :233-246)
+        start = datetime.strptime(self.options["start_date"], self.query_datetime_format)
+        end = datetime.strptime(self.options["end_date"], self.query_datetime_format)
+        df = df[(df["Datetime"] >= start) & (df["Datetime"] <= end)]
+        return df.sort_values("Datetime").reset_index(drop=True)
+
+
+class CAISOHistoricalLoadSource(CAISODailyLoadSource):
+    """CAISO historical load (caiso_historical_load_iso.py:26-114): the
+    requested [start_date, end_date] span is pulled in 30-day zip chunks and
+    concatenated before the shared CAISO prepare/sanitize."""
+
+    required_options = ["load_types", "start_date", "end_date"]
+    user_datetime_format = "%Y-%m-%d"
+
+    def _validate_options(self) -> bool:
+        for key in ("start_date", "end_date"):
+            try:
+                datetime.strptime(self.options[key], self.user_datetime_format)
+            except ValueError:
+                raise ValueError(
+                    f"Unable to parse {key}. Please specify in "
+                    f"{self.user_datetime_format} format."
+                )
+        return True
+
+    def _pull_data(self) -> pd.DataFrame:
+        start = datetime.strptime(self.options["start_date"], self.user_datetime_format)
+        end = datetime.strptime(self.options["end_date"], self.user_datetime_format)
+        end = end + pd.Timedelta(days=1)
+        frames = []
+        cursor = start
+        while cursor < end:  # 30-day chunking (:67-74)
+            last = min(cursor + pd.Timedelta(days=30), end)
+            suffix = (
+                f"{cursor.strftime('%Y%m%d')}T00:00-0000/"
+                f"{last.strftime('%Y%m%d')}T00:00-0000"
+            )
+            frames.append(
+                pd.read_csv(BytesIO(_maybe_unzip(self._fetch_from_url(suffix))))
+            )
+            cursor = last
+        return pd.concat(frames)
+
+
+class PJMHistoricalLoadSource(PJMDailyLoadSource):
+    """PJM historical load (pjm_historical_load_iso.py:32-197): the range is
+    split into query_batch_days windows, each fetched as one CSV; date-order
+    and not-in-future validation kept from the reference."""
+
+    required_options = ["api_key", "load_type", "start_date", "end_date"]
+    user_datetime_format = "%Y-%m-%d"
+
+    def _validate_options(self) -> bool:
+        super()._validate_options()
+        try:
+            start = datetime.strptime(self.options["start_date"], self.user_datetime_format)
+            end = datetime.strptime(self.options["end_date"], self.user_datetime_format)
+        except ValueError as e:
+            raise ValueError(
+                f"Unable to parse date. Please specify in "
+                f"{self.user_datetime_format} format."
+            ) from e
+        if start > end:
+            raise ValueError("Start date can't be ahead of End date.")
+        if int(self.options.get("query_batch_days", 120)) < 0:
+            raise ValueError("Query batch days count can't be negative.")
+        return True
+
+    def _pull_data(self) -> pd.DataFrame:
+        feed = "ops_sum_prev_period" if self.options["load_type"] != "forecast" else "load_frcstd_hist"
+        start = datetime.strptime(self.options["start_date"], self.user_datetime_format)
+        end = datetime.strptime(self.options["end_date"], self.user_datetime_format)
+        batch = int(self.options.get("query_batch_days", 120))
+        frames = []
+        cursor = start
+        while cursor <= end:  # batched windows (:100-126)
+            last = min(cursor + pd.Timedelta(days=batch - 1), end)
+            suffix = (
+                f"{feed}?{cursor.strftime('%m/%d/%Y')} 00:00"
+                f"to{last.strftime('%m/%d/%Y')} 23:00"
+            )
+            frames.append(pd.read_csv(BytesIO(self._fetch_from_url(suffix))))
+            cursor = last + pd.Timedelta(days=1)
+        return pd.concat(frames, sort=False).reset_index(drop=True)
+
+
+class PJMDailyPricingSource(BaseISOSource):
+    """PJM daily LMP pricing (pjm_daily_pricing_iso.py:29-256): paginated
+    day-ahead (`da_hrl_lmps`) / real-time (`rt_hrl_lmps`) JSON feed onto
+    PJM_PRICING_SCHEMA, with the per-load-type *_da/*_rt column renames."""
+
+    required_options = ["api_key", "load_type"]
+    spark_schema = PJM_PRICING_SCHEMA
+
+    _COMMON = {
+        "datetime_beginning_utc": "StartTime", "pnode_id": "PnodeId",
+        "pnode_name": "PnodeName", "voltage": "Voltage",
+        "equipment": "Equipment", "type": "Type", "zone": "Zone",
+        "version_nbr": "VersionNbr",
+    }
+
+    def _validate_options(self) -> bool:
+        lt = self.options.get("load_type")
+        if lt not in ("real_time", "day_ahead"):
+            raise ValueError(
+                f"Invalid load_type `{lt}` given. Supported values are "
+                f"['real_time', 'day_ahead']."
+            )
+        return True
+
+    def _feed(self) -> str:
+        return "da_hrl_lmps" if self.options["load_type"] == "day_ahead" else "rt_hrl_lmps"
+
+    def _fetch_paginated(self, url_suffix: str) -> list[dict]:
+        import json
+
+        items: list[dict] = []
+        next_page: str | None = url_suffix
+        while next_page:  # rel=next link walk (:106-127)
+            payload = json.loads(self._fetch_from_url(next_page))
+            items.extend(payload["items"])
+            nxt = [l for l in payload.get("links", []) if l.get("rel") == "next"]
+            next_page = nxt[0]["href"] if nxt else None
+        return items
+
+    def _pull_data(self) -> pd.DataFrame:
+        return pd.DataFrame(self._fetch_paginated(self._feed()))
+
+    def _prepare_data(self, df: pd.DataFrame) -> pd.DataFrame:
+        suffix = "_da" if self.options["load_type"] == "day_ahead" else "_rt"
+        ren = dict(self._COMMON)
+        for src, dst in (
+            ("system_energy_price", "SystemEnergyPrice"), ("total_lmp", "TotalLmp"),
+            ("congestion_price", "CongestionPrice"),
+            ("marginal_loss_price", "MarginalLossPrice"),
+        ):
+            ren[f"{src}{suffix}"] = dst
+        df = df.rename(columns=ren)[PJM_PRICING_SCHEMA.names].copy()
+        df["StartTime"] = pd.to_datetime(df["StartTime"])
+        for c in ("SystemEnergyPrice", "TotalLmp", "CongestionPrice", "MarginalLossPrice"):
+            df[c] = df[c].astype(float)
+        for c in ("PnodeId", "VersionNbr"):
+            df[c] = df[c].astype("int64")
+        return df.reset_index(drop=True)
+
+
+class PJMHistoricalPricingSource(PJMDailyPricingSource):
+    """PJM historical LMP pricing (pjm_historical_pricing_iso.py:26-158):
+    same feed and renames as daily pricing, but over an explicit
+    [start_date, end_date] query window."""
+
+    required_options = ["api_key", "load_type", "start_date", "end_date"]
+    user_datetime_format = "%Y-%m-%d"
+
+    def _validate_options(self) -> bool:
+        super()._validate_options()
+        try:
+            start = datetime.strptime(self.options["start_date"], self.user_datetime_format)
+            end = datetime.strptime(self.options["end_date"], self.user_datetime_format)
+        except ValueError as e:
+            raise ValueError(
+                f"Unable to parse date. Please specify in "
+                f"{self.user_datetime_format} format."
+            ) from e
+        if start > end:
+            raise ValueError("Start date can't be ahead of End date.")
+        return True
+
+    def _pull_data(self) -> pd.DataFrame:
+        start = datetime.strptime(self.options["start_date"], self.user_datetime_format)
+        end = datetime.strptime(self.options["end_date"], self.user_datetime_format)
+        window = (
+            f"{start.strftime('%Y-%m-%d 00:00')}to{end.strftime('%Y-%m-%d 23:00')}"
+        )
+        return pd.DataFrame(self._fetch_paginated(f"{self._feed()}?{window}"))
+
+
 class WeatherForecastV1Source(BaseISOSource):
     """the_weather_company hourly forecast v1
     (the_weather_company/weather_forecast_api_v1.py:28-160 over
@@ -412,3 +662,35 @@ class WeatherForecastV1Source(BaseISOSource):
             if isinstance(f.dataType, T.StringType):
                 df[f.name] = df[f.name].fillna("").astype(str)
         return df
+
+
+class WeatherForecastV1MultiSource(WeatherForecastV1Source):
+    """Multi-station forecast pull
+    (the_weather_company/weather_forecast_api_v1_multi.py:39-85): one
+    hourly-forecast fetch per "lat,lon" station string, concatenated into a
+    single WEATHER_FORECAST_SCHEMA frame."""
+
+    required_options = ["stations", "api_key"]
+
+    def _validate_options(self) -> bool:
+        for station in self.options["stations"]:
+            if len(str(station).split(",")) != 2:
+                raise ValueError(
+                    f"Invalid station `{station}`: expected 'lat,lon'"
+                )
+        return True
+
+    def _pull_data(self) -> pd.DataFrame:
+        import json
+
+        frames = []
+        for station in self.options["stations"]:
+            lat, lon = (p.strip() for p in str(station).split(","))
+            payload = json.loads(
+                self._fetch_from_url(f"{lat}/{lon}/forecast/hourly/360hour.json")
+            )
+            df = pd.json_normalize(payload["forecasts"])
+            df["latitude"] = float(lat)
+            df["longitude"] = float(lon)
+            frames.append(df)
+        return pd.concat(frames, sort=False).reset_index(drop=True)

@@ -18,13 +18,20 @@ from core_spark.sources.iso import (
     CAISO_SCHEMA,
     ERCOT_SCHEMA,
     MISO_SCHEMA,
+    PJM_PRICING_SCHEMA,
     PJM_SCHEMA,
     WEATHER_FORECAST_SCHEMA,
     BaseISOSource,
     CAISODailyLoadSource,
+    CAISOHistoricalLoadSource,
     ERCOTDailyLoadSource,
     MISODailyLoadSource,
+    MISOHistoricalLoadSource,
     PJMDailyLoadSource,
+    PJMDailyPricingSource,
+    PJMHistoricalLoadSource,
+    PJMHistoricalPricingSource,
+    WeatherForecastV1MultiSource,
     WeatherForecastV1Source,
 )
 
@@ -150,6 +157,175 @@ def test_ercot_zone_columns(spark):
     assert df.schema == ERCOT_SCHEMA
     row = df.first()
     assert row["SystemTotal"] == 42500.0 and row["DstFlag"] == "N"
+
+
+MISO_HIST_CSV = (
+    b"MarketDay,HourEnding,LoadResource Zone,MTLF (MWh),ActualLoad (MWh)\n"
+    b"2024-01-15,1,LRZ1,100,101\n"
+    b"2024-01-15,1,LRZ2_7,200,201\n"
+    b"2024-01-15,1,LRZ3_5,300,301\n"
+    b"2024-01-15,1,LRZ4,400,401\n"
+    b"2024-01-15,1,LRZ6,500,501\n"
+    b"2024-01-15,1,LRZ8_9_10,600,\n"  # missing actual -> filled from MTLF
+    b"2024-01-15,1,MISO,2100,2106\n"
+    b"MarketDay,HourEnding,LoadResource Zone,MTLF (MWh),ActualLoad (MWh)\n"  # repeated header row
+    b"2025-06-01,1,LRZ1,999,999\n"  # outside requested range -> clipped
+)
+
+
+def test_miso_historical_load(spark):
+    pulls = []
+
+    def fetch(suffix):
+        pulls.append(suffix)
+        return MISO_HIST_CSV
+
+    src = MISOHistoricalLoadSource(
+        spark, {"start_date": "20240101", "end_date": "20240201"}, fetch=fetch
+    )
+    df = src.read_batch()
+    assert df.schema == MISO_SCHEMA
+    assert pulls == ["20241231_dfal_HIST"]  # one file per year in range
+    rows = df.collect()
+    assert len(rows) == 1
+    # fill_missing=true default: LRZ8_9_10 actual filled from its forecast
+    assert rows[0]["Lrz8_9_10"] == 600.0 and rows[0]["Miso"] == 2106.0
+
+    # fill_missing off: the NaN actual row drops before pivot
+    src2 = MISOHistoricalLoadSource(
+        spark,
+        {"start_date": "20240101", "end_date": "20240201", "fill_missing": "false"},
+        fetch=fetch,
+    )
+    row2 = src2.read_batch().first()
+    assert row2["Lrz8_9_10"] is None and row2["Lrz1"] == 101.0
+
+
+def test_caiso_historical_chunked_pull(spark):
+    pulls = []
+    payload = _zip_bytes("caiso.csv", CAISO_CSV)
+
+    def fetch(suffix):
+        pulls.append(suffix)
+        return payload
+
+    src = CAISOHistoricalLoadSource(
+        spark,
+        {
+            "load_types": ["Total Actual Hourly Integrated Load"],
+            "start_date": "2024-01-01",
+            "end_date": "2024-03-01",
+        },
+        fetch=fetch,
+    )
+    df = src.read_batch()
+    assert df.schema == CAISO_SCHEMA
+    assert len(pulls) == 3  # 61-day spanded in 30-day chunks
+    assert pulls[0].startswith("20240101T00:00-0000/20240131T00:00-0000")
+    assert df.count() == 3  # the matching label row from each chunk
+
+
+def test_pjm_historical_load_batches_and_validation(spark):
+    pulls = []
+
+    def fetch(suffix):
+        pulls.append(suffix)
+        return PJM_ACTUAL_CSV
+
+    src = PJMHistoricalLoadSource(
+        spark,
+        {
+            "api_key": "k", "load_type": "actual",
+            "start_date": "2024-01-01", "end_date": "2024-05-30",
+            "query_batch_days": 120,
+        },
+        fetch=fetch,
+    )
+    df = src.read_batch()
+    assert df.schema == PJM_SCHEMA and df.count() == 4  # 2 windows x 2 rows
+    assert len(pulls) == 2 and pulls[0].startswith("ops_sum_prev_period?")
+
+    bad = PJMHistoricalLoadSource(
+        spark,
+        {"api_key": "k", "load_type": "actual",
+         "start_date": "2024-05-30", "end_date": "2024-01-01"},
+        fetch=fetch,
+    )
+    with pytest.raises(ValueError, match="ahead of End date"):
+        bad.read_batch()
+
+
+def _pjm_pricing_pages(load_type: str):
+    sfx = "_da" if load_type == "day_ahead" else "_rt"
+    item = {
+        "datetime_beginning_utc": "2024-01-15T05:00:00",
+        "pnode_id": 1, "pnode_name": "PJM-RTO", "voltage": "500 KV",
+        "equipment": "", "type": "ZONE", "zone": "PJM-RTO",
+        f"system_energy_price{sfx}": 25.5, f"total_lmp{sfx}": 26.1,
+        f"congestion_price{sfx}": 0.4, f"marginal_loss_price{sfx}": 0.2,
+        "version_nbr": 1,
+    }
+    page1 = {"items": [item], "links": [{"rel": "next", "href": "page2"}]}
+    item2 = dict(item, pnode_id=2, **{f"total_lmp{sfx}": 27.0})
+    page2 = {"items": [item2], "links": []}
+    return {"da_hrl_lmps": page1, "rt_hrl_lmps": page1, "page2": page2}
+
+
+def test_pjm_daily_pricing_pagination(spark):
+    pages = _pjm_pricing_pages("day_ahead")
+
+    def fetch(suffix):
+        return json.dumps(pages[suffix.split("?")[0]]).encode()
+
+    src = PJMDailyPricingSource(
+        spark, {"api_key": "k", "load_type": "day_ahead"}, fetch=fetch
+    )
+    df = src.read_batch()
+    assert df.schema == PJM_PRICING_SCHEMA
+    rows = df.orderBy("PnodeId").collect()
+    assert [r.TotalLmp for r in rows] == [26.1, 27.0]  # both pages landed
+    with pytest.raises(ValueError, match="Invalid load_type"):
+        PJMDailyPricingSource(
+            spark, {"api_key": "k", "load_type": "nope"}, fetch=fetch
+        ).read_batch()
+
+
+def test_pjm_historical_pricing_window(spark):
+    pages = _pjm_pricing_pages("real_time")
+    pulls = []
+
+    def fetch(suffix):
+        pulls.append(suffix)
+        return json.dumps(pages[suffix.split("?")[0]]).encode()
+
+    src = PJMHistoricalPricingSource(
+        spark,
+        {"api_key": "k", "load_type": "real_time",
+         "start_date": "2024-01-01", "end_date": "2024-01-10"},
+        fetch=fetch,
+    )
+    df = src.read_batch()
+    assert df.count() == 2
+    assert pulls[0] == "rt_hrl_lmps?2024-01-01 00:00to2024-01-10 23:00"
+
+
+def test_weather_multi_station(spark):
+    payload = json.dumps(
+        {"forecasts": [{"class": "fod", "num": 1, "temp": 30}]}
+    ).encode()
+    src = WeatherForecastV1MultiSource(
+        spark,
+        {"stations": ["40.75,-73.98", "34.05,-118.24"], "api_key": "k"},
+        fetch=lambda s: payload,
+    )
+    df = src.read_batch()
+    assert df.schema == WEATHER_FORECAST_SCHEMA
+    lats = sorted(r.Latitude for r in df.collect())
+    assert lats == [34.05, 40.75]
+    with pytest.raises(ValueError, match="Invalid station"):
+        WeatherForecastV1MultiSource(
+            spark, {"stations": ["oops"], "api_key": "k"}, fetch=lambda s: payload
+        ).read_batch()
 
 
 def test_weather_forecast_v1_json(spark):
