@@ -2370,6 +2370,66 @@ FROM events
 """
 
 
+def q_transform_weather_model(spark, sf_dir):
+    """transformers.raw_forecast_to_weather_data_model
+    (the_weather_company/raw_forecast_to_weather_data_model.py:80-156) over a
+    forecast-shaped projection of events: FcstValidLocal carve-outs, rename
+    chain, ''->NULL scrub, model-typed single select."""
+    from .transformers import raw_forecast_to_weather_data_model
+
+    e = _load(spark, sf_dir, "events")
+    raw = e.select(
+        ((F.col("event_id") % 181) - 90).cast("double").alias("Latitude"),
+        ((F.col("event_id") % 361) - 180).cast("double").alias("Longitude"),
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("-0500")
+        ).alias("FcstValidLocal"),
+        F.col("value").alias("Temp"),
+        (F.col("value") - 5.0).alias("Dewpt"),
+        (F.col("user_id") % 100).cast("int").alias("Rh"),
+        (F.col("user_id") % 100).cast("int").alias("Pop"),
+        (F.col("event_id") % 40).cast("int").alias("Gust"),
+        F.when(F.col("user_id") % 5 == 0, F.lit("")).otherwise(F.lit("rain")).alias("PrecipType"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("D")).otherwise(F.lit("N")).alias("DayInd"),
+        F.col("event_type").alias("Dow"),
+        ((F.col("event_id") % 15) + 1).cast("int").alias("Num"),
+    )
+    return raw_forecast_to_weather_data_model(raw, "2024-06-01 00:00:00")
+
+
+SQL_TRANSFORM_WEATHER_MODEL = """
+SELECT CAST(event_id % 181 AS DOUBLE) - 90.0 AS "Latitude",
+       CAST(event_id % 361 AS DOUBLE) - 180.0 AS "Longitude",
+       strftime(ts, '%Y-%m-%d') AS "WeatherDay",
+       CAST(strftime(ts, '%H') AS INTEGER) + 1 AS "WeatherHour",
+       '-0500' AS "WeatherTimezoneOffset",
+       'F' AS "WeatherType",
+       TIMESTAMP '2024-06-01 00:00:00' AS "ProcessedDate",
+       value AS "Temperature",
+       value - 5.0 AS "DewPoint",
+       CAST(user_id % 100 AS DOUBLE) AS "Humidity",
+       CAST(NULL AS DOUBLE) AS "HeatIndex",
+       CAST(NULL AS DOUBLE) AS "WindChill",
+       CAST(NULL AS DOUBLE) AS "WindDirection",
+       CAST(NULL AS DOUBLE) AS "WindSpeed",
+       CAST(NULL AS DOUBLE) AS "CloudCover",
+       CAST(NULL AS VARCHAR) AS "WetBulbTemp",
+       CAST(NULL AS VARCHAR) AS "SolarIrradiance",
+       CAST(NULL AS DOUBLE) AS "Precipitation",
+       CASE WHEN event_id % 2 = 0 THEN 'D' ELSE 'N' END AS "DayOrNight",
+       event_type AS "DayOfWeek",
+       CAST(event_id % 40 AS INTEGER) AS "WindGust",
+       CAST(NULL AS DOUBLE) AS "MslPressure",
+       CAST(event_id % 15 AS INTEGER) + 1 AS "ForecastDayNum",
+       CAST(user_id % 100 AS INTEGER) AS "PropOfPrecip",
+       CASE WHEN user_id % 5 = 0 THEN NULL ELSE 'rain' END AS "PrecipType",
+       CAST(NULL AS DOUBLE) AS "SnowAccumulation",
+       CAST(NULL AS DOUBLE) AS "UvIndex",
+       CAST(NULL AS DOUBLE) AS "Visibility"
+FROM events
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -2460,6 +2520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_opcae": q_transform_opcae,
     "weather_raw_grid": q_weather_raw_grid,
     "transform_smart_meter_usage": q_transform_smart_meter_usage,
+    "transform_weather_model": q_transform_weather_model,
     "weather_latest_point": q_weather_latest_point,
 }
 
@@ -2531,5 +2592,6 @@ ORACLES: dict[str, str] = {
     "transform_opcae": SQL_TRANSFORM_OPCAE,
     "weather_raw_grid": SQL_WEATHER_RAW_GRID,
     "transform_smart_meter_usage": SQL_TRANSFORM_SMART_METER_USAGE,
+    "transform_weather_model": SQL_TRANSFORM_WEATHER_MODEL,
     "weather_latest_point": SQL_WEATHER_LATEST_POINT,
 }

@@ -916,3 +916,91 @@ def ssip_json_to_pcdm(
         "EventDate", "TagName", "EventTime", "Status", "Value", "ValueType",
         ct.alias("ChangeType"),
     )
+
+
+WEATHER_DATA_MODEL = T.StructType(
+    [
+        T.StructField("Latitude", T.DoubleType(), False),
+        T.StructField("Longitude", T.DoubleType(), False),
+        T.StructField("WeatherDay", T.StringType(), False),
+        T.StructField("WeatherHour", T.IntegerType(), False),
+        T.StructField("WeatherTimezoneOffset", T.StringType(), False),
+        T.StructField("WeatherType", T.StringType(), False),
+        T.StructField("ProcessedDate", T.TimestampType(), False),
+        T.StructField("Temperature", T.DoubleType(), True),
+        T.StructField("DewPoint", T.DoubleType(), True),
+        T.StructField("Humidity", T.DoubleType(), True),
+        T.StructField("HeatIndex", T.DoubleType(), True),
+        T.StructField("WindChill", T.DoubleType(), True),
+        T.StructField("WindDirection", T.DoubleType(), True),
+        T.StructField("WindSpeed", T.DoubleType(), True),
+        T.StructField("CloudCover", T.DoubleType(), True),
+        T.StructField("WetBulbTemp", T.StringType(), True),
+        T.StructField("SolarIrradiance", T.StringType(), True),
+        T.StructField("Precipitation", T.DoubleType(), True),
+        T.StructField("DayOrNight", T.StringType(), True),
+        T.StructField("DayOfWeek", T.StringType(), True),
+        T.StructField("WindGust", T.IntegerType(), True),
+        T.StructField("MslPressure", T.DoubleType(), True),
+        T.StructField("ForecastDayNum", T.IntegerType(), True),
+        T.StructField("PropOfPrecip", T.IntegerType(), True),
+        T.StructField("PrecipType", T.StringType(), True),
+        T.StructField("SnowAccumulation", T.DoubleType(), True),
+        T.StructField("UvIndex", T.DoubleType(), True),
+        T.StructField("Visibility", T.DoubleType(), True),
+    ]
+)
+
+# raw forecast column -> weather data model column (raw_forecast_to_weather_
+# data_model.py:100-125 withColumnRenamed chain)
+_WEATHER_RENAMES = {
+    "Temperature": "Temp", "DewPoint": "Dewpt", "Humidity": "Rh",
+    "HeatIndex": "Hi", "WindChill": "Wc", "WindDirection": "Wdir",
+    "WindSpeed": "Wspd", "CloudCover": "Clds", "Precipitation": "Qpf",
+    "DayOrNight": "DayInd", "DayOfWeek": "Dow", "WindGust": "Gust",
+    "MslPressure": "Mslp", "ForecastDayNum": "Num", "PropOfPrecip": "Pop",
+    "PrecipType": "PrecipType", "SnowAccumulation": "SnowQpf",
+    "UvIndex": "UvIndex", "Visibility": "Vis",
+}
+
+
+def raw_forecast_to_weather_data_model(
+    df: DataFrame, processed_date: str
+) -> DataFrame:
+    """the_weather_company raw hourly forecast -> WEATHER_DATA_MODEL rows
+    (transformers/spark/the_weather_company/raw_forecast_to_weather_data_model
+    .py:80-156).
+
+    Semantics kept: WeatherDay/Hour/TimezoneOffset carved out of the
+    ``FcstValidLocal`` local-time string (:84-92; hour is 1-based),
+    WeatherType='F', the rename chain (:100-125), ''->NULL scrub (:128-132),
+    and the final cast to the declared model types (:59-69).
+
+    Divergences: ONE cast-typed ``select`` instead of ~25 ``withColumn``s
+    followed by ``spark.createDataFrame(df.rdd, schema)`` — that rdd
+    round-trip materializes every row through Python serialization and
+    discards the Catalyst lineage (no pushdown through it), where a plain
+    projection keeps whole-stage codegen; and ``processed_date`` is an
+    explicit argument instead of ``datetime.now()`` (:144) so replays are
+    byte-identical.
+    """
+    scrubbed = {}
+    for f in WEATHER_DATA_MODEL.fields:
+        src = _WEATHER_RENAMES.get(f.name, f.name)
+        if src in df.columns:
+            c = F.col(src).cast("string")
+            scrubbed[f.name] = F.when(c == "", None).otherwise(c).cast(f.dataType)
+    fcst = F.col("FcstValidLocal").cast("string")
+    return df.select(
+        scrubbed["Latitude"].alias("Latitude"),
+        scrubbed["Longitude"].alias("Longitude"),
+        F.substring(fcst, 1, 10).alias("WeatherDay"),
+        (F.substring(fcst, 12, 2).cast("int") + F.lit(1)).alias("WeatherHour"),
+        F.substring(fcst, 20, 5).alias("WeatherTimezoneOffset"),
+        F.lit("F").alias("WeatherType"),
+        F.lit(processed_date).cast("timestamp").alias("ProcessedDate"),
+        *[
+            scrubbed.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in WEATHER_DATA_MODEL.fields[7:]
+        ],
+    )

@@ -107,3 +107,26 @@ def test_filters_reach_scan(spark, tmp_path, wdf):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "Latitude" in plan.split("PushedFilters")[1][:200]
+
+
+def test_raw_forecast_to_weather_data_model_schema_and_scrub(spark):
+    from core_spark.transformers import WEATHER_DATA_MODEL, raw_forecast_to_weather_data_model
+
+    raw = spark.createDataFrame(
+        [(40.75, -73.98, "2024-01-15T03:00:00-0500", 28.0, "", "rain", "7", "3")],
+        "Latitude double, Longitude double, FcstValidLocal string, "
+        "Temp double, DayInd string, PrecipType string, Pop string, Num string",
+    )
+    out = raw_forecast_to_weather_data_model(raw, "2024-06-01 00:00:00")
+    # declared model names+types (ref :59-69); nullability flags are the one
+    # thing the reference's createDataFrame(df.rdd, schema) forces that a
+    # projection doesn't claim
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in WEATHER_DATA_MODEL.fields
+    ]
+    row = out.first()
+    assert row.WeatherDay == "2024-01-15" and row.WeatherHour == 4  # 1-based
+    assert row.WeatherTimezoneOffset == "-0500" and row.WeatherType == "F"
+    assert row.DayOrNight is None  # '' -> NULL scrub (ref :128-132)
+    assert row.PropOfPrecip == 7 and row.ForecastDayNum == 3  # string -> int cast
+    assert row.WindGust is None and row.WetBulbTemp is None  # absent sources
