@@ -528,3 +528,18 @@ def test_opcae_flatten(spark):
     assert r["EventTime"] == _ts("2024-01-01 00:00:09.500")
     # where-filter applies pre-parse on the raw event string
     assert tr.opcae_json_to_rows(df, fields=fields, where="__e NOT LIKE '%n1%'").count() == 0
+
+
+def test_spark_connection_cursor(spark):
+    from core_spark.connection import SparkConnection
+
+    conn = SparkConnection(spark=spark)
+    cur = conn.cursor()
+    cur.execute("SELECT 1 AS one, 'a' AS tag")
+    row = cur.fetch_all().first()
+    assert row.one == 1 and row.tag == "a"
+    cur.close(); conn.close()  # no-ops by contract
+    import pytest
+
+    with pytest.raises(RuntimeError, match="execute"):
+        conn.cursor().fetch_all()
