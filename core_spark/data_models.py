@@ -262,3 +262,58 @@ def london_smart_meter_to_usage(
         epoch.alias("IntervalTimestamp"),
         F.col(value_col).cast("double").alias("Value"),
     )
+
+
+# -- small utils (data_models/utils/timeseries_utils.py:20-96 and
+#    data_models/storage_objects/storage_objects_utils.py:20-60) ------------
+
+_URI_SCHEMES = ("https", "s3", "gs", "s3a")
+
+
+def validate_uri(uri: str) -> tuple[str, str | None, str]:
+    """Validate a storage-object URI against the supported schemes and split
+    it into (scheme, host, path) (storage_objects_utils.py:20-60)."""
+    if uri:
+        from urllib.parse import urlparse
+
+        parsed = urlparse(uri.strip().rstrip("/"))
+        if parsed.scheme in _URI_SCHEMES:
+            return parsed.scheme, parsed.hostname, parsed.path
+    raise SystemError(f"Could not convert to valid tuple: {uri}")
+
+
+def get_minute_of_the_day(ts) -> int:
+    """(timeseries_utils.py:51-56)"""
+    return ts.hour * 60 + ts.minute
+
+
+def get_interval(series_type: SeriesType, ts) -> int:
+    """Interval index of a timestamp within its day for interval series
+    (timeseries_utils.py:27-37)."""
+    if series_type == SeriesType.Minutes15:
+        return get_minute_of_the_day(ts) // 15
+    if series_type == SeriesType.Hour:
+        return get_minute_of_the_day(ts) // 60
+    raise SystemError(f"Not implemented for: {series_type}")
+
+
+def infer_type(value) -> type:
+    """Best-effort python type from a string sample (timeseries_utils.py:
+    14-25,76-86): int, float, common date / datetime layouts, else str."""
+    from datetime import date, datetime as _dt
+
+    checks = [
+        (int, int),
+        (float, float),
+        (date, lambda v: _dt.strptime(v, "%Y-%m-%d")),
+        (date, lambda v: _dt.strptime(v, "%Y/%m/%d")),
+        (date, lambda v: _dt.strptime(v, "%d/%m/%Y")),
+        (_dt, lambda v: _dt.strptime(v, "%Y-%m-%d %H:%M:%S.%f")),
+    ]
+    for detected, probe in checks:
+        try:
+            probe(value)
+            return detected
+        except (ValueError, TypeError):
+            continue
+    return str

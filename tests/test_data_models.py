@@ -79,3 +79,29 @@ def test_london_smart_meter_to_usage(spark):
     row = [r for r in out if r.Uid == hashlib.md5(b"MAC000002").hexdigest()][0]
     assert row.Timestamp == row.IntervalTimestamp == 1357000200  # UTC epoch
     assert row.Value == 0.219
+
+
+def test_validate_uri_and_interval_utils():
+    from datetime import datetime as dt
+
+    from core_spark.data_models import get_interval, infer_type, validate_uri
+
+    assert validate_uri("s3://bucket/key/") == ("s3", "bucket", "/key")
+    assert validate_uri("https://acct.blob.core.windows.net/c/p") == (
+        "https", "acct.blob.core.windows.net", "/c/p"
+    )
+    with pytest.raises(SystemError):
+        validate_uri("ftp://nope/x")
+
+    t = dt(2024, 1, 1, 2, 45)
+    assert get_interval(SeriesType.Minutes15, t) == 11
+    assert get_interval(SeriesType.Hour, t) == 2
+    with pytest.raises(SystemError):
+        get_interval(SeriesType.RealTime, t)
+
+    from datetime import date, datetime
+    assert infer_type("42") is int
+    assert infer_type("4.5") is float
+    assert infer_type("2024-01-01") is date
+    assert infer_type("2024-01-01 00:00:00.000") is datetime
+    assert infer_type("hello") is str
