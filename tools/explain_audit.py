@@ -59,6 +59,18 @@ CHECKS = {
         ["Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BroadcastHashJoin"],
     ),
+    # weather raw_grid: every predicate (time, run-time, lat/lon box, tag
+    # suffix) must reach the parquet scan; no join (the one Exchange is the
+    # contractual ORDER BY tagname range-sort, which orderBy+limit callers
+    # collapse to TakeOrderedAndProject)
+    "weather_raw_grid": (
+        ["PushedFilters", "ReadSchema"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
+    # smart-meter usage: one codegen projection over a pruned scan
+    "transform_smart_meter_usage": (["ReadSchema"], ["Exchange", "HashAggregate"]),
+    # weather data model: same shape — pure projection
+    "transform_weather_model": (["ReadSchema"], ["Exchange", "HashAggregate"]),
 }
 
 
