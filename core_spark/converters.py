@@ -113,3 +113,29 @@ def pipeline_job_from_json(
         version=doc.get("version", "0.1"),
         description=doc.get("description", ""),
     )
+
+
+def default_component_registry() -> dict[str, Callable[..., Any]]:
+    """Catalog of the engine's built-in pipeline components, keyed by class /
+    function name — the analog of the reference's component discovery
+    (utilities/pipeline_components.py:24-77, which reflects over imported
+    modules). Used as the ``registry`` argument of ``pipeline_job_from_json``
+    so JSON jobs can name any built-in source/sink/transformer; merge caller
+    dicts over it for custom components."""
+    from . import mdm, ml, transformers
+    from .data_models import london_smart_meter_to_usage
+    from .sources import connectors, iso
+
+    registry: dict[str, Callable[..., Any]] = {}
+    for module in (connectors, iso):
+        for name in dir(module):
+            obj = getattr(module, name)
+            if inspect.isclass(obj) and obj.__module__ == module.__name__:
+                registry[name] = obj
+    for module in (transformers, mdm, ml):
+        for name in dir(module):
+            obj = getattr(module, name)
+            if inspect.isfunction(obj) and obj.__module__ == module.__name__ and not name.startswith("_"):
+                registry[name] = obj
+    registry["london_smart_meter_to_usage"] = london_smart_meter_to_usage
+    return registry

@@ -102,3 +102,17 @@ def test_file_handler_lines(tmp_path):
     assert len(lines) == 2
     assert lines[0].endswith("| core_spark_file_logger | INFO | first")
     assert lines[1].endswith("| core_spark_file_logger | ERROR | second")
+
+
+def test_default_component_registry():
+    from core_spark.converters import default_component_registry
+
+    reg = default_component_registry()
+    # sources/sinks by class name, transformers by function name
+    for expected in (
+        "KafkaSource", "RestSink", "MISODailyLoadSource",
+        "PJMDailyPricingSource", "pcdm_normalize", "raw_to_mdm",
+        "london_smart_meter_to_usage",
+    ):
+        assert expected in reg, expected
+    assert all(not k.startswith("_") for k in reg)
