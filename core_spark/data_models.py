@@ -317,3 +317,121 @@ def infer_type(value) -> type:
         except (ValueError, TypeError):
             continue
     return str
+
+
+# --------------------------------------------------------------- weather VOs
+
+
+def _typed_dataclass_check(obj) -> None:
+    """Enforce declared field types on a VO dataclass (the engine's stand-in
+    for the reference's pydantic validation). int accepted where float is
+    declared; datetime fields accept datetime only."""
+    from datetime import datetime as _dt
+
+    hints = type(obj).__annotations__
+    for name, want in hints.items():
+        if isinstance(want, str):  # PEP 563 stringified; forward refs quoted
+            want = want.strip("\"'")
+        val = getattr(obj, name)
+        if want in ("float", float):
+            _require(
+                isinstance(val, (int, float)) and not isinstance(val, bool),
+                f"{name} must be numeric",
+            )
+            object.__setattr__(obj, name, float(val))
+        elif want in ("int", int):
+            _require(
+                isinstance(val, int) and not isinstance(val, bool),
+                f"{name} must be int",
+            )
+        elif want in ("str", str):
+            _require(isinstance(val, str), f"{name} must be str")
+        elif want in ("bool", bool):
+            _require(isinstance(val, bool), f"{name} must be bool")
+        elif want in ("datetime", _dt):
+            _require(isinstance(val, _dt), f"{name} must be datetime")
+
+
+@dataclass
+class AtmosphericG215minForecastV1:
+    """The Weather Company 15-minute atmospheric forecast VO
+    (data_models/weather/weather_models.py:20-105) — field names are the
+    TWC API's own keys, kept verbatim as the exchange contract."""
+
+    clas: str
+    clds: int
+    day_ind: str
+    dewpt: int
+    dow: str
+    expire_time_gmt: float
+    fcst_valid: float
+    fcst_valid_local: "datetime"
+    feels_like: int
+    golf_category: str
+    golf_index: int
+    gust: int
+    hi: int
+    icon_code: int
+    icon_extd: int
+    mslp: float
+    num: int
+    phrase_12char: str
+    phrase_22char: str
+    phrase_32char: str
+    pop: str
+    precip_type: str
+    qpf: float
+    rh: int
+    severity: int
+    snow_qpf: float
+    subphrase_pt1: str
+    subphrase_pt2: str
+    subphrase_pt3: str
+    temp: int
+    uv_desc: str
+    uv_index: int
+    uv_index_raw: float
+    uv_warning: int
+    vis: float
+    wc: int
+    wdir: int
+    wdir_cardinal: str
+    wspd: int
+    wxman: str
+
+    def __post_init__(self) -> None:
+        _typed_dataclass_check(self)
+
+
+@dataclass
+class WeatherForecastV1:
+    """Standardised weather forecast row VO (weather_models.py:107-131).
+    Value is str — the reference declares Value twice (float then str) and
+    pydantic keeps the later str annotation; the stored data model
+    (transformers.WEATHER_DATA_MODEL) carries typed measurement columns
+    instead, so the VO mirrors the reference's wire shape exactly."""
+
+    Tagname: str
+    Longitude: float
+    Latitude: float
+    EventDate: "datetime"
+    EventTime: "datetime"
+    Source: str
+    Status: str
+    Value: str
+    EnqueuedTime: "datetime"
+    Latest: bool
+
+    def __post_init__(self) -> None:
+        _typed_dataclass_check(self)
+
+
+def create_atmospheric_g2_15min_forecast_vo(**kwargs: Any) -> AtmosphericG215minForecastV1:
+    """Keyword factory (CreateWeatherObject.py:19-99 —
+    create_AtmosphericG215minForecastV1_VO)."""
+    return AtmosphericG215minForecastV1(**kwargs)
+
+
+def create_weather_forecast_vo(**kwargs: Any) -> WeatherForecastV1:
+    """Keyword factory (CreateWeatherObject.py:102-140)."""
+    return WeatherForecastV1(**kwargs)

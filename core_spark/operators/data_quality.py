@@ -598,3 +598,74 @@ def kmeans_binning(
     cent_arr = F.array(*[F.lit(c) for c in centroids])
     out = scan(df, spec).withColumn("bin", assign_expr(centroids))
     return out.withColumn("centroid", F.element_at(cent_arr, F.col("bin").cast("int") + 1))
+
+
+def validate_schema(
+    df: DataFrame,
+    expected: "dict | object",
+    null_strings: Sequence[str] = ("None", "none", "null", "Null", ""),
+) -> DataFrame:
+    """Validate + coerce a DataFrame against an expected schema
+    (data_quality/input_validator.py:120-170).
+
+    Same contract as the reference's InputValidator.validate: every expected
+    column must exist (ValueError otherwise), the null-marker strings are
+    normalized to NULL, and type-mismatched columns are cast to the expected
+    type — a cast that would *introduce* nulls (i.e. values the target type
+    cannot represent) is rejected with ValueError. Returns the coerced
+    DataFrame instead of mutating a component in place.
+
+    One Spark job total: the reference counts nulls twice per cast column
+    (input_validator.py:154-158 — 2·C full scans); here every cast column's
+    introduced-null count comes from a single aggregate over one scan.
+    """
+    from pyspark.sql.types import DataType, StringType, StructType
+
+    if isinstance(expected, StructType):
+        expected = {f.name: f.dataType for f in expected.fields}
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    markers = list(null_strings)
+    for column in expected:
+        # marker normalization only applies to string-typed columns: on a
+        # numeric column the isin comparison would ANSI-cast 'None' and throw
+        if column in actual and isinstance(actual[column], StringType):
+            df = df.withColumn(
+                column,
+                F.when(F.col(column).isin(markers), None).otherwise(F.col(column)),
+            )
+    cast_cols: list[str] = []
+    out = df
+    for column, want in expected.items():
+        if column not in actual:
+            raise ValueError(f"Column '{column}' is missing in the DataFrame.")
+        if not isinstance(actual[column], DataType) or not isinstance(want, DataType):
+            raise TypeError(
+                "Expected and actual types must be instances of pyspark.sql.types.DataType."
+            )
+        if not isinstance(actual[column], type(want)):
+            # try_cast: malformed values become NULL (counted below) instead
+            # of throwing per-row under ANSI mode — same semantics as the
+            # reference's non-ANSI cast + null-count comparison
+            out = out.withColumn(f"__cast_{column}", F.col(column).try_cast(want))
+            cast_cols.append(column)
+    if cast_cols:
+        counts = out.agg(
+            *[
+                F.count(
+                    F.when(
+                        F.col(c).isNotNull() & F.col(f"__cast_{c}").isNull(), 1
+                    )
+                ).alias(c)
+                for c in cast_cols
+            ]
+        ).first()
+        for c in cast_cols:
+            if counts[c] > 0:
+                raise ValueError(f"Column '{c}' cannot be cast to {expected[c]}.")
+        out = out.select(
+            *[
+                F.col(f"__cast_{f.name}").alias(f.name) if f.name in cast_cols else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+    return out

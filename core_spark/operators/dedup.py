@@ -178,12 +178,13 @@ def _splitmix64(x):
     """Deterministic 64-bit mix (splitmix64 finalizer), numpy-vectorized."""
     import numpy as np
 
-    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    x ^= x >> np.uint64(30)
-    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
-    x ^= x >> np.uint64(27)
-    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
-    return x ^ (x >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wrap IS the mix function
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+        x ^= x >> np.uint64(27)
+        x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
 
 
 def _minhash_consts(n_hashes: int):
