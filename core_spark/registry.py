@@ -31,6 +31,7 @@ from .functions import audio as au
 from .functions import text as tx
 from .operators import data_quality as dq
 from .operators import dedup as dd
+from .operators import sampling as smp
 from .operators import similarity as sim
 from .operators import timeseries as ts
 from .operators.timeseries import TSSpec
@@ -2430,6 +2431,87 @@ FROM events
 """
 
 
+# ------------------------------------------------- sampling / contamination
+
+_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8)) "
+    "AS BIGINT) % 1000000"
+)
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 10% corpus sample (operators/sampling.hash_sample) —
+    bit-identical md5 buckets in Spark and DuckDB."""
+    docs = _load(spark, sf_dir, "documents")
+    return smp.hash_sample(docs, 0.1).select("doc_id", "lang", "n_chars")
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_BUCKET_SQL.format(salt='')} < 100000
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Training-mix builder: per-language fractions, default for the rest
+    (operators/sampling.stratified_hash_sample)."""
+    docs = _load(spark, sf_dir, "documents")
+    return smp.stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.2}, strata_col="lang", default_fraction=0.05
+    ).select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_BUCKET_SQL.format(salt='')} <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000 ELSE 50000 END
+"""
+
+
+def q_sample_split(spark, sf_dir):
+    """Stable train/test labeling (operators/sampling.train_test_split_col):
+    disjoint + exhaustive by construction, keys never migrate."""
+    docs = _load(spark, sf_dir, "documents")
+    return smp.train_test_split_col(docs, test_fraction=0.2).select("doc_id", "split")
+
+
+SQL_SAMPLE_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL.format(salt='split')} < 200000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark contamination (operators/sampling.contamination_check):
+    a deterministic 2% hash-slice of the corpus plays the held-out eval
+    set; flag remaining documents sharing any normalized word 5-gram."""
+    docs = _load(spark, sf_dir, "documents")
+    bucket = smp.hash_bucket(F.col("doc_id"), "bench")
+    bench = docs.filter(bucket < 20000)
+    corpus = docs.filter(bucket >= 20000)
+    return smp.contamination_check(corpus, bench, n=5)
+
+
+SQL_TEXT_CONTAMINATION = rf"""
+WITH nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS t,
+         {_BUCKET_SQL.format(salt='bench')} AS b
+  FROM documents),
+w AS (SELECT doc_id, b, string_split(t, ' ') AS ws FROM nrm),
+grams AS (
+  SELECT DISTINCT doc_id, b, array_to_string(ws[i:i+4], ' ') AS g
+  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i))
+SELECT c.doc_id AS doc_id, bm.doc_id AS bench_id, COUNT(*) AS shared_ngrams
+FROM grams c JOIN grams bm USING (g)
+WHERE c.b >= 20000 AND bm.b < 20000
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -2522,6 +2604,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_smart_meter_usage": q_transform_smart_meter_usage,
     "transform_weather_model": q_transform_weather_model,
     "weather_latest_point": q_weather_latest_point,
+    "sample_hash": q_sample_hash,
+    "sample_stratified": q_sample_stratified,
+    "sample_split": q_sample_split,
+    "text_contamination": q_text_contamination,
 }
 
 ORACLES: dict[str, str] = {
@@ -2594,4 +2680,8 @@ ORACLES: dict[str, str] = {
     "transform_smart_meter_usage": SQL_TRANSFORM_SMART_METER_USAGE,
     "transform_weather_model": SQL_TRANSFORM_WEATHER_MODEL,
     "weather_latest_point": SQL_WEATHER_LATEST_POINT,
+    "sample_hash": SQL_SAMPLE_HASH,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sample_split": SQL_SAMPLE_SPLIT,
+    "text_contamination": SQL_TEXT_CONTAMINATION,
 }

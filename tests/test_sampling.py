@@ -1,0 +1,111 @@
+"""Tests for deterministic sampling / splitting / contamination
+(operators/sampling) — reproducibility, exactness, and scale invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from core_spark.operators import sampling as smp
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_hash_sample_deterministic_and_nested(spark, docs):
+    s10a = ids(smp.hash_sample(docs, 0.10))
+    s10b = ids(smp.hash_sample(docs, 0.10))
+    assert s10a == s10b  # rerun-stable
+    # monotone thresholds nest: the 10% sample is a subset of the 25% one —
+    # the property that makes incremental re-sampling of a growing corpus safe
+    s25 = set(ids(smp.hash_sample(docs, 0.25)))
+    assert set(s10a) <= s25
+    n = docs.count()
+    assert len(s10a) == pytest.approx(0.10 * n, abs=3 * (0.1 * 0.9 * n) ** 0.5 + 1)
+
+
+def test_hash_sample_salt_gives_independent_sample(spark, docs):
+    a = set(ids(smp.hash_sample(docs, 0.3)))
+    b = set(ids(smp.hash_sample(docs, 0.3, salt="other")))
+    assert a != b  # same fraction, different membership
+    # edges
+    assert ids(smp.hash_sample(docs, 0.0)) == []
+    assert len(ids(smp.hash_sample(docs, 1.0))) == docs.count()
+    with pytest.raises(ValueError):
+        smp.hash_sample(docs, 1.5)
+
+
+def test_stratified_fractions_per_stratum(spark, docs):
+    out = smp.stratified_hash_sample(
+        docs, {"en": 1.0, "de": 0.0}, strata_col="lang", default_fraction=0.0
+    )
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got == {"en"}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en  # fraction 1.0 keeps every row of the stratum
+    # stratum membership is consistent with the flat sample at equal fraction
+    flat = set(ids(smp.hash_sample(docs, 0.4)))
+    strat = set(
+        ids(smp.stratified_hash_sample(docs, {}, strata_col="lang", default_fraction=0.4))
+    )
+    assert strat == flat
+
+
+def test_train_test_split_partition_properties(spark, docs):
+    out = smp.train_test_split_col(docs, test_fraction=0.2)
+    assert out.count() == docs.count()  # exhaustive
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"train", "test"}
+    # a key's split never depends on what else is in the frame
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in smp.train_test_split_col(half, 0.2).select("doc_id", "split").collect()
+    }
+    full = {
+        r["doc_id"]: r["split"]
+        for r in out.select("doc_id", "split").collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_contamination_detects_shared_ngrams(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id bigint, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's 8-gram span (with punctuation noise —
+            # normalization must see through it)
+            (1, "He said: the QUICK brown fox, jumps over the lazy dog!! again"),
+            # shares only a 4-gram -> clean at n=8
+            (2, "the quick brown fox went home early yesterday evening alone"),
+            (3, "completely unrelated text about spark aggregation pipelines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = smp.contamination_check(corpus, bench, n=8).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in out] == [(1, 100)]
+    assert out[0]["shared_ngrams"] >= 1
+
+
+def test_contamination_short_docs_are_safe(spark):
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id bigint, text string")
+    corpus = spark.createDataFrame([(1, "tiny doc")], "doc_id bigint, text string")
+    # both below n words -> zero n-grams -> no pairs, no crash
+    assert smp.contamination_check(corpus, bench, n=8).count() == 0
+
+
+def test_sampling_plan_is_scan_level_filter(spark, docs):
+    plan = smp.hash_sample(docs, 0.1)._jdf.queryExecution().executedPlan().toString()
+    # single-stage: no exchange anywhere in the sampled scan
+    assert "Exchange" not in plan
