@@ -385,3 +385,66 @@ def cosine_near_dup_pairs(
         paired.select("vec_id_a", "vec_id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare cosine only
+    WITHIN each cluster, and group everything above the threshold under one
+    keeper (min id reachable through near-dup edges).
+
+    Returns one row per document that belongs to a semantic-dup group:
+    (vec_id, keeper_id, group_size); dedup = drop rows where
+    ``vec_id != keeper_id``.
+
+    Scale posture: clustering makes the pair join an equi-join on
+    ``list_id`` — with L balanced lists the candidate count drops from
+    O(N^2) to O(N^2/L), and the join shuffles (id, list_id, vector) rows
+    partitioned by list. The centroid model is a driver-trained constant
+    (train_ivf_centroids: bounded hash-ordered sample, deterministic), so
+    re-runs are reproducible. Precision is exact (every candidate pair is
+    re-scored with true cosine); recall misses only near-dup pairs split
+    across cluster boundaries — SemDeDup's own approximation, mitigated by
+    raising n_lists more slowly than corpus size. Keeper selection reuses
+    dedup_components (min-label propagation, O(diameter) ids-only rounds).
+    """
+    from .dedup import dedup_components
+
+    centroids = train_ivf_centroids(
+        df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, sample_n=sample_n
+    )
+    assign_udf, _ = make_ivf_udfs(centroids)
+    base = (
+        _spread(df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")))
+        .withColumn("list_id", assign_udf(F.col("vec")))
+        .withColumn("nrm", norm(F.col("vec")))
+        .persist()  # both sides of the within-list pair join
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dp = F.when(F.spark_partition_id() >= 0, dot(F.col("a.vec"), F.col("b.vec")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            (dp / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    comps = dedup_components(pairs, "vec_id_a", "vec_id_b")
+    return comps.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("component_id").alias("keeper_id"),
+        "group_size",
+    )

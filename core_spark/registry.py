@@ -2512,6 +2512,15 @@ GROUP BY 1, 2
 """
 
 
+def q_sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table (operators/similarity.
+    semantic_dedup) — rows-only check: the cluster step (driver-trained
+    spherical k-means) is not SQL-expressible; tests/test_sampling.py
+    asserts group recovery + determinism."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, threshold=0.95, n_lists=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -2608,6 +2617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
     "text_contamination": q_text_contamination,
+    "sim_semantic_dedup": q_sim_semantic_dedup,
 }
 
 ORACLES: dict[str, str] = {

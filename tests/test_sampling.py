@@ -109,3 +109,49 @@ def test_sampling_plan_is_scan_level_filter(spark, docs):
     plan = smp.hash_sample(docs, 0.1)._jdf.queryExecution().executedPlan().toString()
     # single-stage: no exchange anywhere in the sampled scan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_recovers_planted_groups(spark):
+    import numpy as np
+
+    from core_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 6 well-separated base directions; ids 0..5 originals
+    base = rng.normal(size=(6, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    for i in range(6):
+        rows.append((i, base[i].tolist()))
+    # ids 100+i and 200+i: tiny perturbations of originals 0..2 (near-dups)
+    for i in range(3):
+        for off in (100, 200):
+            v = base[i] + rng.normal(scale=0.005, size=16).astype(np.float32)
+            rows.append((off + i, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # n_lists must stay << n_dup_groups on a 12-point corpus: k-means seeds
+    # from the first hash-ordered rows, and at k=4 two members of one trio
+    # can seed separate centroids, splitting the group (SemDeDup's own
+    # boundary approximation, irrelevant at corpus-scale k/N ratios)
+    out = semantic_dedup(emb, threshold=0.98, n_lists=3, sample_n=64)
+    got = {r["vec_id"]: (r["keeper_id"], r["group_size"]) for r in out.collect()}
+    # each planted trio grouped under its original (min id), size 3
+    for i in range(3):
+        assert got[i] == (i, 3)
+        assert got[100 + i] == (i, 3)
+        assert got[200 + i] == (i, 3)
+    # non-duplicated originals are absent (no pair -> no group row)
+    for i in range(3, 6):
+        assert i not in got
+
+
+def test_semantic_dedup_deterministic_across_runs(spark):
+    from core_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = sorted(tuple(r) for r in semantic_dedup(emb, 0.95, n_lists=8).collect())
+    b = sorted(tuple(r) for r in semantic_dedup(emb, 0.95, n_lists=8).collect())
+    assert a == b
