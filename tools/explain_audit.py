@@ -71,6 +71,16 @@ CHECKS = {
     "transform_smart_meter_usage": (["ReadSchema"], ["Exchange", "HashAggregate"]),
     # weather data model: same shape — pure projection
     "transform_weather_model": (["ReadSchema"], ["Exchange", "HashAggregate"]),
+    # deterministic sampling: a single-stage scan-level filter — any
+    # Exchange means the sample stopped being a pushdown-friendly predicate
+    "sample_hash": (["ReadSchema"], ["Exchange", "HashAggregate"]),
+    "sample_split": (["ReadSchema"], ["Exchange", "HashAggregate"]),
+    # contamination: benchmark gram side must broadcast; the only shuffle
+    # is the (doc, bench) count aggregate
+    "text_contamination": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
