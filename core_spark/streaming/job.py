@@ -86,6 +86,13 @@ def main(argv=None) -> dict:
     n_files = max(a.batches, 1) * max(a.files_per_trigger, 1)
     if not os.path.isdir(in_dir):
         synth.write_clips_parquet(spark, in_dir, a.n_clips, n_files=n_files)
+        n_clips = a.n_clips
+    elif a.input:
+        # pre-existing input: throughput must be computed from the ACTUAL
+        # row count, not the --n-clips default (footer-only count, untimed)
+        n_clips = spark.read.schema(synth.CLIPS_SCHEMA).parquet(in_dir).count()
+    else:
+        n_clips = a.n_clips
 
     files_per_trigger = a.files_per_trigger if a.batches > 1 else None
     stream = src.clips_stream(spark, in_dir, max_files_per_trigger=files_per_trigger)
@@ -101,11 +108,21 @@ def main(argv=None) -> dict:
 
     warm_files = sorted(glob.glob(os.path.join(in_dir, "part-*")))
     warm_files = warm_files[: max(a.files_per_trigger, 8)]
-    if warm_files and a.mode in ("tumbling", "sliding"):
+    if warm_files:
         wdf = spark.read.schema(synth.CLIPS_SCHEMA).parquet(*warm_files)
-        sw.tumbling_energy(
-            wdf, a.window_sec, None, 30, a.salt or None, spectral=bool(a.spectral)
-        ).agg(F.sum("n_clips")).collect()
+        if a.mode in ("tumbling", "sliding"):
+            sw.tumbling_energy(
+                wdf, a.window_sec, None, 30, a.salt or None, spectral=bool(a.spectral)
+            ).agg(F.sum("n_clips")).collect()
+        else:
+            # sessions/join modes: the decode feature pass is the dominant
+            # cold cost (worker spawn + codegen); warm exactly that path
+            feats = (
+                sw.clip_features_spectral(wdf)
+                if a.spectral
+                else sw.clip_features(wdf)
+            )
+            feats.agg(F.sum("energy")).collect()
 
     if a.mode == "tumbling":
         result = sw.tumbling_energy(
@@ -158,11 +175,14 @@ def main(argv=None) -> dict:
             f"durationMs={p.get('durationMs')}",
             file=sys.stderr,
         )
-    batch_ms = sorted(
-        p["durationMs"].get("triggerExecution", 0)
+    # one pass over the progress log feeds both percentile and steady-state
+    # derivations (keeping the two filters in one place)
+    progress = [
+        (p["durationMs"].get("triggerExecution", 0), p.get("numInputRows", 0))
         for p in (q.recentProgress or [])
-        if p.get("numInputRows", 0) > 0 or p["durationMs"].get("triggerExecution", 0) > 0
-    )
+    ]
+    batch_ms = sorted(d for d, rows in progress if rows > 0 or d > 0)
+
     def pct(v, q_):
         return v[min(len(v) - 1, int(q_ * len(v)))] if v else None
 
@@ -171,12 +191,8 @@ def main(argv=None) -> dict:
     # batch. On a shared host a single least-contended 15-30s micro-batch is
     # a far better estimate of uncontended sustained rate than a whole run
     # that must dodge neighbors for minutes (run-to-run noise here is ~2x).
-    full_batches = sorted(
-        p["durationMs"]["triggerExecution"]
-        for p in (q.recentProgress or [])
-        if p.get("numInputRows", 0) > 0
-    )
-    clips_per_batch = a.n_clips / max(1, len(full_batches))
+    full_batches = sorted(d for d, rows in progress if rows > 0)
+    clips_per_batch = n_clips / max(1, len(full_batches))
     steady = (
         round(clips_per_batch / (full_batches[0] / 1000.0), 1)
         if full_batches
@@ -185,10 +201,10 @@ def main(argv=None) -> dict:
     metrics = {
         "mode": a.mode,
         "cores": a.cores,
-        "n_clips": a.n_clips,
+        "n_clips": n_clips,
         "rows_out": out_rows,
         "wall_sec": round(wall, 2),
-        "clips_per_sec": round(a.n_clips / wall, 1),
+        "clips_per_sec": round(n_clips / wall, 1),
         "clips_per_sec_steady": steady,
         "n_batches": len(batch_ms),
         "batch_ms_p50": pct(batch_ms, 0.50),

@@ -77,12 +77,24 @@ def late_corrections_metrics(
     x = corrections
     j = x.join(c, "clip_id", "left")
     lag = F.col("correction_ts").cast("double") - F.col("ingest_ts").cast("double")
+    # three disjoint never-matching classes, each counted: late (lag beyond
+    # tolerance), retrograde (correction before ingest — the interval's lower
+    # bound), and orphaned (clip_id absent from the clips table, lag NULL)
+    late = (lag > float(tolerance_sec)).cast("long")
+    retro = (lag < 0.0).cast("long")
+    orphan = lag.isNull().cast("long")
     return j.select(
-        "clip_id",
-        lag.alias("lag_sec"),
-        (lag > float(tolerance_sec)).alias("dropped"),
+        lag.alias("lag_sec"), late.alias("late"), retro.alias("retro"),
+        orphan.alias("orphan"),
     ).agg(
         F.count(F.lit(1)).alias("n_corrections"),
-        F.sum(F.col("dropped").cast("long")).alias("n_dropped_late"),
+        F.coalesce(F.sum("late"), F.lit(0)).alias("n_dropped_late"),
+        F.coalesce(F.sum("retro"), F.lit(0)).alias("n_retrograde"),
+        F.coalesce(F.sum("orphan"), F.lit(0)).alias("n_orphaned"),
+        (
+            F.coalesce(F.sum("late"), F.lit(0))
+            + F.coalesce(F.sum("retro"), F.lit(0))
+            + F.coalesce(F.sum("orphan"), F.lit(0))
+        ).alias("n_dropped_total"),
         F.round(F.avg("lag_sec"), 3).alias("avg_lag_sec"),
     )

@@ -2,8 +2,12 @@
 applyInPandasWithState over clip-prefix groups.
 
 Semantics grafted from the reference's batch operators (SURVEY §2.10):
-- session boundary = inter-arrival gap > gap_sec, the lag-gap rule of
-  identify_missing_data_interval.py:137-141 / missing_value_imputation.py:147-151;
+- session boundary = inter-arrival gap >= gap_sec (a session covers
+  [first, last + gap)), the lag-gap rule of
+  identify_missing_data_interval.py:137-141 / missing_value_imputation.py:
+  147-151 with the boundary closed the way Spark's session_window() closes
+  it, so this operator and windows.session_windows_native agree on
+  exact-boundary gaps;
 - inside a session, energy is linearly interpolated onto a regular grid —
   the reference's linear-interpolation formula
   (_time_series_query_builder.py:282: prev + (next-prev)*(t-prev)/(next-prev))
@@ -106,7 +110,7 @@ def make_session_fn(gap_sec: int, grid_ms: int = 1000):
         # vectorized gap scan: split indices where gap exceeds threshold
         prev = np.concatenate(([last], ts_ms[:-1]))
         gaps = ts_ms - prev
-        split_at = set(np.nonzero(gaps > gap_ms)[0].tolist())
+        split_at = set(np.nonzero(gaps >= gap_ms)[0].tolist())
         seg_bounds = sorted({0, len(ts_ms)} | split_at)
         for si in range(len(seg_bounds) - 1):
             lo, hi = seg_bounds[si], seg_bounds[si + 1]
@@ -130,8 +134,8 @@ def make_session_fn(gap_sec: int, grid_ms: int = 1000):
             sen += float(energy[lo:hi].sum())
             last = max(last, int(seg_ts.max()))
             if len(tpts) < _MAX_POINTS:
-                tpts.extend(int(t) for t in seg_ts)
-                epts.extend(float(e) for e in energy[lo:hi])
+                tpts.extend(seg_ts.tolist())
+                epts.extend(energy[lo:hi].tolist())
         for o in out:
             yield o
         state.update((start, last, n, sdur, sen, mgap, tpts, epts))
@@ -155,7 +159,7 @@ def _batch_session_fn(gap_sec: int, grid_ms: int):
         energy = pdf["energy"].to_numpy(dtype=np.float64)
         dur = pdf["dur_ms"].to_numpy(dtype=np.int64)
         gaps = np.diff(ts_ms, prepend=ts_ms[0])
-        bounds = [0, *np.nonzero(gaps > gap_ms)[0].tolist(), len(ts_ms)]
+        bounds = [0, *np.nonzero(gaps >= gap_ms)[0].tolist(), len(ts_ms)]
         out = []
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             if lo == hi:

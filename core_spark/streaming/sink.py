@@ -124,6 +124,11 @@ class MergeSink:
             )
             .localCheckpoint()  # cut lineage: batch is reused 2-3 times below
         )
+        # record the table schema from the batch shape up front: a run whose
+        # every batch merges zero rows must still leave read() a schema to
+        # produce the empty frame with (schema = batch + partition + batch_id
+        # - op verb, identical to what the merge below writes)
+        self._record_schema(batch.drop(self.op_col) if self.op_col else batch)
         # single driver round-trip for both the touched-partition list and the
         # per-partition lineage counts (serial time per micro-batch is the
         # Amdahl term that caps N->4N scaling; keep it to one job)
@@ -169,7 +174,6 @@ class MergeSink:
             merged = keep.unionByName(upserts).localCheckpoint()
         else:
             merged = upserts
-        self._record_schema(merged)
         (
             merged.repartition(self.partition_col)
             .write.mode("overwrite")

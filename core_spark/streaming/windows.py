@@ -150,8 +150,18 @@ def tumbling_energy(
         if spectral
         else []
     )
+    # Stage 2 must fold partials of the SAME stage-1 window. Re-windowing
+    # window_time() at the full window width is only correct for tumbling
+    # windows — with a slide it would merge the ~window/slide overlapping
+    # sliding windows into one wrong row. window_time() is end-1ms and
+    # stage-1 window ends are slide-aligned and >= slide apart per series,
+    # so a TUMBLING bucket of the SLIDE width contains exactly one stage-1
+    # window's partials per (end, prefix); the original bounds come back
+    # arithmetically (end = bucket end, start = end - window).
+    step_sec = slide_sec or window_sec
     final = partial.groupBy(
-        F.window(F.window_time("window"), win).alias("window"), "prefix"
+        F.window(F.window_time("window"), f"{step_sec} seconds").alias("w2"),
+        "prefix",
     ).agg(
         F.sum("p_n").alias("n_clips"),
         F.sum("p_sum_energy").alias("sum_energy"),
@@ -159,6 +169,13 @@ def tumbling_energy(
         F.max("p_max_energy").alias("max_energy"),
         F.sum("p_distinct").alias("n_distinct_clips"),
         *f_spec,
+    )
+    final = final.withColumn(
+        "window",
+        F.struct(
+            (F.col("w2.end") - F.expr(f"INTERVAL {window_sec} SECONDS")).alias("start"),
+            F.col("w2.end").alias("end"),
+        ),
     )
     return _finalize(final)
 

@@ -80,6 +80,22 @@ def test_sliding_windows(spark, clips_dir):
     assert slid.agg(F.sum("n_clips")).first()[0] == 3 * plain.agg(F.sum("n_clips")).first()[0]
 
 
+def test_salted_matches_unsalted_sliding(spark, clips_dir):
+    # regression: salted stage 2 once re-windowed window_time() at the FULL
+    # window width, which merged the 3 overlapping sliding windows per slide
+    # into one row (n_clips ~3x, wrong bounds)
+    batch = src.clips_batch(spark, clips_dir)
+    plain = sw.tumbling_energy(batch, 60, slide_sec=20)
+    salted = sw.tumbling_energy(batch, 60, slide_sec=20, salt_buckets=8)
+    keys = ["window_start", "prefix"]
+    g, w = _sorted_pdf(salted, keys), _sorted_pdf(plain, keys)
+    assert len(g) == len(w) and len(g) > 0
+    assert (g["window_start"] == w["window_start"]).all()
+    assert (g["window_end"] == w["window_end"]).all()
+    assert (g["n_clips"] == w["n_clips"]).all()
+    assert (g["avg_energy"] - w["avg_energy"]).abs().max() < 1e-9
+
+
 def test_stream_join_tolerance(spark, clips_dir, tmp_path):
     pdf = synth.make_clips_pdf(N)
     corr_pdf = synth.make_corrections_pdf(pdf)
@@ -302,3 +318,42 @@ def test_checkpoint_resume_no_dups(spark, tmp_path):
     )
     assert bad.count() == 0
     assert got.count() > 0
+
+
+def test_sink_read_after_zero_row_run(spark, tmp_path):
+    # regression: a run whose every micro-batch merges 0 rows (watermark
+    # never closed a window) used to crash read() with a missing
+    # _schema.json — the schema must be recorded from the batch shape even
+    # when nothing is written
+    d = str(tmp_path / "empty_sink")
+    sink = sk.MergeSink(d, key_cols=["k", "p"], partition_expr="p")
+    empty = spark.createDataFrame([], "k string, p string, v double")
+    sink.write_batch(empty, 0)
+    out = sink.read(spark)
+    assert out.count() == 0
+    # table shape = batch cols + partition col + batch id, like a real merge
+    assert set(out.columns) == {"k", "p", "v", "p_date", "_batch_id"}
+
+
+def test_late_metrics_counts_all_unmatchable(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    clips = spark.createDataFrame(
+        [("a", t0), ("b", t0)], "clip_id string, ingest_ts timestamp"
+    )
+    corr = spark.createDataFrame(
+        [
+            ("a", t0 + dt.timedelta(seconds=10), "x"),   # matches
+            ("a", t0 + dt.timedelta(seconds=120), "x"),  # late (>60s)
+            ("b", t0 - dt.timedelta(seconds=5), "x"),    # retrograde
+            ("ghost", t0, "x"),                          # orphaned clip_id
+        ],
+        "clip_id string, correction_ts timestamp, corrected_transcript string",
+    )
+    m = sj.late_corrections_metrics(clips, corr, tolerance_sec=60).first()
+    assert m["n_corrections"] == 4
+    assert m["n_dropped_late"] == 1
+    assert m["n_retrograde"] == 1
+    assert m["n_orphaned"] == 1
+    assert m["n_dropped_total"] == 3
