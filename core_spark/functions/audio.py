@@ -79,9 +79,17 @@ def ulaw_decode(b: bytes) -> np.ndarray:
 
 
 _DECODERS = {"pcm16": pcm16_decode, "ulaw": ulaw_decode}
+#: bytes per encoded sample, keyed like _DECODERS
+_SAMPLE_BYTES = {"pcm16": 2, "ulaw": 1}
+_EMPTY_F32 = np.empty(0, dtype=np.float32)
 
 
-def _decode_one(b: bytes, codec: str) -> np.ndarray:
+def _decode_one(b: bytes | None, codec: str) -> np.ndarray:
+    if b is None:
+        # null payload (failed ingest, outer-join product): zero samples,
+        # so every downstream feature degrades to its empty-clip value
+        # instead of killing the stage with a worker TypeError
+        return _EMPTY_F32
     try:
         return _DECODERS[codec](b)
     except KeyError:
@@ -149,11 +157,16 @@ def clip_peak(data: pd.Series, codec: pd.Series) -> pd.Series:
 @F.pandas_udf(T.IntegerType())
 def decoded_samples(data: pd.Series, codec: pd.Series) -> pd.Series:
     """Sample count of the decoded clip — with sr_hz gives decoded duration;
-    mismatch vs dur_ms flags a corrupt payload."""
-    sizes = {"pcm16": 2, "ulaw": 1}
-    return pd.Series(
-        [len(b) // sizes[c] for b, c in zip(data.to_numpy(), codec.to_numpy())]
-    ).astype("int32")
+    mismatch vs dur_ms flags a corrupt payload. Same error/null surface as
+    the decoders: unknown codec -> ValueError, null bytes -> 0 samples."""
+    out = []
+    for b, c in zip(data.to_numpy(), codec.to_numpy()):
+        try:
+            width = _SAMPLE_BYTES[c]
+        except KeyError:
+            raise ValueError(f"unknown codec: {c!r}") from None
+        out.append(0 if b is None else len(b) // width)
+    return pd.Series(out).astype("int32")
 
 
 _N_FFT = 512
@@ -180,7 +193,19 @@ _HANN32 = _HANN.astype(np.float32)
 # drops ~2x vs this chunked shape (probe: 23.4k -> 31.4k clips/sec, N->4N
 # scaling efficiency 0.70 -> 0.94).
 _CHUNK_FRAMES = 128
-_FFT_BUF = np.empty((_CHUNK_FRAMES, _N_FFT), dtype=np.float32)
+# thread-local scratch: Spark's Python workers are single-threaded per
+# process, but a threaded driver-side caller (batch scoring harness) must
+# not share one buffer between interleaved _spectral_one calls
+import threading as _threading
+
+_FFT_TLS = _threading.local()
+
+
+def _fft_buf() -> np.ndarray:
+    buf = getattr(_FFT_TLS, "buf", None)
+    if buf is None:
+        buf = _FFT_TLS.buf = np.empty((_CHUNK_FRAMES, _N_FFT), dtype=np.float32)
+    return buf
 
 
 def _spectral_one(x: np.ndarray, sr: int) -> tuple:
@@ -210,7 +235,7 @@ def _spectral_one(x: np.ndarray, sr: int) -> tuple:
     psum2 = np.zeros(2 * (_N_FFT // 2 + 1), dtype=np.float64)
     for st in range(0, nf, _CHUNK_FRAMES):
         ch = fr[st : st + _CHUNK_FRAMES]
-        buf = _FFT_BUF[: ch.shape[0]]
+        buf = _fft_buf()[: ch.shape[0]]
         np.multiply(ch, _HANN32, out=buf)
         spec = np.fft.rfft(buf, axis=1)
         v = spec.view(np.float64)

@@ -264,10 +264,12 @@ def frame_stats(df: DataFrame, every_n: int = 4, round_digits: int = 6) -> DataF
         "bytes", "width", "height", "channels", "format",
     )
     stats = image_stats(as_imgs, round_digits=9)
-    parts = F.split(F.col("img_id"), "#")
+    # split on the LAST '#': frame_idx is pure digits, while vid_id may
+    # itself contain '#' (splitting on the first '#' would truncate such
+    # ids and merge different videos' stats)
     per_frame = stats.select(
-        parts.getItem(0).alias("vid_id"),
-        parts.getItem(1).cast("int").alias("frame_idx"),
+        F.regexp_extract("img_id", r"^(.*)#(\d+)$", 1).alias("vid_id"),
+        F.regexp_extract("img_id", r"^(.*)#(\d+)$", 2).cast("int").alias("frame_idx"),
         "brightness", "contrast",
     )
     return per_frame.groupBy("vid_id").agg(

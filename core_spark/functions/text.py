@@ -49,11 +49,11 @@ def lang_id(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization; empty string counts 0."""
-    trimmed = F.trim(text)
-    return F.when(trimmed == "", 0).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    """Whitespace tokenization = count of non-whitespace runs; empty or
+    whitespace-only text counts 0. (Counting split() pieces instead would
+    phantom-count when text starts/ends with non-space whitespace — trim()
+    strips only ASCII spaces, so 'foo bar\\n' would split to 3 pieces.)"""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0)))
 
 
 def word_tokens(text: Column) -> Column:
@@ -115,7 +115,10 @@ def quality_score(text: Column) -> Column:
         + (1.0 - F.least(m["punct_ratio"] * 4.0, F.lit(1.0))) * 0.1
         + word_len_ok * 0.2
     )
-    return F.round(raw, 6)
+    # empty text null-propagates through the ratios; the documented contract
+    # is a [0,1] score, so empty docs land at 0 instead of NULL (a NULL here
+    # makes quality>=t and quality<t BOTH drop the row)
+    return F.round(F.coalesce(raw, F.lit(0.0)), 6)
 
 
 def normalize_text(text: Column) -> Column:

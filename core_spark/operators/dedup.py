@@ -48,7 +48,11 @@ def _spread(df: DataFrame) -> DataFrame:
     (shingle/signature arrays) are orders of magnitude larger than the
     estimate — spread the probe side explicitly so the join runs wide.
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        n = int(raw)
+    except ValueError:  # e.g. "auto" under AQE-managed platforms
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
 
 
@@ -781,6 +785,11 @@ def dedup_components(
         if cur == prev_sum:
             break
         prev_sum = cur
+    # truncate the final labels' lineage (the last round's join still hangs
+    # off `edges`), then release the cached edge blocks — the caller gets a
+    # frame with no dependency on the persisted RDDs
+    labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("group_size"))
     return labels.join(sizes, "comp").select(
         F.col("node").alias("doc_id"),

@@ -30,7 +30,11 @@ def _spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session shuffle width: broadcast pair
     joins inherit the probe side's file-partition count (1 for a one-file
     table), so the scoring pass must be spread explicitly."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        n = int(raw)
+    except ValueError:  # e.g. "auto" under AQE-managed platforms
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n)
 
 
@@ -70,10 +74,18 @@ def brute_force_topk(
     scored = _spread(base).crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
+    return _rank_topk(scored, k, round_digits)
+
+
+def _rank_topk(cand: DataFrame, k: int, round_digits: int = 6) -> DataFrame:
+    """(query_id, vec_id, vec, qvec) candidates -> deterministic cosine
+    top-k per query: (rounded cosine desc, candidate id asc) tie-break.
+    One definition shared by the exact/LSH/IVF paths so the ranking
+    contract cannot drift between them."""
     sim = F.round(cosine(F.col("vec"), F.col("qvec")), round_digits)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (
-        scored.select("query_id", "vec_id", sim.alias("cosine_sim"))
+        cand.select("query_id", "vec_id", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -214,13 +226,7 @@ def lsh_topk(
         .select("query_id", "qvec", "vec_id", "vec")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    sim = F.round(cosine(F.col("vec"), F.col("qvec")), 6)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    return (
-        cand.select("query_id", "vec_id", sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(cand, k)
 
 
 def train_ivf_centroids(
@@ -331,13 +337,7 @@ def ivf_topk(
         F.broadcast(queries),
         (F.col("list_id") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
-    sim = F.round(cosine(F.col("vec"), F.col("qvec")), 6)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    return (
-        cand.select("query_id", "vec_id", sim.alias("cosine_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(cand, k)
 
 
 def cosine_near_dup_pairs(
@@ -346,45 +346,86 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 7,
     exact: bool = False,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. exact=True scores all id<id pairs
-    (oracle mode, small inputs); default blocks by LSH bucket — high-cosine
-    pairs collide with high probability and precision stays exact because
-    every candidate is re-scored."""
+    (oracle mode, small inputs); default blocks by MULTI-TABLE sign-LSH —
+    a pair is a candidate if it collides in ANY of n_tables independent
+    n_planes-bit tables. A single 8-bit table collides threshold-boundary
+    pairs with only p = (1 - arccos(0.95)/pi)^8 ~= 0.43; the 8-table OR
+    lifts recall to 1 - (1-0.43)^8 ~= 0.99 while background pairs stay at
+    ~n_tables/2^n_planes ~= 3% of the quadratic. Precision stays exact —
+    every candidate is re-scored with true cosine. Candidate generation is
+    ids-only (16-byte shuffle rows, same posture as minhash_lsh_pairs);
+    vectors re-join onto the (small) candidate set for scoring."""
     # norms are per-vector, not per-pair: precompute once so each pair
     # evaluates a single dot-product fold instead of three
     base = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).withColumn("nrm", norm(F.col("vec")))
-    if not exact:
-        planes = _hyperplanes(dim, n_planes, seed)
-        buckets_udf = make_lsh_buckets_udf(planes, n_planes)  # one table
-        base = base.withColumn(
-            "bucket", F.element_at(buckets_udf(F.col("vec")), 1)
+    if exact:
+        a = _spread(base).alias("a")
+        b = base.alias("b")
+        # guarded projection barrier (see dedup.ngram_jaccard_pairs): the
+        # dot product evaluates exactly once per pair, in a projection,
+        # never inside the join condition
+        dp = F.when(F.spark_partition_id() >= 0, dot(F.col("a.vec"), F.col("b.vec")))
+        paired = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+            dp.alias("dp"),
         )
-    a = _spread(base).alias("a")
-    b = base.alias("b")
-    cond = F.col("a.vec_id") < F.col("b.vec_id")
-    if not exact:
-        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
-    # guarded projection barrier (see dedup.ngram_jaccard_pairs): the dot
-    # product evaluates exactly once per pair, in a projection, never inside
-    # the join condition
-    dp = F.when(F.spark_partition_id() >= 0, dot(F.col("a.vec"), F.col("b.vec")))
-    paired = a.join(b, cond).select(
-        F.col("a.vec_id").alias("vec_id_a"),
-        F.col("b.vec_id").alias("vec_id_b"),
-        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
-        dp.alias("dp"),
+        sim = F.round(F.col("dp") / F.col("nn"), 6)
+        return (
+            paired.select("vec_id_a", "vec_id_b", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+    planes = _hyperplanes(dim, n_tables * n_planes, seed)
+    buckets_udf = make_lsh_buckets_udf(planes, n_planes)
+    banded = _spread(base).select(
+        "vec_id", F.posexplode(buckets_udf(F.col("vec"))).alias("tbl", "bucket")
     )
-    sim = F.round(F.col("dp") / F.col("nn"), 6)
-    return (
-        paired.select("vec_id_a", "vec_id_b", sim.alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])  # multi-table collisions
     )
+    sides = base
+    pairs = cand.join(
+        sides.select(
+            F.col("vec_id").alias("vec_id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        ),
+        "vec_id_a",
+    ).join(
+        sides.select(
+            F.col("vec_id").alias("vec_id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "vec_id_b",
+    )
+    dp = F.when(F.spark_partition_id() >= 0, dot(F.col("vec_a"), F.col("vec_b")))
+    scored = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        F.round(dp / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cosine_sim"),
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold)
 
 
 def semantic_dedup(
@@ -443,8 +484,13 @@ def semantic_dedup(
         .filter(F.col("cosine_sim") >= threshold)
     )
     comps = dedup_components(pairs, "vec_id_a", "vec_id_b")
-    return comps.select(
+    out = comps.select(
         F.col("doc_id").alias("vec_id"),
         F.col("component_id").alias("keeper_id"),
         "group_size",
-    )
+    ).localCheckpoint(eager=True)
+    # the component fixpoint above is materialized, so the cached
+    # (id, list_id, vector) blocks can be released now instead of leaking
+    # for the session lifetime (repeated calls would fill storage memory)
+    base.unpersist()
+    return out

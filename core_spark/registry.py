@@ -981,7 +981,7 @@ WITH b AS (
     CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digit,
     CAST(LENGTH(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS space,
     CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS punct,
-    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS words,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS words,
     {score_exprs}
   FROM documents),
 m AS (
@@ -999,10 +999,11 @@ SELECT doc_id, n AS len_chars, words AS n_tokens,
   ROUND(r_mwl, 6) AS mean_word_len,
   -- quality from the RAW ratios (pre-rounded inputs would concentrate the
   -- weighted sum exactly on rounding half-boundaries; see functions/text.py)
-  ROUND(r_alpha * 0.5
+  ROUND(COALESCE(r_alpha * 0.5
         + (1.0 - LEAST(r_digit * 4.0, 1.0)) * 0.2
         + (1.0 - LEAST(r_punct * 4.0, 1.0)) * 0.1
-        + (CASE WHEN r_mwl >= 2.5 AND r_mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+        + (CASE WHEN r_mwl >= 2.5 AND r_mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+        0.0), 6) AS quality,
   {ladder} AS lang_pred,
   md5({_NORM}) AS fp
 FROM m
