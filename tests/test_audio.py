@@ -146,3 +146,30 @@ def test_corrections_range_matches_pdf_path():
     # i.e. rows 11..34 of the full corrections frame
     part = make_corrections_pdf_range(101, 347).reset_index(drop=True)
     assert part.equals(full[11:35].reset_index(drop=True))
+
+
+def test_null_payload_degrades_to_empty_clip(spark):
+    """A null bytes payload (failed ingest / outer-join product) must flow
+    through every feature UDF as an empty clip — zero energy/peak/samples,
+    zero-length PCM — never a worker TypeError."""
+    x = audio.pcm16_encode(_signal(0, 8000, 20))
+    df = spark.createDataFrame(
+        [("a", bytes(x), "pcm16"), ("b", None, "pcm16"), ("c", None, "ulaw")],
+        "clip_id string, bytes binary, codec string",
+    )
+    rows = {
+        r["clip_id"]: r
+        for r in df.select(
+            "clip_id",
+            audio.clip_energy("bytes", "codec").alias("e"),
+            audio.clip_peak("bytes", "codec").alias("p"),
+            audio.decoded_samples("bytes", "codec").alias("n"),
+            F.size(audio.decode_pcm("bytes", "codec")).alias("m"),
+        ).collect()
+    }
+    assert rows["a"]["n"] == 160 and rows["a"]["e"] > 0
+    for cid in ("b", "c"):
+        assert rows[cid]["e"] == 0.0
+        assert rows[cid]["p"] == 0.0
+        assert rows[cid]["n"] == 0
+        assert rows[cid]["m"] == 0

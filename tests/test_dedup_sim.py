@@ -193,3 +193,33 @@ def test_dedup_components_chain_and_fixpoint(spark):
         1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
         10: (10, 2), 11: (10, 2),
     }
+
+
+def test_cosine_near_dup_lsh_recall_vs_exact(spark):
+    """Default (multi-table sign-LSH) candidate generation: precision stays
+    exact (every candidate re-scored) and recall vs the exact quadratic path
+    is near-1 for high-cosine pairs (8 tables x 8 planes)."""
+    rng = np.random.default_rng(11)
+    rows, vid = [], 0
+    for i in range(40):
+        v = rng.normal(size=64)
+        v /= np.linalg.norm(v)
+        rows.append((vid, v.tolist()))
+        vid += 1
+        if i < 15:  # plant a near-dup (cos ~0.99) for the first 15
+            w = v + rng.normal(scale=0.02, size=64)
+            w /= np.linalg.norm(w)
+            rows.append((vid, w.tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in sim.cosine_near_dup_pairs(df, threshold=0.95, exact=True).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in sim.cosine_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert len(exact) >= 15  # the plants are above threshold
+    assert lsh <= exact  # precision exact by construction
+    assert len(lsh) / len(exact) >= 0.9  # multi-table OR recall

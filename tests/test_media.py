@@ -88,3 +88,17 @@ def test_unknown_codec_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|jpeg"):
         md.image_stats(df).collect()
+
+
+def test_frame_stats_vid_id_containing_hash(spark):
+    """vid_id may itself contain '#'; the frame-id round-trip must split on
+    the LAST '#' or different videos' stats merge."""
+    import pyspark.sql.functions as F
+
+    df = md.videos_df(spark, 4, frames=12).withColumn(
+        "vid_id", F.concat(F.lit("shard#7#"), F.col("vid_id"))
+    )
+    out = {r["vid_id"]: r for r in md.frame_stats(df, every_n=4).collect()}
+    assert len(out) == 4
+    assert all(v.startswith("shard#7#vid-") for v in out)
+    assert all(r["n_sampled"] == 3 for r in out.values())
