@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import audio as au
 from .functions import text as tx
+from .operators import cep as cp
 from .operators import data_quality as dq
 from .operators import dedup as dd
 from .operators import sampling as smp
@@ -1535,6 +1536,75 @@ def q_stream_dedup_watermark(spark, sf_dir):
     return spark.table("entry_stream_dedup")
 
 
+# ------------------------------------------------------------ CEP (operators/cep)
+
+CEP_SPEC = cp.CepSpec(key_col="user_id", ts_col="ts", id_col="event_id")
+_CEP_FUNNEL = ("event_type = 'signup'", "event_type = 'purchase'", 21600)
+_CEP_CHAIN = (["event_type = 'view'", "event_type = 'click'", "event_type = 'purchase'"], 86400)
+
+
+def q_ts_cep_funnel(spark, sf_dir):
+    """A-followed-by-B funnel with absence rows: earliest purchase within 6h
+    after each signup, per user (operators/cep.followed_by — the batch
+    oracle of the streaming CEP operator, streaming/cep.py)."""
+    a, b, w = _CEP_FUNNEL
+    return cp.followed_by(
+        _load(spark, sf_dir, "events"), CEP_SPEC, a, b, w, value_col="value"
+    )
+
+
+SQL_TS_CEP_FUNNEL = cp.followed_by_sql("events", CEP_SPEC, *_CEP_FUNNEL, value_col="value")
+
+
+def q_ts_cep_contiguous(spark, sf_dir):
+    """MATCH_RECOGNIZE-style contiguous chain: view -> click -> purchase as
+    three consecutive events per user inside 24h (operators/cep.match_contiguous)."""
+    preds, w = _CEP_CHAIN
+    return cp.match_contiguous(_load(spark, sf_dir, "events"), CEP_SPEC, preds, w)
+
+
+SQL_TS_CEP_CONTIGUOUS = cp.match_contiguous_sql("events", CEP_SPEC, *_CEP_CHAIN)
+
+
+def q_stream_cep_funnel(spark, sf_dir):
+    """Streaming CEP funnel (applyInPandasWithState, per-clip_id state,
+    event-time timers for absence alerts) over the clip + correction
+    streams; matched rows equal the batch operator's, asserted in
+    tests/test_cep.py. Rows-only."""
+    import os as _os
+    import tempfile
+
+    from . import synth as _synth
+    from .streaming import cep as _scep
+    from .streaming import source as _src
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream")
+    clips_dir = _os.path.join(d, "clips")
+    corr_dir = _os.path.join(d, "cep_corr")
+    if not _os.path.isdir(clips_dir):
+        _synth.write_clips_parquet(spark, clips_dir, 2000, n_files=4)
+    if not _os.path.isdir(corr_dir):
+        spark.createDataFrame(
+            _synth.make_corrections_pdf_range(0, 2000), schema=_synth.CORRECTIONS_SCHEMA
+        ).coalesce(2).write.parquet(corr_dir)
+    res = _scep.funnel_stream(
+        _src.clips_stream(spark, clips_dir),
+        _src.corrections_stream(spark, corr_dir),
+        within_sec=60,
+        watermark_sec=5,
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("entry_stream_cep")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("entry_stream_cep")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2560,6 +2630,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups": q_dedup_groups,
     "ts_asof_join": q_ts_asof_join,
     "ts_gap_sessions": q_ts_gap_sessions,
+    "ts_cep_funnel": q_ts_cep_funnel,
+    "ts_cep_contiguous": q_ts_cep_contiguous,
+    "stream_cep_funnel": q_stream_cep_funnel,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk_cosine": q_sim_topk_cosine,
@@ -2657,6 +2730,8 @@ ORACLES: dict[str, str] = {
     "dedup_groups": SQL_DEDUP_GROUPS,
     "ts_asof_join": SQL_TS_ASOF_JOIN,
     "ts_gap_sessions": SQL_TS_GAP_SESSIONS,
+    "ts_cep_funnel": SQL_TS_CEP_FUNNEL,
+    "ts_cep_contiguous": SQL_TS_CEP_CONTIGUOUS,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "ts_interpolate_at_time": _iat_sql(),

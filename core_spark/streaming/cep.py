@@ -1,0 +1,314 @@
+# Copyright 2025 Project Team
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#      http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+
+"""Streaming CEP: A-followed-by-B-within-T per key, with absence alerts.
+
+The in-domain pattern: a clip ingest (A) should be followed by a transcript
+correction (B) within the horizon; a clip whose horizon closes with no
+correction is an *absence* event — the alerting half of CEP that neither a
+windowed aggregate nor the stream-stream join
+(``streaming/join.corrected_transcripts``) can express, because "nothing
+arrived" is only decidable when the watermark passes ``a_ts + within``.
+The reference has no such operator (SURVEY §2.12: no stateful streaming at
+all); its closest analog is the batch lag-gap rule
+(monitoring/spark/identify_missing_data_interval.py:137-141).
+
+Batch oracle: ``operators/cep.followed_by`` over the same unioned event
+frame emits the identical (key, a_ts, b_ts) triples — asserted in
+tests/test_streaming.py.
+
+Scale notes (10^12-clip posture):
+- State is keyed by full ``clip_id`` (pattern identity), NOT the salted
+  prefix — CEP state must never be salted (SURVEY §7.4.5); shuffle pressure
+  is bounded because each key's state is a handful of epoch-ms longs and
+  closed keys are removed eagerly (matched A's leave state immediately,
+  unmatched ones on watermark timeout).
+- At 10^12 live keys the state store must be RocksDB, not the default
+  heap-backed HDFS provider — ``rocksdb_state_conf()`` below returns the
+  exact confs (changelog checkpointing keeps commit cost proportional to
+  the per-batch delta, not the store size). Verified against a live query
+  in tests/test_streaming_cep.py.
+- Timeout scan is O(pending of that key); the timer wakes a key only when
+  its earliest horizon can actually close.
+
+Spark 4's ``transformWithStateInPandas`` is the preferred production API
+for this operator (per-variable RocksDB column families, native timers,
+TTL): ``tws_funnel`` below implements it behind a capability gate — the
+Python side of that API needs ``google.protobuf``, which this container
+lacks, so the primary tested path is ``applyInPandasWithState`` with
+identical semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "clip_id string, a_ts timestamp, b_ts timestamp, lag_sec long, matched boolean"
+)
+STATE_SCHEMA = "pending array<long>"  # epoch-ms of not-yet-matched A events
+_MAX_PENDING = 10_000  # cap state for a pathological key stuck ahead of the watermark
+
+
+def rocksdb_state_conf(changelog: bool = True) -> dict[str, str]:
+    """SQL confs selecting the RocksDB state store provider.
+
+    The default HDFSBackedStateStoreProvider keeps every key's state on the
+    executor heap — fine for 10^5 windows, fatal for 10^12 clip keys. RocksDB
+    spills to local SSD and (with changelog checkpointing) uploads only each
+    batch's delta at commit. Set these before the session (or per-session via
+    ``spark.conf.set``; stateful queries read them at query start).
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true" if changelog else "false"
+        ),
+    }
+    return conf
+
+
+def clip_correction_events(clips: DataFrame, corrections: DataFrame) -> DataFrame:
+    """Union the two streams into one keyed event stream: A = clip ingest,
+    B = correction. Works identically on batch frames (the oracle side)."""
+    a = clips.select(
+        "clip_id", F.col("ingest_ts").alias("ts"), F.lit(True).alias("is_a")
+    )
+    b = corrections.select(
+        "clip_id", F.col("correction_ts").alias("ts"), F.lit(False).alias("is_a")
+    )
+    return a.unionByName(b)
+
+
+def _make_funnel_fn(within_sec: int):
+    within_ms = within_sec * 1000
+
+    def _emit(key: str, a_ms: int, b_ms: int | None) -> dict[str, Any]:
+        return {
+            "clip_id": key,
+            "a_ts": pd.Timestamp(a_ms, unit="ms"),
+            "b_ts": pd.Timestamp(b_ms, unit="ms") if b_ms is not None else None,
+            # floor each side to seconds, then diff — the exact definition of
+            # unix_timestamp(b) - unix_timestamp(a) in the batch operator
+            "lag_sec": b_ms // 1000 - a_ms // 1000 if b_ms is not None else None,
+            "matched": b_ms is not None,
+        }
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        if state.hasTimedOut:
+            if not state.exists:
+                return
+            (pending,) = tuple(state.get)
+            wm = state.getCurrentWatermarkMs()
+            closed = [a for a in pending if a + within_ms < wm]
+            still = [a for a in pending if a + within_ms >= wm]
+            if closed:
+                yield pd.DataFrame([_emit(k, a, None) for a in closed])
+            if still:
+                state.update((still,))
+                state.setTimeoutTimestamp(max(min(still) + within_ms + 1, wm + 1))
+            else:
+                state.remove()
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        # B before A at equal ts => "followed by" is strictly-after, the
+        # exact tie rule of the batch operator's (ts, s) sort.
+        rows = rows.sort_values(["ts", "is_a"], kind="stable")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        is_a = rows["is_a"].to_numpy(dtype=bool)
+
+        pending: list[int] = list(tuple(state.get)[0]) if state.exists else []
+        out: list[dict[str, Any]] = []
+        for t, a_flag in zip(ts_ms.tolist(), is_a.tolist()):
+            if a_flag:
+                if len(pending) < _MAX_PENDING:
+                    pending.append(t)
+            else:
+                hit = [a for a in pending if 0 < t - a <= within_ms]
+                if hit:
+                    out.extend(_emit(k, a, t) for a in hit)
+                    pending = [a for a in pending if not (0 < t - a <= within_ms)]
+        if out:
+            yield pd.DataFrame(out)
+        if pending:
+            state.update((pending,))
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(min(pending) + within_ms + 1, wm + 1))
+        elif state.exists:
+            state.remove()
+
+    return fn
+
+
+def funnel_stream(
+    clips: DataFrame,
+    corrections: DataFrame,
+    within_sec: int = 60,
+    watermark_sec: int = 30,
+) -> DataFrame:
+    """A-followed-by-B pattern over the live clip + correction streams.
+
+    Emits matched pairs as soon as the B side arrives and absence rows when
+    the watermark closes an A's horizon. Batch frames run the same union
+    through the batch operator semantics (``operators/cep.followed_by``) —
+    that equivalence is the operator's correctness oracle.
+    """
+    events = clip_correction_events(clips, corrections)
+    if not clips.isStreaming:
+        from ..operators import cep as _cep
+
+        return _cep.followed_by(
+            events,
+            _cep.CepSpec(key_col="clip_id", ts_col="ts"),
+            "is_a",
+            "NOT is_a",
+            within_sec,
+        )
+    events = events.withWatermark("ts", f"{watermark_sec} seconds")
+    return events.groupBy("clip_id").applyInPandasWithState(
+        _make_funnel_fn(within_sec),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def tws_available() -> bool:
+    """True when Spark 4's transformWithStateInPandas Python API can run
+    (its wire protocol needs google.protobuf in the worker env)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_funnel(
+    clips: DataFrame,
+    corrections: DataFrame,
+    within_sec: int = 60,
+    watermark_sec: int = 30,
+) -> DataFrame:
+    """Same funnel on Spark 4's transformWithStateInPandas (requires the
+    RocksDB provider, ``rocksdb_state_conf()``). Preferred at scale: pending
+    timestamps live in a ListState column family (no whole-value rewrite per
+    update) and timers are first-class. Gated: raises if the runtime lacks
+    google.protobuf (this container does — see module docstring)."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf in the Python "
+            "environment; use funnel_stream (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    within_ms = within_sec * 1000
+    out_schema = StructType(
+        [
+            StructField("clip_id", StringType()),
+            StructField("a_ts", TimestampType()),
+            StructField("b_ts", TimestampType()),
+            StructField("lag_sec", LongType()),
+            StructField("matched", BooleanType()),
+        ]
+    )
+
+    class FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.pending = handle.getListState("pending_a", "a_ms long")
+            self.handle = handle
+
+        def handleInputRows(self, key, rows, timerValues):
+            k = key[0]
+            pend = [r[0] for r in self.pending.get()]
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "is_a"], kind="stable")
+                for t, a_flag in zip(
+                    (pdf["ts"].astype("int64") // 1_000_000).tolist(),
+                    pdf["is_a"].tolist(),
+                ):
+                    if a_flag:
+                        pend.append(t)
+                    else:
+                        hit = [a for a in pend if 0 < t - a <= within_ms]
+                        out.extend(
+                            (k, pd.Timestamp(a, unit="ms"), pd.Timestamp(t, unit="ms"),
+                             t // 1000 - a // 1000, True)
+                            for a in hit
+                        )
+                        pend = [a for a in pend if not (0 < t - a <= within_ms)]
+            self.pending.clear()
+            if pend:
+                self.pending.appendList([(a,) for a in pend])
+                self.handle.registerTimer(min(pend) + within_ms + 1)
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["clip_id", "a_ts", "b_ts", "lag_sec", "matched"]
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            k = key[0]
+            wm = timerValues.getCurrentWatermarkInMs()
+            pend = [r[0] for r in self.pending.get()]
+            closed = [a for a in pend if a + within_ms < wm]
+            still = [a for a in pend if a + within_ms >= wm]
+            self.pending.clear()
+            if still:
+                self.pending.appendList([(a,) for a in still])
+                self.handle.registerTimer(min(still) + within_ms + 1)
+            if closed:
+                yield pd.DataFrame(
+                    [(k, pd.Timestamp(a, unit="ms"), None, None, False) for a in closed],
+                    columns=["clip_id", "a_ts", "b_ts", "lag_sec", "matched"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    events = clip_correction_events(clips, corrections).withWatermark(
+        "ts", f"{watermark_sec} seconds"
+    )
+    return events.groupBy("clip_id").transformWithStateInPandas(
+        FunnelProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -1,0 +1,253 @@
+"""CEP pattern-operator tests: batch semantics, batch/stream parity,
+absence (timeout) rows across micro-batches, RocksDB state store run,
+and the transformWithStateInPandas capability gate.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from core_spark import synth
+from core_spark.operators import cep
+from core_spark.streaming import cep as scep
+from core_spark.streaming import source as src
+
+BASE = datetime(2024, 3, 1)
+
+
+def _events(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+    return spark.createDataFrame(pdf)
+
+
+SPEC = cep.CepSpec(key_col="user_id", ts_col="ts")
+
+
+def t(sec):
+    return BASE + timedelta(seconds=sec)
+
+
+def test_followed_by_semantics(spark):
+    df = _events(
+        spark,
+        [
+            # u1: A at 0 -> earliest B at 30 (not the one at 50)
+            (1, t(0), "a", 1.0),
+            (1, t(30), "b", 2.0),
+            (1, t(50), "b", 3.0),
+            # u1: second A at 40 -> B at 50
+            (1, t(40), "a", 4.0),
+            # u2: B at same ts as A must NOT match (strictly after); the
+            # B at 100 is outside the 60s horizon -> unmatched
+            (2, t(10), "a", 5.0),
+            (2, t(10), "b", 6.0),
+            (2, t(100), "b", 7.0),
+            # u3: duplicate Bs at one ts collapse; payload = min value
+            (3, t(0), "a", 8.0),
+            (3, t(5), "b", 9.5),
+            (3, t(5), "b", 9.0),
+        ],
+    )
+    got = (
+        cep.followed_by(df, SPEC, "event_type = 'a'", "event_type = 'b'", 60,
+                        value_col="value")
+        .orderBy("user_id", "a_ts")
+        .toPandas()
+    )
+    assert len(got) == 4
+    r = got.iloc[0]
+    assert (r["b_ts"], r["lag_sec"], r["b_value"], r["matched"]) == (t(30), 30, 2.0, True)
+    assert got.iloc[1]["b_ts"] == t(50) and got.iloc[1]["b_value"] == 3.0
+    u2 = got.iloc[2]
+    assert not u2["matched"] and pd.isna(u2["b_ts"]) and pd.isna(u2["b_value"])
+    u3 = got.iloc[3]
+    assert u3["b_ts"] == t(5) and u3["b_value"] == 9.0
+
+
+def test_followed_by_matched_only(spark):
+    df = _events(spark, [(1, t(0), "a", 1.0), (2, t(0), "a", 1.0), (1, t(9), "b", 2.0)])
+    got = cep.followed_by(df, SPEC, "event_type = 'a'", "event_type = 'b'", 60,
+                          matched_only=True).toPandas()
+    assert len(got) == 1 and got.iloc[0]["user_id"] == 1
+
+
+def test_match_contiguous_semantics(spark):
+    df = _events(
+        spark,
+        [
+            # u1: a b c contiguous -> one match; the second c has an
+            # intervening x so no chain ends there
+            (1, t(0), "a", 0.0),
+            (1, t(10), "b", 0.0),
+            (1, t(20), "c", 0.0),
+            (1, t(30), "x", 0.0),
+            (1, t(40), "c", 0.0),
+            # u2: chain spans 2h -> rejected by within_sec
+            (2, t(0), "a", 0.0),
+            (2, t(10), "b", 0.0),
+            (2, t(7200), "c", 0.0),
+        ],
+    )
+    preds = ["event_type = 'a'", "event_type = 'b'", "event_type = 'c'"]
+    got = cep.match_contiguous(df, SPEC, preds, within_sec=3600).toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["user_id"] == 1
+    assert got.iloc[0]["start_ts"] == t(0) and got.iloc[0]["end_ts"] == t(20)
+    assert got.iloc[0]["span_sec"] == 20
+    # without the time bound, u2's chain appears too
+    got2 = cep.match_contiguous(df, SPEC, preds).toPandas()
+    assert len(got2) == 2
+
+
+def test_match_contiguous_overlapping_chains(spark):
+    # a a a with preds [a, a] -> rows 2 and 3 both end chains
+    df = _events(spark, [(1, t(0), "a", 0.0), (1, t(1), "a", 0.0), (1, t(2), "a", 0.0)])
+    got = cep.match_contiguous(df, SPEC, ["event_type = 'a'"] * 2).toPandas()
+    assert len(got) == 2
+
+
+@pytest.fixture(scope="module")
+def cep_dirs(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cep")
+    clips_dir, corr_dir = str(d / "clips"), str(d / "corr")
+    n = 1200
+    synth.write_clips_parquet(spark, clips_dir, n, n_files=3)
+    corr = synth.make_corrections_pdf_range(0, n)
+    spark.createDataFrame(corr, schema=synth.CORRECTIONS_SCHEMA).coalesce(
+        2
+    ).write.parquet(corr_dir)
+    return clips_dir, corr_dir
+
+
+def _run_funnel(spark, clips_dir, corr_dir, name, within_sec=60):
+    res = scep.funnel_stream(
+        src.clips_stream(spark, clips_dir),
+        src.corrections_stream(spark, corr_dir),
+        within_sec=within_sec,
+        watermark_sec=5,
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).toPandas()
+
+
+def test_funnel_stream_matches_batch(spark, cep_dirs):
+    clips_dir, corr_dir = cep_dirs
+    got = _run_funnel(spark, clips_dir, corr_dir, "t_cep_funnel")
+    batch = scep.funnel_stream(
+        src.clips_batch(spark, clips_dir),
+        spark.read.schema(synth.CORRECTIONS_SCHEMA).parquet(corr_dir),
+        within_sec=60,
+    ).toPandas()
+
+    key = ["clip_id", "a_ts", "b_ts"]
+    sm = got[got["matched"]].sort_values(key).reset_index(drop=True)
+    bm = batch[batch["matched"]].sort_values(key).reset_index(drop=True)
+    # matched pairs are identical stream vs batch
+    pd.testing.assert_frame_equal(sm[key + ["lag_sec"]], bm[key + ["lag_sec"]])
+    assert len(sm) > 0
+    # streaming absence rows are a subset of the batch's unmatched A rows
+    # (tail-of-stream horizons never close under availableNow)
+    su = set(zip(got.loc[~got["matched"], "clip_id"], got.loc[~got["matched"], "a_ts"]))
+    bu = set(zip(batch.loc[~batch["matched"], "clip_id"], batch.loc[~batch["matched"], "a_ts"]))
+    assert su <= bu
+    # no duplicate emissions per (clip, a_ts)
+    assert not got.duplicated(subset=["clip_id", "a_ts"]).any()
+
+
+def test_funnel_absence_rows_emitted_on_watermark(spark, tmp_path):
+    in_dir = str(tmp_path / "clips")
+    corr_dir = str(tmp_path / "corr")
+
+    def write_clips(specs):
+        pdf = synth.make_clips_pdf(len(specs))
+        pdf["clip_id"] = [c for c, _ in specs]
+        pdf["ingest_ts"] = [ts for _, ts in specs]
+        spark.createDataFrame(pdf, schema=synth.CLIPS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: two clips at t=0; only one gets a correction (at t=10)
+    write_clips([("aw-00000001", t(0)), ("ax-00000002", t(0))])
+    time.sleep(1.1)
+    # batch 2: a far-future clip pushes the watermark past 0+within
+    write_clips([("ay-00000099", t(10_000))])
+    corr = pd.DataFrame(
+        {
+            "clip_id": ["aw-00000001"],
+            "corrected_transcript": ["fix"],
+            "correction_ts": [t(10)],
+        }
+    )
+    spark.createDataFrame(corr, schema=synth.CORRECTIONS_SCHEMA).write.parquet(corr_dir)
+
+    res = scep.funnel_stream(
+        src.clips_stream(spark, in_dir, max_files_per_trigger=1),
+        src.corrections_stream(spark, corr_dir),
+        within_sec=60,
+        watermark_sec=5,
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("t_cep_absence")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_cep_absence").toPandas()
+    m = got[got["matched"]]
+    u = got[~got["matched"]]
+    assert list(m["clip_id"]) == ["aw-00000001"] and m.iloc[0]["lag_sec"] == 10
+    # the uncorrected clip's horizon closed when the watermark jumped -> alert
+    assert "ax-00000002" in set(u["clip_id"])
+
+
+def test_funnel_stream_under_rocksdb(spark, cep_dirs):
+    clips_dir, corr_dir = cep_dirs
+    conf = scep.rocksdb_state_conf()
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        got = _run_funnel(spark, clips_dir, corr_dir, "t_cep_rocks")
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    ref = scep.funnel_stream(
+        src.clips_batch(spark, clips_dir),
+        spark.read.schema(synth.CORRECTIONS_SCHEMA).parquet(corr_dir),
+        within_sec=60,
+    ).toPandas()
+    key = ["clip_id", "a_ts", "b_ts"]
+    got_m = got[got["matched"]].sort_values(key).reset_index(drop=True)
+    ref_m = ref[ref["matched"]].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_m[key + ["lag_sec"]], ref_m[key + ["lag_sec"]])
+    assert len(got_m) > 0
+
+
+def test_tws_gate(spark, cep_dirs):
+    clips_dir, corr_dir = cep_dirs
+    clips = src.clips_stream(spark, clips_dir)
+    corr = src.corrections_stream(spark, corr_dir)
+    if not scep.tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            scep.tws_funnel(clips, corr)
+        return
+    # environment has protobuf: the TWS plan must at least construct
+    res = scep.tws_funnel(clips, corr)
+    assert res.isStreaming
