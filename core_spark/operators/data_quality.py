@@ -394,6 +394,48 @@ def tag_correlation(
     )
 
 
+def dimensionality_reduction(
+    df: DataFrame,
+    col1: str,
+    col2: str,
+    threshold: float = 0.9,
+    method: str = "mean",
+) -> DataFrame:
+    """Combine two columns when their |Pearson corr| meets the threshold
+    (reference dimensionality_reduction.py:27-157, wide-table operator).
+
+    The reference assembles an MLlib vector column and collects a full
+    correlation matrix for two columns; here it is one ``F.corr`` aggregate
+    — the only driver traffic is that single scalar, which then *selects a
+    projection* (schema depends on the decision, exactly as in the
+    reference). Combination methods: mean, sum, first (keep col1), second
+    (keep col2), delete (drop both). The reference's 'second' branch drops
+    col2 and keeps col1 — identical to 'first' (:152-155), plainly a bug —
+    this engine keeps col2 as the name says.
+
+    |corr| matches the reference's matrix[0][1] semantics for the usual
+    positive-corr case and treats strong anti-correlation as combinable
+    too; pass threshold > 1 to force no-combine.
+    """
+    valid = ["mean", "sum", "first", "second", "delete"]
+    if method not in valid:
+        raise ValueError(f"combination_method must be one of {valid}")
+    if not 0 <= threshold <= 1:
+        raise ValueError("Threshold must be between 0 and 1.")
+    corr = df.agg(F.corr(col1, col2)).first()[0]
+    if corr is None or abs(corr) < threshold:
+        return df
+    if method == "mean":
+        return df.withColumn(col1, (F.col(col1) + F.col(col2)) / 2).drop(col2)
+    if method == "sum":
+        return df.withColumn(col1, F.col(col1) + F.col(col2)).drop(col2)
+    if method == "first":
+        return df.drop(col2)
+    if method == "second":
+        return df.drop(col1)
+    return df.drop(col1).drop(col2)
+
+
 def normalize_mean(df: DataFrame, spec: TSSpec, round_digits: int = 6) -> DataFrame:
     """Per-tag mean normalization: (v - mean) / (max - min)
     (reference normalization_mean.py:49-80). Stats stay distributed via a

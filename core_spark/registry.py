@@ -848,6 +848,41 @@ FROM ca JOIN cb USING (event_time)
 """
 
 
+def q_dq_dim_reduction(spark, sf_dir):
+    """Full DimensionalityReduction combine (reference
+    dimensionality_reduction.py:139-157): a perfectly-correlated derived
+    column (vc = va*1.5 + 3, corr = 1 in both engines) exercises the
+    mean-combine branch deterministically; the oracle makes the same
+    decision via a scalar subquery. round(…,6) is exact (va has 2
+    decimals, so the combined value has ≤4)."""
+    r = ts.resample(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 3600, "avg", START, END,
+        round_digits=None, exact_decimals=2,
+    )
+    wide = (
+        r.filter(F.col("tagname") == "click")
+        .select("event_time", F.col("value").alias("va"))
+        .withColumn("vc", F.col("va") * 1.5 + 3.0)
+    )
+    out = dq.dimensionality_reduction(wide, "va", "vc", threshold=0.9, method="mean")
+    return out.select("event_time", F.round("va", 6).alias("va"))
+
+
+SQL_DQ_DIM_REDUCTION = f"""
+WITH s AS (SELECT DISTINCT * FROM ({_scan_sql(START, END)})),
+a AS (SELECT tagname, {_bucket_sql('event_time', 3600)} AS event_time,
+             {_AVG_EXACT} AS value
+      FROM s GROUP BY 1, 2),
+wide AS (SELECT event_time, value AS va, value * 1.5 + 3.0 AS vc
+         FROM a WHERE tagname = 'click'),
+c AS (SELECT corr(va, vc) AS r FROM wide)
+SELECT event_time,
+       CASE WHEN ABS((SELECT r FROM c)) >= 0.9
+            THEN ROUND((va + vc) / 2, 6) ELSE ROUND(va, 6) END AS va
+FROM wide
+"""
+
+
 def q_dq_normalize_minmax(spark, sf_dir):
     return dq.normalize_minmax(_load(spark, sf_dir, "events"), EVENTS_SPEC, round_digits=6)
 
@@ -2615,6 +2650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qb_metadata": q_qb_metadata,
     "ts_exp_smooth": q_ts_exp_smooth,
     "dq_tag_correlation": q_dq_tag_correlation,
+    "dq_dim_reduction": q_dq_dim_reduction,
     "dq_ksigma": q_dq_ksigma,
     "dq_missing_intervals": q_dq_missing_intervals,
     "dq_flatline_runs": q_dq_flatline_runs,
@@ -2716,6 +2752,7 @@ ORACLES: dict[str, str] = {
     "ml_knn": SQL_ML_KNN,
     "qb_metadata": SQL_QB_METADATA,
     "dq_tag_correlation": SQL_DQ_TAG_CORRELATION,
+    "dq_dim_reduction": SQL_DQ_DIM_REDUCTION,
     "dq_ksigma": SQL_DQ_KSIGMA,
     "dq_missing_intervals": SQL_DQ_MISSING_INTERVALS,
     "dq_flatline_runs": SQL_DQ_FLATLINE_RUNS,

@@ -145,3 +145,30 @@ def test_kmeans_binning_deterministic(spark):
     a = sorted((r["event_time"], r["bin"]) for r in dq.kmeans_binning(_mk(spark, rows), SPEC, k=4).collect())
     b = sorted((r["event_time"], r["bin"]) for r in dq.kmeans_binning(_mk(spark, rows), SPEC, k=4).collect())
     assert a == b
+
+
+def test_dimensionality_reduction_branches(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0], "y": [2.0, 4.0, 6.0, 8.0],
+                        "z": [5.0, -3.0, 4.0, -1.0]})
+    df = spark.createDataFrame(pdf)
+    # perfectly correlated -> mean combine, y gone
+    out = dq.dimensionality_reduction(df, "x", "y", 0.9, "mean")
+    assert out.columns == ["x", "z"]
+    assert [r["x"] for r in out.orderBy("x").collect()] == [1.5, 3.0, 4.5, 6.0]
+    # sum / first / second / delete branches
+    assert [r["x"] for r in dq.dimensionality_reduction(df, "x", "y", 0.9, "sum").orderBy("x").collect()] == [3.0, 6.0, 9.0, 12.0]
+    assert dq.dimensionality_reduction(df, "x", "y", 0.9, "first").columns == ["x", "z"]
+    # 'second' keeps col2 (the reference's branch drops col2 too - a bug we fix)
+    assert dq.dimensionality_reduction(df, "x", "y", 0.9, "second").columns == ["y", "z"]
+    assert dq.dimensionality_reduction(df, "x", "y", 0.9, "delete").columns == ["z"]
+    # uncorrelated -> untouched
+    assert dq.dimensionality_reduction(df, "x", "z", 0.9, "mean").columns == ["x", "y", "z"]
+    # anti-correlation counts as combinable (|corr|)
+    neg = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [-2.0, -4.0, -6.0]}))
+    assert dq.dimensionality_reduction(neg, "x", "y", 0.9, "first").columns == ["x"]
+    with pytest.raises(ValueError):
+        dq.dimensionality_reduction(df, "x", "y", 0.9, "median")
+    with pytest.raises(ValueError):
+        dq.dimensionality_reduction(df, "x", "y", 1.5, "mean")
