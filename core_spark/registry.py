@@ -1376,6 +1376,91 @@ def q_stream_sessionize(spark, sf_dir):
     return _ss.sessionize(clips, gap_sec=300)
 
 
+def q_audio_vad_stats(spark, sf_dir):
+    """Per-clip VAD quality gate (functions/audio_dsp.audio_vad): speech
+    ratio / segment count / edge-silence — the audio analog of the text
+    quality score. Rows-only (DSP not SQL); invariants in
+    tests/test_audio_dsp.py (synth sines => ratio ~1, one segment)."""
+    from . import synth
+    from .functions import audio_dsp as adsp
+
+    clips = synth.clips_df(spark, 400)
+    return clips.select(
+        "clip_id", "dur_ms", adsp.audio_vad("bytes", "codec", "sr_hz").alias("v")
+    ).select(
+        "clip_id", "dur_ms", "v.speech_ms", "v.n_segments",
+        F.round("v.speech_ratio", 4).alias("speech_ratio"),
+        "v.lead_silence_ms", "v.trail_silence_ms",
+    )
+
+
+def q_audio_resample_norm(spark, sf_dir):
+    """Rate normalization: every clip windowed-sinc resampled to 16 kHz
+    pcm16 (functions/audio_dsp.resample_sinc — SNR >= 30 dB vs the analytic
+    target, tests/test_audio_dsp.py). Emits post-resample sample counts +
+    RMS; the payload itself would feed the sink. Rows-only."""
+    from . import synth
+    from .functions import audio_dsp as adsp
+
+    clips = synth.clips_df(spark, 300)
+    rs = clips.select(
+        "clip_id", "sr_hz", "dur_ms",
+        adsp.audio_resample_pcm16(
+            "bytes", "codec", "sr_hz", F.lit(16000).cast("int")
+        ).alias("bytes16"),
+    )
+    return rs.select(
+        "clip_id", "sr_hz",
+        (F.length("bytes16") / 2).cast("long").alias("n_samples_16k"),
+        F.round(au.clip_rms(F.col("bytes16"), F.lit("pcm16")), 6).alias("rms"),
+    )
+
+
+def q_dedup_audio_fingerprint(spark, sf_dir):
+    """Acoustic near-dup pairs via constellation fingerprints
+    (operators/audio_match.fingerprint_pairs) over a deterministic
+    multi-tone set with planted duplicates (mu-law re-encode + 2-hop time
+    shift of clip 0). Rows-only; invariance + discrimination tested in
+    tests/test_audio_dsp.py."""
+    import numpy as np
+
+    from . import synth
+    from .functions.audio import pcm16_encode, ulaw_encode
+    from .operators import audio_match
+
+    def rich(seed, sr=16000, ms=1500):
+        rng = np.random.default_rng(seed)
+        t = np.arange(int(sr * ms / 1000.0)) / sr
+        x = np.zeros_like(t)
+        for _ in range(6):
+            f = rng.uniform(200, 3500)
+            a = rng.uniform(0.05, 0.25)
+            lo, hi = sorted(rng.uniform(0, ms / 1000.0, size=2))
+            seg = (t >= lo) & (t < hi)
+            x[seg] += a * np.sin(2 * np.pi * f * t[seg])
+        x += 0.01 * rng.standard_normal(len(t))
+        return np.clip(x, -1, 1)
+
+    import pandas as pd_
+
+    rows = []
+    for i in range(12):
+        x = rich(i)
+        rows.append((f"rc-{i:04d}", pcm16_encode(x), 16000, 1500, "pcm16", "w", synth.BASE_TS))
+    x0 = rich(0)
+    rows.append(("dup-ulaw", ulaw_encode(x0), 16000, 1500, "ulaw", "w", synth.BASE_TS))
+    sh = np.concatenate([np.zeros(512), x0])[: len(x0)]
+    rows.append(("dup-shift", pcm16_encode(sh), 16000, 1500, "pcm16", "w", synth.BASE_TS))
+    pdf = pd_.DataFrame(
+        rows,
+        columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "ingest_ts"],
+    )
+    clips = spark.createDataFrame(pdf, schema=synth.CLIPS_SCHEMA)
+    return audio_match.fingerprint_pairs(clips, min_matches=8).select(
+        "id_a", "id_b", "n_matches", "dt_frames"
+    )
+
+
 def q_audio_window_energy(spark, sf_dir):
     from . import synth
 
@@ -2685,6 +2770,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_json_props": q_transform_json_props,
     "audio_clip_energy": q_audio_clip_energy,
     "audio_window_energy": q_audio_window_energy,
+    "audio_vad_stats": q_audio_vad_stats,
+    "audio_resample_norm": q_audio_resample_norm,
+    "dedup_audio_fingerprint": q_dedup_audio_fingerprint,
     "stream_tumbling_energy": q_stream_tumbling_energy,
     "stream_sessionize": q_stream_sessionize,
     "dq_normalize_minmax": q_dq_normalize_minmax,
