@@ -39,6 +39,10 @@ BATCH_QUERIES = [
     "sim_topk_cosine",
     "sim_lsh_topk",
     "audio_window_energy",
+    "ts_cep_funnel",
+    "ts_cep_contiguous",
+    "audio_vad_stats",
+    "dedup_audio_fingerprint",
 ]
 
 

@@ -81,6 +81,25 @@ CHECKS = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # CEP funnel: pattern-relevant rows filtered at the scan (the A|B
+    # disjunction pushes as an In/Or filter), one per-key Window pass, the
+    # B-payload lookup joins the reduced side — never a theta join
+    "ts_cep_funnel": (
+        ["PushedFilters", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # contiguous chain: lag-chain in ONE Window operator over one Exchange;
+    # no join of any kind regardless of pattern length
+    "ts_cep_contiguous": (
+        ["Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "BroadcastHashJoin"],
+    ),
+    # dim reduction: corr is an aggregate, the combine a pure projection —
+    # no window, no extra join beyond the resample pipeline's own
+    "dq_dim_reduction": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
