@@ -1725,6 +1725,37 @@ def q_stream_cep_funnel(spark, sf_dir):
     return spark.table("entry_stream_cep")
 
 
+def q_stream_twa(spark, sf_dir):
+    """Incremental time-weighted average (streaming/twa.py): stateful
+    bucket integration with carried last observation, grace-window closure,
+    late-CDC rows for sparse keys. Closed buckets are bit-identical to the
+    batch TWA verb (tests/test_streaming_twa.py). Rows-only."""
+    import os as _os
+    import tempfile
+
+    from . import synth as _synth
+    from .streaming import source as _src
+    from .streaming import twa as _stwa
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream")
+    clips_dir = _os.path.join(d, "clips")
+    if not _os.path.isdir(clips_dir):
+        _synth.write_clips_parquet(spark, clips_dir, 2000, n_files=4)
+    res = _stwa.twa_stream(
+        _src.clips_stream(spark, clips_dir), 60, watermark_sec=10, grace_sec=30
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("entry_stream_twa")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("entry_stream_twa")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2754,6 +2785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_cep_funnel": q_ts_cep_funnel,
     "ts_cep_contiguous": q_ts_cep_contiguous,
     "stream_cep_funnel": q_stream_cep_funnel,
+    "stream_twa": q_stream_twa,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk_cosine": q_sim_topk_cosine,

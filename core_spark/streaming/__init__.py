@@ -8,6 +8,10 @@ The north-star recast of the reference's time-series pipeline core
 - ``windows``   — tumbling/sliding/session windowed aggregates (+salting)
 - ``join``      — watermarked stream-stream join with late-correction drops
 - ``sessions``  — applyInPandasWithState gap/session detection + fills
+- ``cep``       — A-followed-by-B pattern state machine with absence alerts
+                  (+ RocksDB state-store confs, transformWithStateInPandas path)
+- ``twa``       — incremental time-weighted average (bucket state + carried
+                  last observation; bit-compatible with the batch TWA verb)
 - ``sink``      — idempotent exactly-once merge sink with lineage/metrics
 - ``job``       — spark-submit entrypoint used by bench at N / 4N cores
 """
