@@ -1756,6 +1756,38 @@ def q_stream_twa(spark, sf_dir):
     return spark.table("entry_stream_twa")
 
 
+def q_stream_interpolate(spark, sf_dir):
+    """Incremental resample+interpolate (streaming/interp.py): per-key
+    bucket averages closed at the watermark, gap buckets held pending until
+    the next non-empty bucket decides their linear fill. Emitted buckets
+    match the batch interpolate verb (tests/test_streaming_interp.py).
+    Rows-only."""
+    import os as _os
+    import tempfile
+
+    from . import synth as _synth
+    from .streaming import interp as _sintp
+    from .streaming import source as _src
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream")
+    clips_dir = _os.path.join(d, "clips")
+    if not _os.path.isdir(clips_dir):
+        _synth.write_clips_parquet(spark, clips_dir, 2000, n_files=4)
+    res = _sintp.interp_stream(
+        _src.clips_stream(spark, clips_dir), 60, watermark_sec=10, method="linear"
+    )
+    q = (
+        res.writeStream.format("memory")
+        .queryName("entry_stream_interp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("entry_stream_interp")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2786,6 +2818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_cep_contiguous": q_ts_cep_contiguous,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_twa": q_stream_twa,
+    "stream_interpolate": q_stream_interpolate,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk_cosine": q_sim_topk_cosine,

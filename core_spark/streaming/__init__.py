@@ -12,6 +12,8 @@ The north-star recast of the reference's time-series pipeline core
                   (+ RocksDB state-store confs, transformWithStateInPandas path)
 - ``twa``       — incremental time-weighted average (bucket state + carried
                   last observation; bit-compatible with the batch TWA verb)
+- ``interp``    — incremental resample+interpolate (pending gap buckets
+                  decided by the next non-empty bucket)
 - ``sink``      — idempotent exactly-once merge sink with lineage/metrics
 - ``job``       — spark-submit entrypoint used by bench at N / 4N cores
 """
