@@ -1788,6 +1788,55 @@ def q_stream_interpolate(spark, sf_dir):
     return spark.table("entry_stream_interp")
 
 
+def _entry_clip_stream(spark):
+    import os as _os
+    import tempfile
+
+    from . import synth as _synth
+    from .streaming import source as _src
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream", "clips")
+    if not _os.path.isdir(d):
+        _synth.write_clips_parquet(spark, d, 2000, n_files=4)
+    return _src.clips_stream(spark, d)
+
+
+def _run_entry_stream(res, name):
+    q = (
+        res.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return res.sparkSession.table(name)
+
+
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming OHLC downsample (plot verb, TSQB:800-855) as a native
+    windowed min_by/max_by aggregate — batch/stream parity in
+    tests/test_streaming.py. Rows-only."""
+    from .streaming import windows as _sw
+
+    return _run_entry_stream(
+        _sw.ohlc_windows(_entry_clip_stream(spark), 60), "entry_stream_ohlc"
+    )
+
+
+def q_stream_circular_avg(spark, sf_dir):
+    """Streaming circular average (TSQB:1570-1719) as a native windowed
+    cos/sin aggregate with atan2 recompose; wrap-around + parity tests in
+    tests/test_streaming.py. Rows-only."""
+    from .streaming import windows as _sw
+
+    return _run_entry_stream(
+        _sw.circular_avg_windows(_entry_clip_stream(spark), 60),
+        "entry_stream_circ",
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2819,6 +2868,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_twa": q_stream_twa,
     "stream_interpolate": q_stream_interpolate,
+    "stream_ohlc": q_stream_ohlc,
+    "stream_circular_avg": q_stream_circular_avg,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_topk_cosine": q_sim_topk_cosine,

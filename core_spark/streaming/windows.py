@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from ..functions import audio as au
 
+_PI = 3.141592653589793
+
 
 def clip_features(df: DataFrame, prefix_len: int = 2) -> DataFrame:
     """Decode-derived per-clip features; identical for batch and stream.
@@ -266,4 +268,75 @@ def windowed_transcript_tokens(
             "n_clips",
             "sum_tokens",
         )
+    )
+
+
+def ohlc_windows(
+    df: DataFrame,
+    window_sec: int = 60,
+    watermark_sec: int = 30,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Per-prefix OHLC downsample of clip energy — the reference's plot
+    verb (TSQB:800-855; batch form operators/timeseries.plot_ohlc) on the
+    stream. The reference's min/max-over-struct window trick becomes the
+    native ``min_by``/``max_by`` aggregates (SURVEY §2.4), so this is a
+    plain stateful hash aggregate: one shuffle, scalar state per window.
+    (clip_id, ingest_ts) tie-breaks keep the picks deterministic."""
+    feats = clip_features(df, prefix_len).withWatermark(
+        "ingest_ts", f"{watermark_sec} seconds"
+    )
+    ordkey = F.struct("ingest_ts", "clip_id")
+    agg = feats.groupBy(
+        F.window("ingest_ts", f"{window_sec} seconds").alias("w"), "prefix"
+    ).agg(
+        F.min_by("energy", ordkey).alias("open"),
+        F.max("energy").alias("high"),
+        F.min("energy").alias("low"),
+        F.max_by("energy", ordkey).alias("close"),
+        F.count(F.lit(1)).alias("n_clips"),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), "prefix",
+        "open", "high", "low", "close", "n_clips",
+    )
+
+
+def circular_avg_windows(
+    df: DataFrame,
+    window_sec: int = 60,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    watermark_sec: int = 30,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Per-prefix circular average of clip energy — the reference's
+    circular_average verb (TSQB:1570-1719) as a native windowed aggregate:
+    scale [lo, hi) to radians, average cos/sin (algebraic partials,
+    map-side combined), atan2 recompose, rescale (TSQB:1591,1597). The
+    wrap-around property — values just below hi and just above lo average
+    to the boundary, not the midpoint — is what a plain avg cannot give."""
+    span = hi - lo
+    feats = clip_features(df, prefix_len).withWatermark(
+        "ingest_ts", f"{watermark_sec} seconds"
+    )
+    rad = (F.col("energy") - F.lit(lo)) / F.lit(span) * F.lit(2.0) * F.lit(_PI)
+    agg = (
+        feats.withColumn("__c", F.cos(rad))
+        .withColumn("__s", F.sin(rad))
+        .groupBy(F.window("ingest_ts", f"{window_sec} seconds").alias("w"), "prefix")
+        .agg(
+            F.avg("__c").alias("mc"),
+            F.avg("__s").alias("ms"),
+            F.count(F.lit(1)).alias("n_clips"),
+        )
+    )
+    ang = F.atan2(F.col("ms"), F.col("mc"))  # (-pi, pi]
+    ang = F.when(ang < 0, ang + F.lit(2.0) * F.lit(_PI)).otherwise(ang)
+    return agg.select(
+        F.col("w.start").alias("window_start"), "prefix",
+        (F.lit(lo) + ang / (F.lit(2.0) * F.lit(_PI)) * F.lit(span)).alias("circ_avg"),
+        # resultant length R: dispersion measure, sqrt(-2 ln R) = circ stddev
+        F.sqrt(F.col("mc") * F.col("mc") + F.col("ms") * F.col("ms")).alias("r_len"),
+        "n_clips",
     )

@@ -357,3 +357,62 @@ def test_late_metrics_counts_all_unmatchable(spark):
     assert m["n_retrograde"] == 1
     assert m["n_orphaned"] == 1
     assert m["n_dropped_total"] == 3
+
+
+def test_ohlc_windows_stream_matches_batch(spark, clips_dir):
+    stream = src.clips_stream(spark, clips_dir)
+    got = _sorted_pdf(
+        _run_to_memory(sw.ohlc_windows(stream, 60), "t_ohlc_win"),
+        ["window_start", "prefix"],
+    )
+    ref = _sorted_pdf(
+        sw.ohlc_windows(src.clips_batch(spark, clips_dir), 60),
+        ["window_start", "prefix"],
+    )
+    assert got.equals(ref)
+    # invariant: low <= open/close <= high
+    assert (got["low"] <= got["high"]).all()
+    assert ((got["open"] >= got["low"]) & (got["open"] <= got["high"])).all()
+    assert ((got["close"] >= got["low"]) & (got["close"] <= got["high"])).all()
+
+
+def test_circular_avg_windows_wraps(spark):
+    # wrap-around: energies ~0.97 and ~0.03 (lo=0, hi=1) average to ~0.0
+    # (the wrap boundary), NOT the arithmetic midpoint 0.5. Constant-valued
+    # PCM gives exact energies: energy(const c) = c^2.
+    import numpy as np
+
+    from core_spark.functions.audio import pcm16_encode
+
+    pdf = synth.make_clips_pdf(2)
+    pdf["clip_id"] = ["aw-00000001", "aw-00000002"]
+    pdf["ingest_ts"] = [synth.BASE_TS] * 2
+    pdf["codec"] = ["pcm16", "pcm16"]
+    pdf["bytes"] = [
+        pcm16_encode(np.full(8000, np.sqrt(0.97))),
+        pcm16_encode(np.full(8000, np.sqrt(0.03))),
+    ]
+    df = spark.createDataFrame(pdf, schema=synth.CLIPS_SCHEMA)
+    got = sw.circular_avg_windows(df, 60).toPandas()
+    assert len(got) == 1
+    v = got.iloc[0]["circ_avg"]
+    assert v < 0.01 or v > 0.99  # at the wrap, far from 0.5
+    # two unit vectors 0.06 turns apart: R = cos(half the separation angle)
+    assert got.iloc[0]["r_len"] == pytest.approx(float(np.cos(0.06 * np.pi)), abs=0.01)
+
+
+def test_circular_avg_windows_stream_matches_batch(spark, clips_dir):
+    stream = src.clips_stream(spark, clips_dir)
+    got = _sorted_pdf(
+        _run_to_memory(sw.circular_avg_windows(stream, 60), "t_circ_win"),
+        ["window_start", "prefix"],
+    )
+    ref = _sorted_pdf(
+        sw.circular_avg_windows(src.clips_batch(spark, clips_dir), 60),
+        ["window_start", "prefix"],
+    )
+    assert len(got) == len(ref)
+    import numpy as np
+
+    for c in ["circ_avg", "r_len"]:
+        assert np.allclose(got[c], ref[c], atol=1e-9)
