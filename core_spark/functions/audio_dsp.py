@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .audio import decode_batch, pcm16_encode
+from .audio import _decode_one, pcm16_encode
 
 # ------------------------------------------------------------- resampling
 
@@ -108,29 +108,42 @@ def vad_mask(x: np.ndarray, sr: int, frame_ms: int = 20, thresh_db: float = -30.
     return m
 
 
-def vad_segments(x: np.ndarray, sr: int, frame_ms: int = 20,
-                 thresh_db: float = -30.0, hangover: int = 2) -> list[tuple[int, int]]:
-    """Speech segments as (start_ms, end_ms) half-open intervals."""
+def _speech_frame_runs(x, sr, frame_ms, thresh_db, hangover):
+    """(start_frame, end_frame) runs + the frame size in samples."""
+    frame = max(1, sr * frame_ms // 1000)
     m = vad_mask(x, sr, frame_ms, thresh_db, hangover)
     if len(m) == 0:
-        return []
+        return [], frame
     edges = np.diff(m.astype(np.int8), prepend=0, append=0)
     starts = np.nonzero(edges == 1)[0]
     ends = np.nonzero(edges == -1)[0]
-    return [(int(s) * frame_ms, int(e) * frame_ms) for s, e in zip(starts, ends)]
+    return list(zip(starts.tolist(), ends.tolist())), frame
+
+
+def vad_segments(x: np.ndarray, sr: int, frame_ms: int = 20,
+                 thresh_db: float = -30.0, hangover: int = 2) -> list[tuple[int, int]]:
+    """Speech segments as (start_ms, end_ms) half-open intervals.
+
+    Boundaries are sample-accurate (frame_index * frame_samples / sr), not
+    ``frame_index * frame_ms``: when sr*frame_ms/1000 floors (e.g. sr=999),
+    nominal-ms accounting would overstate durations and push speech_ratio
+    past 1.0.
+    """
+    runs, frame = _speech_frame_runs(x, sr, frame_ms, thresh_db, hangover)
+    return [(s * frame * 1000 // sr, e * frame * 1000 // sr) for s, e in runs]
 
 
 def trim_silence(x: np.ndarray, sr: int, frame_ms: int = 20,
                  thresh_db: float = -30.0) -> tuple[np.ndarray, int, int]:
     """Drop leading/trailing silence; returns (trimmed, lead_ms, trail_ms)."""
-    segs = vad_segments(x, sr, frame_ms, thresh_db, hangover=0)
-    if not segs:
-        return np.zeros(0, dtype=x.dtype), 0, len(x) * 1000 // max(sr, 1)
-    lead_ms, end_ms = segs[0][0], segs[-1][1]
-    lo = sr * lead_ms // 1000
-    hi = min(len(x), sr * end_ms // 1000)
-    total_ms = len(x) * 1000 // max(sr, 1)
-    return x[lo:hi], lead_ms, max(0, total_ms - end_ms)
+    if sr <= 0:
+        return np.zeros(0, dtype=x.dtype), 0, 0
+    runs, frame = _speech_frame_runs(x, sr, frame_ms, thresh_db, hangover=0)
+    if not runs:
+        return np.zeros(0, dtype=x.dtype), 0, len(x) * 1000 // sr
+    lo = runs[0][0] * frame
+    hi = min(len(x), runs[-1][1] * frame)
+    return x[lo:hi], lo * 1000 // sr, (len(x) - hi) * 1000 // sr
 
 
 # --------------------------------------------------------------- log-mel
@@ -245,18 +258,34 @@ def fingerprint(x: np.ndarray, sr: int) -> list[tuple[int, int]]:
 # ------------------------------------------------------------ pandas UDFs
 
 
+def _safe_sr(sr) -> int | None:
+    """None for null/invalid/non-positive rates — a malformed row degrades
+    to a null output instead of a TypeError/ZeroDivisionError killing the
+    whole Arrow batch (same hardened-null contract as functions/audio.py)."""
+    try:
+        s = int(sr)
+    except (TypeError, ValueError):
+        return None
+    return s if s > 0 else None
+
+
 @F.pandas_udf(T.BinaryType())
 def audio_resample_pcm16(data: pd.Series, codec: pd.Series, sr_hz: pd.Series,
                          out_sr: pd.Series) -> pd.Series:
     """Normalize every clip to ``out_sr`` as pcm16 bytes (rate unification
-    before training). Arrow batch in, numpy per clip, bytes out."""
-    pcm = decode_batch(data, codec)
-    return pd.Series(
-        [
-            pcm16_encode(resample_sinc(x, int(sr), int(o))) if x is not None else None
-            for x, sr, o in zip(pcm, sr_hz, out_sr)
-        ]
-    )
+    before training). Fused decode->resample->encode per clip — only one
+    PCM array resident at a time (decode_batch docstring in audio.py
+    explains why whole-batch materialization collapses at high core
+    counts). Null payload or invalid rate => null output."""
+    out = []
+    for b, c, sr, o in zip(data.to_numpy(), codec.to_numpy(),
+                           sr_hz.to_numpy(), out_sr.to_numpy()):
+        s, t = _safe_sr(sr), _safe_sr(o)
+        if b is None or s is None or t is None:
+            out.append(None)
+            continue
+        out.append(pcm16_encode(resample_sinc(_decode_one(b, c), s, t)))
+    return pd.Series(out)
 
 
 VAD_SCHEMA = T.StructType(
@@ -273,18 +302,19 @@ VAD_SCHEMA = T.StructType(
 @F.pandas_udf(VAD_SCHEMA)
 def audio_vad(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
     """Per-clip VAD stats — the audio quality gate (speech_ratio ~ the text
-    quality score's stopword ratio)."""
-    pcm = decode_batch(data, codec)
+    quality score's stopword ratio). Fused decode->reduce->discard; empty
+    or malformed rows degrade to the zero row."""
     rows = []
-    for x, sr in zip(pcm, sr_hz):
+    for b, c, sr in zip(data.to_numpy(), codec.to_numpy(), sr_hz.to_numpy()):
+        s = _safe_sr(sr)
+        x = _decode_one(b, c) if s is not None else None
         if x is None or len(x) == 0:
             rows.append((0, 0, 0.0, 0, 0))
             continue
-        sr = int(sr)
-        segs = vad_segments(x, sr)
-        speech = sum(e - s for s, e in segs)
-        total = len(x) * 1000 // sr
-        _, lead, trail = trim_silence(x, sr)
+        segs = vad_segments(x, s)
+        speech = sum(e - s0 for s0, e in segs)
+        total = len(x) * 1000 // s
+        _, lead, trail = trim_silence(x, s)
         rows.append(
             (int(speech), len(segs), float(speech) / max(total, 1), int(lead), int(trail))
         )
@@ -297,13 +327,14 @@ def audio_vad(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFra
 
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def audio_logmel(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Series:
-    pcm = decode_batch(data, codec)
-    return pd.Series(
-        [
-            logmel_embedding(x, int(sr)).tolist() if x is not None else None
-            for x, sr in zip(pcm, sr_hz)
-        ]
-    )
+    out = []
+    for b, c, sr in zip(data.to_numpy(), codec.to_numpy(), sr_hz.to_numpy()):
+        s = _safe_sr(sr)
+        if b is None or s is None:
+            out.append(None)
+            continue
+        out.append(logmel_embedding(_decode_one(b, c), s).tolist())
+    return pd.Series(out)
 
 
 FP_SCHEMA = T.ArrayType(
@@ -313,10 +344,11 @@ FP_SCHEMA = T.ArrayType(
 
 @F.pandas_udf(FP_SCHEMA)
 def audio_fingerprint(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Series:
-    pcm = decode_batch(data, codec)
-    return pd.Series(
-        [
-            fingerprint(x, int(sr)) if x is not None else None
-            for x, sr in zip(pcm, sr_hz)
-        ]
-    )
+    out = []
+    for b, c, sr in zip(data.to_numpy(), codec.to_numpy(), sr_hz.to_numpy()):
+        s = _safe_sr(sr)
+        if b is None or s is None:
+            out.append(None)
+            continue
+        out.append(fingerprint(_decode_one(b, c), s))
+    return pd.Series(out)

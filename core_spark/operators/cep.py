@@ -128,15 +128,22 @@ def followed_by(
             *([F.lit(None).cast("double").alias("b_value")] if value_col else []),
         )
     )
-    # One ordered pass per key. Sort key (ts, s) puts a B *before* any A at
-    # the same timestamp, so the 1-FOLLOWING frame sees only strictly-later
-    # B rows from an A row's position. (key, ts, s) is unique after the
-    # dedup above, so the frame content — and the hash — is deterministic.
+    # One ordered pass per key. Logically we need, for each A row, the min
+    # B-timestamp strictly after it under the (ts, s) order (B sorts before
+    # A at an equal timestamp, so equal-ts Bs are excluded). A frame of
+    # rowsBetween(1 FOLLOWING, UNBOUNDED FOLLOWING) expresses that directly
+    # but Spark executes shrinking frames by re-aggregating from scratch
+    # per row — O(n^2) on a hot key. Ordering DESCENDING and taking the
+    # running min over (UNBOUNDED PRECEDING, -1) visits exactly the same
+    # row set as an incremental O(n) aggregate: in desc (ts, s) order the
+    # rows before (ts, 1) are those with ts' > ts (equal-ts B rows, s=0,
+    # sort AFTER the A row — excluded, as required). (key, ts, s) is
+    # unique after the dedup above, so the result is deterministic.
     u = a_rows.unionByName(b_rows)
     w = (
         Window.partitionBy("key")
-        .orderBy("ts", "s")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = (
         u.withColumn("b_ts", F.min(F.when(F.col("s") == 0, F.col("ts"))).over(w))

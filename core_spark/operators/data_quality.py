@@ -415,7 +415,8 @@ def dimensionality_reduction(
 
     |corr| matches the reference's matrix[0][1] semantics for the usual
     positive-corr case and treats strong anti-correlation as combinable
-    too; pass threshold > 1 to force no-combine.
+    too. threshold=1.0 combines only perfectly-correlated columns (the
+    guard mirrors the reference's [0,1] validation, :85-86).
     """
     valid = ["mean", "sum", "first", "second", "delete"]
     if method not in valid:

@@ -1698,31 +1698,19 @@ def q_stream_cep_funnel(spark, sf_dir):
     from .streaming import cep as _scep
     from .streaming import source as _src
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    d = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream")
-    clips_dir = _os.path.join(d, "clips")
-    corr_dir = _os.path.join(d, "cep_corr")
-    if not _os.path.isdir(clips_dir):
-        _synth.write_clips_parquet(spark, clips_dir, 2000, n_files=4)
+    corr_dir = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream", "cep_corr")
+    clips = _entry_clip_stream(spark)
     if not _os.path.isdir(corr_dir):
         spark.createDataFrame(
             _synth.make_corrections_pdf_range(0, 2000), schema=_synth.CORRECTIONS_SCHEMA
         ).coalesce(2).write.parquet(corr_dir)
     res = _scep.funnel_stream(
-        _src.clips_stream(spark, clips_dir),
+        clips,
         _src.corrections_stream(spark, corr_dir),
         within_sec=60,
         watermark_sec=5,
     )
-    q = (
-        res.writeStream.format("memory")
-        .queryName("entry_stream_cep")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("entry_stream_cep")
+    return _run_entry_stream(res, "entry_stream_cep")
 
 
 def q_stream_twa(spark, sf_dir):
@@ -1730,30 +1718,12 @@ def q_stream_twa(spark, sf_dir):
     bucket integration with carried last observation, grace-window closure,
     late-CDC rows for sparse keys. Closed buckets are bit-identical to the
     batch TWA verb (tests/test_streaming_twa.py). Rows-only."""
-    import os as _os
-    import tempfile
-
-    from . import synth as _synth
-    from .streaming import source as _src
     from .streaming import twa as _stwa
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    d = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream")
-    clips_dir = _os.path.join(d, "clips")
-    if not _os.path.isdir(clips_dir):
-        _synth.write_clips_parquet(spark, clips_dir, 2000, n_files=4)
     res = _stwa.twa_stream(
-        _src.clips_stream(spark, clips_dir), 60, watermark_sec=10, grace_sec=30
+        _entry_clip_stream(spark), 60, watermark_sec=10, grace_sec=30
     )
-    q = (
-        res.writeStream.format("memory")
-        .queryName("entry_stream_twa")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("entry_stream_twa")
+    return _run_entry_stream(res, "entry_stream_twa")
 
 
 def q_stream_interpolate(spark, sf_dir):
@@ -1762,30 +1732,12 @@ def q_stream_interpolate(spark, sf_dir):
     the next non-empty bucket decides their linear fill. Emitted buckets
     match the batch interpolate verb (tests/test_streaming_interp.py).
     Rows-only."""
-    import os as _os
-    import tempfile
-
-    from . import synth as _synth
     from .streaming import interp as _sintp
-    from .streaming import source as _src
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    d = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream")
-    clips_dir = _os.path.join(d, "clips")
-    if not _os.path.isdir(clips_dir):
-        _synth.write_clips_parquet(spark, clips_dir, 2000, n_files=4)
     res = _sintp.interp_stream(
-        _src.clips_stream(spark, clips_dir), 60, watermark_sec=10, method="linear"
+        _entry_clip_stream(spark), 60, watermark_sec=10, method="linear"
     )
-    q = (
-        res.writeStream.format("memory")
-        .queryName("entry_stream_interp")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table("entry_stream_interp")
+    return _run_entry_stream(res, "entry_stream_interp")
 
 
 def _entry_clip_stream(spark):

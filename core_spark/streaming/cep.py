@@ -100,7 +100,6 @@ def clip_correction_events(clips: DataFrame, corrections: DataFrame) -> DataFram
 
 
 def _make_funnel_fn(within_sec: int):
-    within_ms = within_sec * 1000
 
     def _emit(key: str, a_ms: int, b_ms: int | None) -> dict[str, Any]:
         return {
@@ -113,6 +112,17 @@ def _make_funnel_fn(within_sec: int):
             "matched": b_ms is not None,
         }
 
+    # The batch oracle's horizon is floored-seconds arithmetic
+    # (unix_timestamp(b) - unix_timestamp(a) <= within, operators/cep.py):
+    # B matches A iff it is strictly later in ms AND its floored-second lag
+    # fits. An A's horizon therefore closes only once no future B can
+    # satisfy the SECONDS test: b_s <= a_s + within  <=>  b_ms < horizon.
+    def _horizon_ms(a_ms: int) -> int:
+        return (a_ms // 1000 + within_sec + 1) * 1000
+
+    def _matches(a_ms: int, b_ms: int) -> bool:
+        return b_ms > a_ms and b_ms // 1000 - a_ms // 1000 <= within_sec
+
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -122,13 +132,13 @@ def _make_funnel_fn(within_sec: int):
                 return
             (pending,) = tuple(state.get)
             wm = state.getCurrentWatermarkMs()
-            closed = [a for a in pending if a + within_ms < wm]
-            still = [a for a in pending if a + within_ms >= wm]
+            closed = [a for a in pending if _horizon_ms(a) <= wm]
+            still = [a for a in pending if _horizon_ms(a) > wm]
             if closed:
                 yield pd.DataFrame([_emit(k, a, None) for a in closed])
             if still:
                 state.update((still,))
-                state.setTimeoutTimestamp(max(min(still) + within_ms + 1, wm + 1))
+                state.setTimeoutTimestamp(max(_horizon_ms(min(still)), wm + 1))
             else:
                 state.remove()
             return
@@ -146,19 +156,21 @@ def _make_funnel_fn(within_sec: int):
         out: list[dict[str, Any]] = []
         for t, a_flag in zip(ts_ms.tolist(), is_a.tolist()):
             if a_flag:
-                if len(pending) < _MAX_PENDING:
+                # duplicate A at one (key, ts) — e.g. at-least-once
+                # redelivery — collapses, matching the batch dedup
+                if t not in pending and len(pending) < _MAX_PENDING:
                     pending.append(t)
             else:
-                hit = [a for a in pending if 0 < t - a <= within_ms]
+                hit = [a for a in pending if _matches(a, t)]
                 if hit:
                     out.extend(_emit(k, a, t) for a in hit)
-                    pending = [a for a in pending if not (0 < t - a <= within_ms)]
+                    pending = [a for a in pending if not _matches(a, t)]
         if out:
             yield pd.DataFrame(out)
         if pending:
             state.update((pending,))
             wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(min(pending) + within_ms + 1, wm + 1))
+            state.setTimeoutTimestamp(max(_horizon_ms(min(pending)), wm + 1))
         elif state.exists:
             state.remove()
 
@@ -176,7 +188,15 @@ def funnel_stream(
     Emits matched pairs as soon as the B side arrives and absence rows when
     the watermark closes an A's horizon. Batch frames run the same union
     through the batch operator semantics (``operators/cep.followed_by``) —
-    that equivalence is the operator's correctness oracle.
+    that equivalence is the operator's correctness oracle for in-order
+    streams. One documented divergence: if two candidate Bs for one A are
+    REORDERED ACROSS micro-batches (the later-timestamped B committed in an
+    earlier batch, both within the watermark), the stream matches the B it
+    saw first, while the batch oracle picks the earlier timestamp —
+    resolving that would mean buffering every match until the watermark
+    passes it; the engine favors emission latency, like its stream-stream
+    join. Within a micro-batch, rows are time-sorted, so ordinary
+    bounded-disorder ingest is unaffected.
     """
     events = clip_correction_events(clips, corrections)
     if not clips.isStreaming:
@@ -239,7 +259,7 @@ def tws_funnel(
         TimestampType,
     )
 
-    within_ms = within_sec * 1000
+
     out_schema = StructType(
         [
             StructField("clip_id", StringType()),
@@ -255,6 +275,10 @@ def tws_funnel(
             self.pending = handle.getListState("pending_a", "a_ms long")
             self.handle = handle
 
+        def _horizon(self, a_ms):
+            # same floored-seconds horizon as the applyInPandasWithState path
+            return (a_ms // 1000 + within_sec + 1) * 1000
+
         def handleInputRows(self, key, rows, timerValues):
             k = key[0]
             pend = [r[0] for r in self.pending.get()]
@@ -266,19 +290,21 @@ def tws_funnel(
                     pdf["is_a"].tolist(),
                 ):
                     if a_flag:
-                        pend.append(t)
+                        if t not in pend:
+                            pend.append(t)
                     else:
-                        hit = [a for a in pend if 0 < t - a <= within_ms]
+                        ok = lambda a: t > a and t // 1000 - a // 1000 <= within_sec
+                        hit = [a for a in pend if ok(a)]
                         out.extend(
                             (k, pd.Timestamp(a, unit="ms"), pd.Timestamp(t, unit="ms"),
                              t // 1000 - a // 1000, True)
                             for a in hit
                         )
-                        pend = [a for a in pend if not (0 < t - a <= within_ms)]
+                        pend = [a for a in pend if not ok(a)]
             self.pending.clear()
             if pend:
                 self.pending.appendList([(a,) for a in pend])
-                self.handle.registerTimer(min(pend) + within_ms + 1)
+                self.handle.registerTimer(self._horizon(min(pend)))
             if out:
                 yield pd.DataFrame(
                     out, columns=["clip_id", "a_ts", "b_ts", "lag_sec", "matched"]
@@ -288,12 +314,12 @@ def tws_funnel(
             k = key[0]
             wm = timerValues.getCurrentWatermarkInMs()
             pend = [r[0] for r in self.pending.get()]
-            closed = [a for a in pend if a + within_ms < wm]
-            still = [a for a in pend if a + within_ms >= wm]
+            closed = [a for a in pend if self._horizon(a) <= wm]
+            still = [a for a in pend if self._horizon(a) > wm]
             self.pending.clear()
             if still:
                 self.pending.appendList([(a,) for a in still])
-                self.handle.registerTimer(min(still) + within_ms + 1)
+                self.handle.registerTimer(self._horizon(min(still)))
             if closed:
                 yield pd.DataFrame(
                     [(k, pd.Timestamp(a, unit="ms"), None, None, False) for a in closed],

@@ -209,10 +209,15 @@ def make_twa_fn(every: int, grace_sec: int, step: bool):
 
         last_s, last_v, open_b = load()
         if last_s is not None:
-            # out-of-order rows behind the carried observation fold forward:
-            # clamp to last_s (their mass within the watermark was already
-            # integrated when they were on the frontier)
-            t_all = np.concatenate(([last_s], np.maximum(t_s, last_s)))
+            # rows at/behind the carried frontier observation are DROPPED:
+            # the series up to last_s is already integrated, and folding an
+            # old row in (e.g. by clamping its timestamp forward) would
+            # corrupt the frontier value that anchors the next segment.
+            # In-order ingest never hits this; cross-batch disorder within
+            # the watermark loses only the dropped row's own contribution.
+            ahead = t_s > last_s
+            t_s, v = t_s[ahead], v[ahead]
+            t_all = np.concatenate(([last_s], t_s))
             v_all = np.concatenate(([last_v], v))
         else:
             t_all, v_all = t_s, v

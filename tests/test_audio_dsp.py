@@ -225,3 +225,45 @@ def test_vad_on_synth_clips(spark):
         assert r["v"]["speech_ratio"] >= 0.9
         assert r["v"]["n_segments"] == 1
         assert r["v"]["lead_silence_ms"] == 0
+
+
+def test_udfs_survive_null_and_invalid_rows(spark):
+    # null payload / null sr / zero sr must degrade per-row, never kill the
+    # Arrow batch (hardened-null contract of functions/audio.py)
+    good = bytes(pcm16_encode(sine(440, 8000, 100)))
+    rows = [
+        ("a", good, 8000, 100, "pcm16", "w", synth.BASE_TS),
+        ("b", None, 8000, 100, "pcm16", "w", synth.BASE_TS),
+        ("c", good, None, 100, "pcm16", "w", synth.BASE_TS),
+        ("d", b"", 0, 100, "pcm16", "w", synth.BASE_TS),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="clip_id string, bytes binary, sr_hz int, dur_ms int, "
+               "codec string, transcript string, ingest_ts timestamp",
+    )
+    out = df.select(
+        "clip_id",
+        dsp.audio_vad("bytes", "codec", "sr_hz").alias("v"),
+        dsp.audio_logmel("bytes", "codec", "sr_hz").alias("emb"),
+        dsp.audio_fingerprint("bytes", "codec", "sr_hz").alias("fp"),
+        dsp.audio_resample_pcm16("bytes", "codec", "sr_hz",
+                                 F.lit(16000).cast("int")).alias("rs"),
+    ).collect()
+    by_id = {r["clip_id"]: r for r in out}
+    assert by_id["a"]["v"]["speech_ratio"] > 0.9 and by_id["a"]["rs"] is not None
+    for bad in ("b", "c", "d"):
+        assert by_id[bad]["v"]["speech_ratio"] == 0.0
+        assert by_id[bad]["v"]["n_segments"] == 0
+    assert by_id["b"]["emb"] is None and by_id["b"]["fp"] is None
+    assert by_id["b"]["rs"] is None and by_id["c"]["rs"] is None
+    assert by_id["d"]["rs"] is None  # sr=0 is invalid even with bytes
+
+
+def test_speech_ratio_bounded_for_awkward_rates():
+    # sr where frame size floors (999*20//1000 = 19 samples): nominal-ms
+    # accounting would give ratio > 1; sample-accurate accounting cannot
+    x = sine(440, 999, 1000, amp=0.5)
+    segs = dsp.vad_segments(x, 999)
+    speech = sum(e - s for s, e in segs)
+    assert speech <= len(x) * 1000 // 999

@@ -251,3 +251,65 @@ def test_tws_gate(spark, cep_dirs):
     # environment has protobuf: the TWS plan must at least construct
     res = scep.tws_funnel(clips, corr)
     assert res.isStreaming
+
+
+def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
+    # pending-A state written in run 1 must match B rows that only arrive
+    # after a restart from checkpoint (the CEP analog of the sink's
+    # kill/resume test) — proves applyInPandasWithState state + timers are
+    # checkpoint-durable, not batch-local
+    import os
+
+    clips_dir = str(tmp_path / "clips")
+    corr_dir = str(tmp_path / "corr")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(corr_dir)
+
+    ids = [f"aw-{i:08d}" for i in range(10)]
+    pdf = synth.make_clips_pdf(10)
+    pdf["clip_id"] = ids
+    pdf["ingest_ts"] = [t(i) for i in range(10)]
+    spark.createDataFrame(pdf, schema=synth.CLIPS_SCHEMA).coalesce(1).write.parquet(
+        clips_dir
+    )
+
+    def run():
+        res = scep.funnel_stream(
+            src.clips_stream(spark, clips_dir),
+            src.corrections_stream(spark, corr_dir),
+            within_sec=60,
+            watermark_sec=5,
+        )
+        q = (
+            res.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # run 1: only A events -> nothing matched, state = 10 pending
+    got1 = spark.read.schema(scep.OUTPUT_SCHEMA).parquet(out_dir)
+    assert got1.count() == 0
+
+    # corrections for 6 of the clips arrive AFTER the restart, still inside
+    # each clip's 60s horizon
+    corr = pd.DataFrame(
+        {
+            "clip_id": ids[:6],
+            "corrected_transcript": ["fix"] * 6,
+            "correction_ts": [t(i + 10) for i in range(6)],
+        }
+    )
+    spark.createDataFrame(corr, schema=synth.CORRECTIONS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(corr_dir)
+    run()  # run 2: resumes from checkpoint, matches against restored state
+
+    got2 = spark.read.schema(scep.OUTPUT_SCHEMA).parquet(out_dir).toPandas()
+    m = got2[got2["matched"]]
+    assert sorted(m["clip_id"]) == sorted(ids[:6])
+    assert (m["lag_sec"] == 10).all()

@@ -268,3 +268,70 @@ def test_stream_drops_subwatermark_rows(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("t_twa_dropped").toPandas()
     assert len(got) == 0  # one surviving observation -> no segment at all
+
+
+class MockState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self._wm = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout = ms
+
+
+def test_out_of_order_row_cannot_corrupt_frontier():
+    # an old row arriving after the frontier must be dropped, not spliced
+    # in: splicing would both poison the segment value and overwrite the
+    # carried last observation
+    E = int(BASE.timestamp())
+    fn = stwa.make_twa_fn(60, 10, False)
+    st = MockState()
+
+    def batch(specs, wm_s):
+        st._wm = (E + wm_s) * 1000
+        st.hasTimedOut = False
+        pdf = pd.DataFrame(
+            {
+                "prefix": ["aw"] * len(specs),
+                "ingest_ts": pd.to_datetime([(E + s) * 10**9 for s, _ in specs]),
+                "energy": [v for _, v in specs],
+            }
+        )
+        out = list(fn(("aw",), iter([pdf]), st))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    batch([(0, 2.0), (100, 4.0)], wm_s=0)
+    # old row (t=90, v=999) is behind the frontier (100) -> dropped; the
+    # 100->160 segment must anchor at v=4.0
+    batch([(90, 999.0), (160, 6.0)], wm_s=50)
+    st.hasTimedOut = True
+    st._wm = (E + 500) * 1000
+    out = list(fn(("aw",), iter([]), st))
+    got = pd.concat(out, ignore_index=True)
+    got = got.set_index("event_time")
+    t1 = pd.Timestamp(BASE) + pd.Timedelta(seconds=60)
+    # bucket [60,120): [60,100) on the 2->4 line (3.2 -> 4.0, mean 3.6),
+    # [100,120) on the 4->6 line (4.0 -> 4.6667, mean 4.3333)
+    v = got.loc[t1, "value"]
+    expected = ((3.2 + 4.0) / 2 * 40 + (4.0 + 4.0 + 2 * 20 / 60) / 2 * 20) / 60
+    assert v == pytest.approx(expected, abs=1e-5)
+    # with the old clamping behavior the segment would have anchored at 999
+    assert v < 10
