@@ -111,3 +111,153 @@ def test_bucket_math_consistency(epoch, every):
     assert b % every == 0
     assert b <= epoch < b + every
     assert (b // every) * every == b
+
+
+# ------------------------------------------------------- TWA integration
+
+from core_spark.streaming.twa import integrate_segments
+
+series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),
+        st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=60,
+).map(lambda xs: sorted({t: v for t, v in xs}.items()))
+
+
+@settings(max_examples=80, deadline=None)
+@given(series, st.sampled_from([7, 60, 137]))
+def test_integrate_conserves_mass_and_time(sv, every):
+    if len(sv) < 2:
+        return
+    t = np.array([a for a, _ in sv])
+    v = np.array([b for _, b in sv])
+    b, tw, dt = integrate_segments(t, v, every, step=False)
+    # time conservation: good seconds == total observed span (scaled 1e3)
+    assert dt.sum() == (t[-1] - t[0]) * 1000
+    # mass conservation: bucket integrals sum to the whole-series trapezoid
+    # (each sub-segment rounds to 1e-6, so error <= n_subs * 5e-7)
+    whole = float(np.sum((v[:-1] + v[1:]) / 2.0 * np.diff(t)))
+    n_subs = len(t) + len(b)
+    assert abs(tw.sum() / 1e6 - whole) <= n_subs * 5e-7 + 1e-9
+
+
+@settings(max_examples=80, deadline=None)
+@given(series, st.sampled_from([60, 137]))
+def test_integrate_split_invariance(sv, every):
+    # integrating the series in two halves that share the midpoint
+    # observation equals integrating it whole — the exact property the
+    # streaming operator relies on when it carries the last observation
+    # across micro-batches
+    if len(sv) < 3:
+        return
+    t = np.array([a for a, _ in sv])
+    v = np.array([b for _, b in sv])
+    mid = len(t) // 2
+    whole = integrate_segments(t, v, every, step=False)
+    left = integrate_segments(t[: mid + 1], v[: mid + 1], every, step=False)
+    right = integrate_segments(t[mid:], v[mid:], every, step=False)
+    merged: dict[int, tuple[int, int]] = {}
+    for part in (left, right):
+        for bb, ww, dd in zip(part[0].tolist(), part[1].tolist(), part[2].tolist()):
+            w0, d0 = merged.get(bb, (0, 0))
+            merged[bb] = (w0 + ww, d0 + dd)
+    got = {b: (w, d) for b, w, d in zip(whole[0].tolist(), whole[1].tolist(), whole[2].tolist())}
+    assert merged == got
+
+
+# ----------------------------------------------------------- CEP funnel
+
+from core_spark.streaming.cep import _make_funnel_fn
+
+
+class _MockState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self._wm = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms):
+        pass
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500_000),  # ms
+        st.booleans(),  # is_a
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _brute_force_matches(evs, within_sec):
+    """Batch semantics: each distinct A matches the earliest strictly-later
+    B with floored-second lag <= within."""
+    a_ts = sorted({t for t, is_a in evs if is_a})
+    b_ts = sorted({t for t, is_a in evs if not is_a})
+    out = {}
+    for a in a_ts:
+        cands = [b for b in b_ts if b > a and b // 1000 - a // 1000 <= within_sec]
+        out[a] = min(cands) if cands else None
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(events_strategy, st.sampled_from([1, 5, 60]), st.integers(1, 5))
+def test_funnel_fn_matches_brute_force_any_batching(evs, within, n_batches):
+    import pandas as pd
+
+    evs = sorted(evs)  # in-order stream (the documented parity domain)
+    fn = _make_funnel_fn(within)
+    st_ = _MockState()
+    outs = []
+    # split the in-order stream into arbitrary consecutive micro-batches
+    size = max(1, len(evs) // n_batches)
+    for i in range(0, len(evs), size):
+        chunk = evs[i : i + size]
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t * 10**6 for t, _ in chunk]),
+                "is_a": [a for _, a in chunk],
+            }
+        )
+        outs.extend(list(fn(("k",), iter([pdf]), st_)))
+        st_._wm = max(st_._wm, chunk[-1][0])  # watermark trails the max ts
+    # close everything: watermark far in the future fires the timer
+    st_.hasTimedOut = True
+    st_._wm = 10**12
+    outs.extend(list(fn(("k",), iter([]), st_)))
+
+    import pandas as pd
+
+    got = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+        columns=["clip_id", "a_ts", "b_ts", "lag_sec", "matched"]
+    )
+    expected = _brute_force_matches(evs, within)
+    got_map = {
+        int(r["a_ts"].value // 10**6): (int(r["b_ts"].value // 10**6) if r["matched"] else None)
+        for _, r in got.iterrows()
+    }
+    assert got_map == expected
+    # every A emitted exactly once
+    assert not got.duplicated(subset=["a_ts"]).any()
