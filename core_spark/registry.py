@@ -1461,6 +1461,26 @@ def q_dedup_audio_fingerprint(spark, sf_dir):
     )
 
 
+def q_audio_logmel_topk(spark, sf_dir):
+    """Audio similarity search: log-mel clip embeddings
+    (functions/audio_dsp.audio_logmel) fed through the SAME ANN surface the
+    text embeddings use (operators/similarity.brute_force_topk) — the
+    multimodal bridge: one embedding contract, any payload. Rows-only
+    (embeddings come from the DSP UDF); neighbor-frequency invariant in
+    tests/test_audio_dsp.py."""
+    from . import synth
+    from .functions import audio_dsp as adsp
+    from .operators import similarity as sim
+
+    clips = synth.clips_df(spark, 300)
+    emb = clips.select(
+        F.col("clip_id").alias("vec_id"),
+        adsp.audio_logmel("bytes", "codec", "sr_hz").alias("embedding"),
+    )
+    qids = [r[0] for r in emb.orderBy("vec_id").limit(3).collect()]
+    return sim.brute_force_topk(emb, qids, k=5, id_col="vec_id", vec_col="embedding")
+
+
 def q_audio_window_energy(spark, sf_dir):
     from . import synth
 
@@ -2841,6 +2861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_vad_stats": q_audio_vad_stats,
     "audio_resample_norm": q_audio_resample_norm,
     "dedup_audio_fingerprint": q_dedup_audio_fingerprint,
+    "audio_logmel_topk": q_audio_logmel_topk,
     "stream_tumbling_energy": q_stream_tumbling_energy,
     "stream_sessionize": q_stream_sessionize,
     "dq_normalize_minmax": q_dq_normalize_minmax,

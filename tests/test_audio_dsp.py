@@ -267,3 +267,24 @@ def test_speech_ratio_bounded_for_awkward_rates():
     segs = dsp.vad_segments(x, 999)
     speech = sum(e - s for s, e in segs)
     assert speech <= len(x) * 1000 // 999
+
+
+def test_logmel_topk_neighbors_share_frequency(spark):
+    # synth clip i is a pure sine at 110*(1 + i%8) Hz: a clip's nearest
+    # log-mel neighbors must share its frequency class (the embedding is
+    # dominated by the active mel band)
+    from core_spark import registry
+
+    out = registry.q_audio_logmel_topk(spark, "x").collect()
+    assert len(out) > 0
+
+    def freq_class(clip_id):
+        return int(clip_id.split("-")[1]) % 8
+
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        top = rows[0]
+        assert freq_class(top["vec_id"]) == freq_class(q), (q, top)
