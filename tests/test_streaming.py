@@ -416,3 +416,51 @@ def test_circular_avg_windows_stream_matches_batch(spark, clips_dir):
 
     for c in ["circ_avg", "r_len"]:
         assert np.allclose(got[c], ref[c], atol=1e-9)
+
+
+def test_summary_windows_stream_matches_batch(spark, clips_dir):
+    stream = src.clips_stream(spark, clips_dir)
+    got = _sorted_pdf(
+        _run_to_memory(sw.summary_windows(stream, 60), "t_summary_win"),
+        ["window_start", "prefix"],
+    )
+    ref = _sorted_pdf(
+        sw.summary_windows(src.clips_batch(spark, clips_dir), 60),
+        ["window_start", "prefix"],
+    )
+    import numpy as np
+
+    assert len(got) == len(ref) and len(got) > 0
+    for c in ["n_clips", "avg_energy", "min_energy", "max_energy",
+              "stddev_energy", "sum_energy", "var_energy"]:
+        a = got[c].to_numpy(dtype=float)
+        b = ref[c].to_numpy(dtype=float)
+        mask = ~(np.isnan(a) & np.isnan(b))
+        assert np.allclose(a[mask], b[mask], atol=1e-9), c
+    # variance == stddev^2 where defined
+    s, v = got["stddev_energy"].to_numpy(float), got["var_energy"].to_numpy(float)
+    m = ~np.isnan(s)
+    assert np.allclose(s[m] ** 2, v[m], rtol=1e-9)
+
+
+def test_enrich_with_codec_dim(spark, clips_dir):
+    # stream-static broadcast join: every clip row gains its codec params
+    stream = src.clips_stream(spark, clips_dir)
+    out = sw.enrich_with_codec_dim(stream).select(
+        "clip_id", "codec", "bits_per_sample", "compression_ratio"
+    )
+    got = _run_to_memory(out, "t_codec_dim", mode="append").toPandas()
+    assert len(got) == N
+    assert (got.loc[got["codec"] == "pcm16", "bits_per_sample"] == 16).all()
+    assert (got.loc[got["codec"] == "ulaw", "bits_per_sample"] == 8).all()
+    assert not got["bits_per_sample"].isna().any()
+    # batch plan shape: the dimension must broadcast, never sort-merge
+    import io
+    from contextlib import redirect_stdout
+
+    batch = sw.enrich_with_codec_dim(src.clips_batch(spark, clips_dir))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        batch.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
