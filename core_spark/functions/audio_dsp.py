@@ -281,7 +281,7 @@ def audio_resample_pcm16(data: pd.Series, codec: pd.Series, sr_hz: pd.Series,
     for b, c, sr, o in zip(data.to_numpy(), codec.to_numpy(),
                            sr_hz.to_numpy(), out_sr.to_numpy()):
         s, t = _safe_sr(sr), _safe_sr(o)
-        if b is None or s is None or t is None:
+        if b is None or c is None or s is None or t is None:
             out.append(None)
             continue
         out.append(pcm16_encode(resample_sinc(_decode_one(b, c), s, t)))
@@ -307,7 +307,7 @@ def audio_vad(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFra
     rows = []
     for b, c, sr in zip(data.to_numpy(), codec.to_numpy(), sr_hz.to_numpy()):
         s = _safe_sr(sr)
-        x = _decode_one(b, c) if s is not None else None
+        x = _decode_one(b, c) if (s is not None and c is not None) else None
         if x is None or len(x) == 0:
             rows.append((0, 0, 0.0, 0, 0))
             continue
@@ -330,7 +330,7 @@ def audio_logmel(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Seri
     out = []
     for b, c, sr in zip(data.to_numpy(), codec.to_numpy(), sr_hz.to_numpy()):
         s = _safe_sr(sr)
-        if b is None or s is None:
+        if b is None or c is None or s is None:
             out.append(None)
             continue
         out.append(logmel_embedding(_decode_one(b, c), s).tolist())
@@ -347,7 +347,7 @@ def audio_fingerprint(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd
     out = []
     for b, c, sr in zip(data.to_numpy(), codec.to_numpy(), sr_hz.to_numpy()):
         s = _safe_sr(sr)
-        if b is None or s is None:
+        if b is None or c is None or s is None:
             out.append(None)
             continue
         out.append(fingerprint(_decode_one(b, c), s))

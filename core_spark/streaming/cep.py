@@ -63,7 +63,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "clip_id string, a_ts timestamp, b_ts timestamp, lag_sec long, matched boolean"
 )
-STATE_SCHEMA = "pending array<long>"  # epoch-ms of not-yet-matched A events
+# pending: epoch-ms of not-yet-matched A events; done: A's already emitted
+# (matched or absence) whose timestamp the watermark has not yet passed —
+# an at-least-once redelivery of such an A must not re-enter the pattern
+# (once the watermark passes it, the engine's late-row filter drops the
+# redelivery itself, so done is pruned to a >= wm).
+STATE_SCHEMA = "pending array<long>, done array<long>"
 _MAX_PENDING = 10_000  # cap state for a pathological key stuck ahead of the watermark
 
 
@@ -127,50 +132,61 @@ def _make_funnel_fn(within_sec: int):
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         k = key[0]
-        if state.hasTimedOut:
-            if not state.exists:
-                return
-            (pending,) = tuple(state.get)
-            wm = state.getCurrentWatermarkMs()
-            closed = [a for a in pending if _horizon_ms(a) <= wm]
-            still = [a for a in pending if _horizon_ms(a) > wm]
-            if closed:
-                yield pd.DataFrame([_emit(k, a, None) for a in closed])
-            if still:
-                state.update((still,))
-                state.setTimeoutTimestamp(max(_horizon_ms(min(still)), wm + 1))
-            else:
-                state.remove()
-            return
-
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        if rows.empty:
-            return
-        # B before A at equal ts => "followed by" is strictly-after, the
-        # exact tie rule of the batch operator's (ts, s) sort.
-        rows = rows.sort_values(["ts", "is_a"], kind="stable")
-        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
-        is_a = rows["is_a"].to_numpy(dtype=bool)
-
-        pending: list[int] = list(tuple(state.get)[0]) if state.exists else []
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            pending, done = (list(x) for x in tuple(state.get))
+        else:
+            pending, done = [], []
         out: list[dict[str, Any]] = []
-        for t, a_flag in zip(ts_ms.tolist(), is_a.tolist()):
-            if a_flag:
-                # duplicate A at one (key, ts) — e.g. at-least-once
-                # redelivery — collapses, matching the batch dedup
-                if t not in pending and len(pending) < _MAX_PENDING:
-                    pending.append(t)
-            else:
-                hit = [a for a in pending if _matches(a, t)]
-                if hit:
-                    out.extend(_emit(k, a, t) for a in hit)
-                    pending = [a for a in pending if not _matches(a, t)]
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if not rows.empty:
+                # B before A at equal ts => "followed by" is strictly-after,
+                # the exact tie rule of the batch operator's (ts, s) sort.
+                rows = rows.sort_values(["ts", "is_a"], kind="stable")
+                ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+                is_a = rows["is_a"].to_numpy(dtype=bool)
+                for t, a_flag in zip(ts_ms.tolist(), is_a.tolist()):
+                    if a_flag:
+                        # duplicate A at one (key, ts) — at-least-once
+                        # redelivery — collapses even after the original was
+                        # matched/closed (done), matching the batch dedup
+                        if (
+                            t not in pending
+                            and t not in done
+                            and len(pending) < _MAX_PENDING
+                        ):
+                            pending.append(t)
+                    else:
+                        hit = [a for a in pending if _matches(a, t)]
+                        if hit:
+                            out.extend(_emit(k, a, t) for a in hit)
+                            done.extend(hit)
+                            pending = [a for a in pending if not _matches(a, t)]
+
+        # close expired horizons INLINE as well as on timer: a key with
+        # continuous traffic would otherwise never fire its event-time
+        # timeout (timers only fire on batches where the key has no data)
+        # and its absence alerts would starve behind live state
+        closed = [a for a in pending if _horizon_ms(a) <= wm]
+        if closed:
+            out.extend(_emit(k, a, None) for a in closed)
+            done.extend(closed)
+            pending = [a for a in pending if _horizon_ms(a) > wm]
+        # a redelivery below the watermark is dropped by the engine itself
+        done = [a for a in done if a >= wm]
+
         if out:
             yield pd.DataFrame(out)
-        if pending:
-            state.update((pending,))
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(_horizon_ms(min(pending)), wm + 1))
+        if pending or done:
+            state.update((pending, done))
+            if pending:
+                state.setTimeoutTimestamp(max(_horizon_ms(min(pending)), wm + 1))
+            else:
+                # no pattern state left — wake once the watermark passes the
+                # last done entry so the key's state is garbage-collected
+                state.setTimeoutTimestamp(max(max(done) + 1, wm + 1))
         elif state.exists:
             state.remove()
 

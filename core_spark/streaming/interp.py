@@ -37,9 +37,10 @@ partial-sum order (batch shuffles, streaming accumulates per micro-batch);
 tests compare at 1e-6 — every other term in the pipeline (the fill
 formula, HALF_UP rounding) is expression-identical.
 
-State per key: last non-empty (bucket, value), pending empty bucket list,
-open-bucket (sum, count) partials — all bounded by the key's gap profile,
-capped. Vectorized per micro-batch (one np.add.at per group), north rule.
+State per key: last non-empty (bucket, value), the last emitted bucket
+(``filled_to`` — gap buckets are DERIVED from it, never stored), and
+open-bucket (sum, count) partials. Fill emission is bounded per gap /
+per invocation (_MAX_FILL). Vectorized per micro-batch, north rule.
 """
 
 from __future__ import annotations
@@ -56,10 +57,17 @@ from .windows import clip_features
 
 OUTPUT_SCHEMA = "prefix string, event_time timestamp, value double, filled boolean"
 STATE_SCHEMA = (
-    "last_b long, last_v double, pend array<long>, "
+    "last_b long, last_v double, filled_to long, "
     "ob array<long>, osum array<double>, ocnt array<long>"
 )
-_MAX_PEND = 100_000
+# Gap buckets are DERIVED from (filled_to, next bucket) — never materialized
+# as state — so a year-long outage costs 16 bytes, not a 31M-entry list.
+# _MAX_FILL bounds emitted fill rows: linear backfills at most this many
+# buckets per gap (older ones are skipped — a bounded-backfill policy, the
+# streaming analog of the batch verb's [start, end) range bound); ffill
+# drains at most this many per invocation and resumes via timer, so long
+# outages emit progressively with no holes and no per-batch blowup.
+_MAX_FILL = 10_000
 
 
 def _rows(prefix, items):
@@ -86,13 +94,13 @@ def make_interp_fn(every: int, method: str):
 
         def load():
             if state.exists:
-                last_b, last_v, pend, ob, osum, ocnt = tuple(state.get)
-                return last_b, last_v, list(pend), {
+                last_b, last_v, filled_to, ob, osum, ocnt = tuple(state.get)
+                return last_b, last_v, filled_to, {
                     b: (s, c) for b, s, c in zip(ob, osum, ocnt)
                 }
-            return None, None, [], {}
+            return None, None, None, {}
 
-        last_b, last_v, pend, open_b = load()
+        last_b, last_v, filled_to, open_b = load()
         out: list[tuple[int, float | None, bool]] = []
 
         if not state.hasTimedOut:
@@ -110,52 +118,45 @@ def make_interp_fn(every: int, method: str):
                     os_, oc_ = open_b.get(bb, (0.0, 0))
                     open_b[bb] = (os_ + ss, oc_ + cc)
 
-        # close every bucket the watermark has passed — including buckets
-        # that never saw a row (they materialize from the gap between the
-        # last closed bucket and the next open/pending one)
         wm_s = state.getCurrentWatermarkMs() // 1000
         closable = sorted(b for b in open_b if b + every <= wm_s)
-        # also materialize empty buckets up to the closing frontier
-        frontier = wm_s // every * every  # first still-open bucket start
-        horizon_src = [b for b in ([last_b] if last_b is not None else []) + pend]
-        lo = max(horizon_src) + every if horizon_src else None
-        if closable:
-            lo = min(closable[0], lo) if lo is not None else closable[0]
-        if lo is not None:
-            gaps = [b for b in range(lo, frontier, every) if b not in open_b]
-            pend_new = sorted(set(pend) | set(gaps))
-        else:
-            pend_new = list(pend)
-        pend = pend_new[:_MAX_PEND]
 
         for b in closable:
             s, c = open_b.pop(b)
             cur_v = _round6(s / c)
-            # decide every pending empty bucket older than this one
-            ready = [p for p in pend if p < b]
-            pend = [p for p in pend if p >= b]
-            for p in ready:
-                if last_b is None:
-                    out.append((p, None, True))  # leading empties: NULL
-                elif method == "ffill":
-                    out.append((p, last_v, True))
-                else:
-                    t, pt, nt = float(p), float(last_b), float(b)
-                    out.append(
-                        (p, _round6(last_v + (cur_v - last_v) * (t - pt) / (nt - pt)), True)
-                    )
+            if filled_to is not None:
+                # gap buckets strictly between the last emitted bucket and
+                # this one, derived arithmetically; bounded backfill keeps
+                # a pathological gap from emitting millions of rows
+                gap_lo = filled_to + every
+                n_gap = (b - gap_lo) // every
+                start = gap_lo if n_gap <= _MAX_FILL else b - _MAX_FILL * every
+                for p in range(start, b, every):
+                    if method == "ffill":
+                        out.append((p, last_v, True))
+                    else:
+                        t, pt, nt = float(p), float(last_b), float(b)
+                        out.append(
+                            (p, _round6(last_v + (cur_v - last_v) * (t - pt) / (nt - pt)), True)
+                        )
             out.append((b, cur_v, False))
-            last_b, last_v = b, cur_v
-        # ffill needs no future bucket: decide pending empties right away
-        if method == "ffill" and last_b is not None:
-            ready = [p for p in pend if p + every <= wm_s]
-            pend = [p for p in pend if p + every > wm_s]
-            out.extend((p, last_v, True) for p in ready)
+            last_b, last_v, filled_to = b, cur_v, b
+        # ffill needs no future bucket: extend decided fills to the
+        # watermark frontier, at most _MAX_FILL per invocation (the timer
+        # below resumes the drain, so long outages emit progressively)
+        if method == "ffill" and filled_to is not None:
+            n = 0
+            p = filled_to + every
+            while p + every <= wm_s and n < _MAX_FILL:
+                out.append((p, last_v, True))
+                filled_to = p
+                p += every
+                n += 1
 
         if out:
             yield _rows(prefix, out)
 
-        if last_b is None and not pend and not open_b:
+        if last_b is None and not open_b:
             if state.exists:
                 state.remove()
             return
@@ -164,17 +165,17 @@ def make_interp_fn(every: int, method: str):
             (
                 last_b,
                 last_v,
-                pend,
+                filled_to,
                 ob,
                 [open_b[b][0] for b in ob],
                 [open_b[b][1] for b in ob],
             )
         )
-        # wake when the earliest open bucket (or, for ffill, pending empty)
-        # becomes closable
+        # wake when the earliest open bucket closes, or (ffill) when more
+        # frontier fills are drainable
         due = [b + every for b in ob[:1]]
-        if method == "ffill" and pend:
-            due.append(pend[0] + every)
+        if method == "ffill" and filled_to is not None and filled_to + 2 * every <= wm_s:
+            due.append(filled_to + 2 * every)
         if due:
             state.setTimeoutTimestamp(max(min(due) * 1000, (wm_s * 1000) + 1))
 

@@ -170,12 +170,29 @@ def make_twa_fn(every: int, grace_sec: int, step: bool):
             closed = [(b, *open_b.pop(b)) for b in ready]
             return closed
 
+        def flush_overflow(open_b, last_s):
+            """State cap: when a key holds more than _MAX_OPEN open buckets,
+            force-emit the oldest ones early instead of silently dropping
+            their partials. Only buckets wholly behind the frontier
+            observation (b + every <= last_s) are flushed — segments always
+            anchor at last_s, so those buckets can never gain mass and
+            their values are already final; emitting before the grace
+            window merely publishes them sooner."""
+            if len(open_b) <= _MAX_OPEN:
+                return []
+            final = sorted(
+                b for b in open_b
+                if last_s is not None and b + every <= last_s
+            )
+            over = final[: len(open_b) - _MAX_OPEN]
+            return [(b, *open_b.pop(b)) for b in over]
+
         def save(last_s, last_v, open_b, wm_ms):
             if last_s is None and not open_b:
                 if state.exists:
                     state.remove()
                 return
-            bs = sorted(open_b)[:_MAX_OPEN]
+            bs = sorted(open_b)
             state.update(
                 (
                     last_s,
@@ -196,6 +213,9 @@ def make_twa_fn(every: int, grace_sec: int, step: bool):
             closed = close_ready(open_b, wm_ms // 1000)
             if closed:
                 yield _emit(prefix, *zip(*[(b, w, d) for b, w, d in closed]), late=False)
+            over = flush_overflow(open_b, last_s)
+            if over:
+                yield _emit(prefix, *zip(*over), late=False)
             save(last_s, last_v, open_b, wm_ms)
             return
 
@@ -234,12 +254,15 @@ def make_twa_fn(every: int, grace_sec: int, step: bool):
                 ow, od = open_b.get(b, (0, 0))
                 open_b[b] = (ow + w, od + d)
         closed = close_ready(open_b, wm_s)
-        if closed:
-            yield _emit(prefix, *zip(*[(b, w, d) for b, w, d in closed]), late=False)
+        new_last_s = int(t_all[-1]) if len(t_all) else last_s
+        over = flush_overflow(open_b, new_last_s)
+        if closed or over:
+            yield _emit(
+                prefix, *zip(*[(b, w, d) for b, w, d in closed + over]), late=False
+            )
         if late_out:
             yield _emit(prefix, *zip(*late_out), late=True)
-        save(int(t_all[-1]) if len(t_all) else last_s,
-             float(v_all[-1]) if len(v_all) else last_v, open_b, wm_ms)
+        save(new_last_s, float(v_all[-1]) if len(v_all) else last_v, open_b, wm_ms)
 
     return fn
 

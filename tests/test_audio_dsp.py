@@ -236,6 +236,7 @@ def test_udfs_survive_null_and_invalid_rows(spark):
         ("b", None, 8000, 100, "pcm16", "w", synth.BASE_TS),
         ("c", good, None, 100, "pcm16", "w", synth.BASE_TS),
         ("d", b"", 0, 100, "pcm16", "w", synth.BASE_TS),
+        ("e", good, 8000, 100, None, "w", synth.BASE_TS),  # null codec
     ]
     df = spark.createDataFrame(
         rows,
@@ -252,12 +253,14 @@ def test_udfs_survive_null_and_invalid_rows(spark):
     ).collect()
     by_id = {r["clip_id"]: r for r in out}
     assert by_id["a"]["v"]["speech_ratio"] > 0.9 and by_id["a"]["rs"] is not None
-    for bad in ("b", "c", "d"):
+    for bad in ("b", "c", "d", "e"):
         assert by_id[bad]["v"]["speech_ratio"] == 0.0
         assert by_id[bad]["v"]["n_segments"] == 0
     assert by_id["b"]["emb"] is None and by_id["b"]["fp"] is None
     assert by_id["b"]["rs"] is None and by_id["c"]["rs"] is None
     assert by_id["d"]["rs"] is None  # sr=0 is invalid even with bytes
+    assert by_id["e"]["rs"] is None and by_id["e"]["emb"] is None
+    assert by_id["e"]["fp"] is None  # null codec degrades, never raises
 
 
 def test_speech_ratio_bounded_for_awkward_rates():

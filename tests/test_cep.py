@@ -313,3 +313,61 @@ def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
     m = got2[got2["matched"]]
     assert sorted(m["clip_id"]) == sorted(ids[:6])
     assert (m["lag_sec"] == 10).all()
+
+
+def test_funnel_absence_not_starved_by_continuous_traffic():
+    # a key receiving data every batch still gets its absence rows closed
+    # INLINE (event-time timers only fire on batches where the key has no
+    # data — relying on them alone starves the alerting half of CEP)
+    from helpers import MockGroupState
+
+    fn = scep._make_funnel_fn(60)
+    st = MockGroupState()
+
+    def batch(evs, wm_s):
+        st.hasTimedOut = False
+        st._wm = wm_s * 1000
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t_ms * 10**6 for t_ms, _ in evs]),
+                "is_a": [a for _, a in evs],
+            }
+        )
+        out = list(fn(("k",), iter([pdf]), st))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    batch([(0, True)], wm_s=0)  # A@0, never answered
+    # continuous traffic: later As keep arriving every batch; once the
+    # watermark passes A@0's horizon its absence row must appear inline
+    out = batch([(200_000, True)], wm_s=190)
+    u = out[~out["matched"]] if len(out) else out
+    assert len(u) == 1 and u.iloc[0]["a_ts"] == pd.Timestamp(0, unit="ms")
+
+
+def test_funnel_redelivery_after_match_not_reemitted():
+    from helpers import MockGroupState
+
+    fn = scep._make_funnel_fn(60)
+    st = MockGroupState()
+
+    def batch(evs, wm_s):
+        st.hasTimedOut = False
+        st._wm = wm_s * 1000
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t_ms * 10**6 for t_ms, _ in evs]),
+                "is_a": [a for _, a in evs],
+            }
+        )
+        out = list(fn(("k",), iter([pdf]), st))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+
+    out1 = batch([(10_000, True), (20_000, False)], wm_s=0)
+    assert len(out1) == 1 and out1.iloc[0]["matched"]
+    # at-least-once redelivery of the matched A (still >= watermark):
+    # must NOT re-enter the pattern or emit a second row
+    out2 = batch([(10_000, True)], wm_s=5)
+    assert len(out2) == 0
+    # ... and its horizon closing later must not emit an absence row either
+    out3 = batch([(300_000, True)], wm_s=250)
+    assert out3.empty or (out3["a_ts"] != pd.Timestamp(10_000, unit="ms")).all()

@@ -173,31 +173,7 @@ def test_integrate_split_invariance(sv, every):
 from core_spark.streaming.cep import _make_funnel_fn
 
 
-class _MockState:
-    def __init__(self):
-        self._v = None
-        self.hasTimedOut = False
-        self._wm = 0
-
-    @property
-    def exists(self):
-        return self._v is not None
-
-    @property
-    def get(self):
-        return self._v
-
-    def update(self, v):
-        self._v = v
-
-    def remove(self):
-        self._v = None
-
-    def getCurrentWatermarkMs(self):
-        return self._wm
-
-    def setTimeoutTimestamp(self, ms):
-        pass
+from helpers import MockGroupState as _MockState
 
 
 events_strategy = st.lists(

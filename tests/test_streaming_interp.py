@@ -23,31 +23,7 @@ BASE = datetime(2024, 3, 1)
 E = int(BASE.timestamp())
 
 
-class MockState:
-    def __init__(self):
-        self._v = None
-        self.hasTimedOut = False
-        self._wm = 0
-
-    @property
-    def exists(self):
-        return self._v is not None
-
-    @property
-    def get(self):
-        return self._v
-
-    def update(self, v):
-        self._v = v
-
-    def remove(self):
-        self._v = None
-
-    def getCurrentWatermarkMs(self):
-        return self._wm
-
-    def setTimeoutTimestamp(self, ms):
-        self.timeout = ms
+from helpers import MockGroupState as MockState
 
 
 def _batch(specs):
@@ -171,3 +147,31 @@ def test_stream_matches_batch_interpolate_verb(spark, ordered_clips):
         assert r["value"] == pytest.approx(ref_map[k], abs=1.5e-6), k
     # some gap buckets must actually have been filled
     assert got["filled"].any()
+
+
+def test_linear_backfill_capped(monkeypatch):
+    # a pathological gap backfills at most _MAX_FILL buckets (newest first);
+    # older gap buckets are skipped, state stays O(1)
+    monkeypatch.setattr(sintp, "_MAX_FILL", 3)
+    fn = sintp.make_interp_fn(60, "linear")
+    st = MockState()
+    _run(fn, st, _batch([(0, 2.0)]), wm_s=70)
+    out = _run(fn, st, _batch([(1000, 4.0)]), wm_s=1100)
+    t = lambda s: pd.Timestamp(BASE) + pd.Timedelta(seconds=s)
+    filled = out[out["filled"]]
+    # gap buckets 60..900 (15): only the newest 3 (780, 840, 900) fill
+    assert list(filled["event_time"]) == [t(780), t(840), t(900)]
+    assert (out[~out["filled"]]["event_time"] == t(960)).any()
+
+
+def test_ffill_drains_progressively(monkeypatch):
+    monkeypatch.setattr(sintp, "_MAX_FILL", 2)
+    fn = sintp.make_interp_fn(60, "ffill")
+    st = MockState()
+    _run(fn, st, _batch([(0, 2.0)]), wm_s=70)   # closes bucket 0
+    out1 = _run(fn, st, None, wm_s=400, timed_out=True)  # drains 2 fills
+    out2 = _run(fn, st, None, wm_s=400, timed_out=True)  # next 2
+    t = lambda s: pd.Timestamp(BASE) + pd.Timedelta(seconds=s)
+    assert list(out1.loc[out1["filled"], "event_time"]) == [t(60), t(120)]
+    assert list(out2["event_time"]) == [t(180), t(240)]
+    assert st.timeout is not None  # drain resumes via timer

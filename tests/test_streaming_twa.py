@@ -270,31 +270,7 @@ def test_stream_drops_subwatermark_rows(spark, tmp_path):
     assert len(got) == 0  # one surviving observation -> no segment at all
 
 
-class MockState:
-    def __init__(self):
-        self._v = None
-        self.hasTimedOut = False
-        self._wm = 0
-
-    @property
-    def exists(self):
-        return self._v is not None
-
-    @property
-    def get(self):
-        return self._v
-
-    def update(self, v):
-        self._v = v
-
-    def remove(self):
-        self._v = None
-
-    def getCurrentWatermarkMs(self):
-        return self._wm
-
-    def setTimeoutTimestamp(self, ms):
-        self.timeout = ms
+from helpers import MockGroupState as MockState
 
 
 def test_out_of_order_row_cannot_corrupt_frontier():
@@ -335,3 +311,30 @@ def test_out_of_order_row_cannot_corrupt_frontier():
     assert v == pytest.approx(expected, abs=1e-5)
     # with the old clamping behavior the segment would have anchored at 999
     assert v < 10
+
+
+def test_overflow_flushes_oldest_final_buckets(monkeypatch):
+    # state cap: oldest buckets wholly behind the frontier observation are
+    # force-emitted (their mass is final) instead of silently dropped
+    monkeypatch.setattr(stwa, "_MAX_OPEN", 2)
+    E = int(BASE.timestamp())
+    fn = stwa.make_twa_fn(60, 1000, False)  # big grace: nothing closes via wm
+    st = MockState()
+    pdf = pd.DataFrame(
+        {
+            "prefix": ["aw"] * 2,
+            "ingest_ts": pd.to_datetime([(E + 0) * 10**9, (E + 250) * 10**9]),
+            "energy": [2.0, 2.0],
+        }
+    )
+    st._wm = 0
+    out = list(fn(("aw",), iter([pdf]), st))
+    got = pd.concat(out, ignore_index=True)
+    # 5 buckets touched (0..240); cap=2 -> oldest finals flushed, constant
+    # series so every flushed value is exactly 2.0 and mass is preserved
+    assert len(got) >= 2
+    assert (got["value"] == 2.0).all()
+    flushed_sec = got["good_sec"].sum()
+    kept = tuple(st.get)
+    assert flushed_sec + sum(kept[4]) / 1e3 == 250.0  # no mass lost
+    assert len(kept[2]) == 2  # state respects the cap
