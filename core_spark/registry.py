@@ -1733,6 +1733,23 @@ def q_stream_cep_funnel(spark, sf_dir):
     return _run_entry_stream(res, "entry_stream_cep")
 
 
+def q_stream_cep_chain(spark, sf_dir):
+    """Streaming contiguous-chain CEP (streaming/cep.chain_stream): per-key
+    state carries the last n-1 events so chains spanning micro-batch
+    boundaries fire; batch operator parity under arbitrary batch splits in
+    tests/test_cep.py. Rows-only."""
+    from .streaming import cep as _scep
+
+    clips = _entry_clip_stream(spark).withColumn(
+        "prefix", F.substring("clip_id", 1, 2)
+    )
+    res = _scep.chain_stream(
+        clips, "prefix", "ingest_ts",
+        ["codec = 'pcm16'", "codec = 'ulaw'"], within_sec=3600, watermark_sec=5,
+    )
+    return _run_entry_stream(res, "entry_stream_chain")
+
+
 def q_stream_twa(spark, sf_dir):
     """Incremental time-weighted average (streaming/twa.py): stateful
     bucket integration with carried last observation, grace-window closure,
@@ -2849,6 +2866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_cep_funnel": q_ts_cep_funnel,
     "ts_cep_contiguous": q_ts_cep_contiguous,
     "stream_cep_funnel": q_stream_cep_funnel,
+    "stream_cep_chain": q_stream_cep_chain,
     "stream_twa": q_stream_twa,
     "stream_interpolate": q_stream_interpolate,
     "stream_ohlc": q_stream_ohlc,

@@ -354,3 +354,103 @@ def tws_funnel(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+CHAIN_OUTPUT_SCHEMA = (
+    "key string, start_ts timestamp, end_ts timestamp, span_sec long"
+)
+CHAIN_STATE_SCHEMA = "ts array<long>, marks array<int>"
+
+
+def _make_chain_fn(n: int, within_sec: int | None):
+    """Contiguous n-step chain matcher: state = the key's last n-1 events
+    (epoch-ms + marker bitmaps), so chains spanning micro-batch boundaries
+    still fire. Same in-order domain as the funnel (rows sorted per batch;
+    cross-batch reorder within the watermark is the documented divergence)."""
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        if state.hasTimedOut:  # no timers used; defensive
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values("ts", kind="stable")
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+        marks = np.zeros(len(rows), dtype=np.int64)
+        for i in range(n):
+            marks |= rows[f"m{i}"].to_numpy(dtype=np.int64) << i
+
+        if state.exists:
+            p_ts, p_mk = tuple(state.get)
+            ts_all = np.concatenate((np.asarray(p_ts, np.int64), ts_ms))
+            mk_all = np.concatenate((np.asarray(p_mk, np.int64), marks))
+        else:
+            ts_all, mk_all = ts_ms, marks
+
+        # chains fully inside the carried prefix fired last batch — only
+        # rows of THIS batch (i >= n_prev) can end a new chain
+        n_prev = len(ts_all) - len(ts_ms)
+        out = []
+        for i in range(max(n - 1, n_prev), len(ts_all)):
+            if not (mk_all[i] >> (n - 1)) & 1:
+                continue
+            if not all((mk_all[i - (n - 1 - j)] >> j) & 1 for j in range(n - 1)):
+                continue
+            start, end = int(ts_all[i - (n - 1)]), int(ts_all[i])
+            span = end // 1000 - start // 1000
+            if within_sec is not None and span > within_sec:
+                continue
+            out.append(
+                (k, pd.Timestamp(start, unit="ms"), pd.Timestamp(end, unit="ms"), span)
+            )
+        if out:
+            yield pd.DataFrame(out, columns=["key", "start_ts", "end_ts", "span_sec"])
+        keep = min(n - 1, len(ts_all))
+        if keep:
+            state.update((ts_all[-keep:].tolist(), mk_all[-keep:].tolist()))
+
+    return fn
+
+
+def chain_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    preds: list[str],
+    within_sec: int | None = None,
+    watermark_sec: int = 30,
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE-style contiguous chain over any keyed
+    event stream — the streaming twin of ``operators/cep.match_contiguous``
+    (its batch form is the oracle, tests/test_cep.py). Marker predicates
+    evaluate JVM-side (whole-stage codegen) before the stateful operator;
+    per-key state is just the last ``len(preds)-1`` events."""
+    n = len(preds)
+    if n < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    ev = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).alias("ts"),
+        *[F.expr(p).cast("int").alias(f"m{i}") for i, p in enumerate(preds)],
+    )
+    if not df.isStreaming:
+        from ..operators import cep as _cep
+
+        out = _cep.match_contiguous(
+            df.withColumn("__k", F.col(key_col).cast("string")),
+            _cep.CepSpec(key_col="__k", ts_col=ts_col),
+            preds,
+            within_sec,
+        )
+        return out.withColumnRenamed("__k", "key")
+    ev = ev.withWatermark("ts", f"{watermark_sec} seconds")
+    return ev.groupBy("key").applyInPandasWithState(
+        _make_chain_fn(n, within_sec),
+        outputStructType=CHAIN_OUTPUT_SCHEMA,
+        stateStructType=CHAIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -371,3 +371,81 @@ def test_funnel_redelivery_after_match_not_reemitted():
     # ... and its horizon closing later must not emit an absence row either
     out3 = batch([(300_000, True)], wm_s=250)
     assert out3.empty or (out3["a_ts"] != pd.Timestamp(10_000, unit="ms")).all()
+
+
+def _chain_brute(evs, preds_hit, n, within):
+    """Batch semantics over (ts_ms, marks) events: row i ends a chain if the
+    n consecutive rows match the preds in order and the span fits."""
+    out = []
+    for i in range(n - 1, len(evs)):
+        if all(preds_hit[i - (n - 1 - j)][j] for j in range(n)):
+            span = evs[i] // 1000 - evs[i - (n - 1)] // 1000
+            if within is None or span <= within:
+                out.append((evs[i - (n - 1)], evs[i]))
+    return out
+
+
+def test_chain_fn_matches_batch_any_split():
+    from helpers import MockGroupState
+
+    # deterministic event tape: marker pattern cycles; several chain hits
+    n = 3
+    evs = [i * 700 for i in range(40)]  # ms
+    hits = [
+        (i % 3 == 0, i % 3 == 1, i % 3 == 2)  # a,b,c cycle -> chain at every i%3==2
+        for i in range(40)
+    ]
+    expected = _chain_brute(evs, hits, n, within=None)
+    fn = scep._make_chain_fn(n, None)
+    for n_batches in (1, 2, 5, 40):
+        st = MockGroupState()
+        got = []
+        size = max(1, len(evs) // n_batches)
+        for lo in range(0, len(evs), size):
+            chunk = list(range(lo, min(lo + size, len(evs))))
+            pdf = pd.DataFrame(
+                {
+                    "ts": pd.to_datetime([evs[i] * 10**6 for i in chunk]),
+                    **{
+                        f"m{j}": [int(hits[i][j]) for i in chunk]
+                        for j in range(n)
+                    },
+                }
+            )
+            for o in fn(("k",), iter([pdf]), st):
+                got.extend(
+                    (int(r["start_ts"].value // 10**6), int(r["end_ts"].value // 10**6))
+                    for _, r in o.iterrows()
+                )
+        assert got == expected, n_batches
+
+
+def test_chain_stream_on_clip_stream(spark, cep_dirs):
+    clips_dir, _ = cep_dirs
+    preds = ["codec = 'pcm16'", "codec = 'ulaw'"]
+    res2 = scep.chain_stream(
+        src.clips_stream(spark, clips_dir).withColumn(
+            "prefix", F.substring("clip_id", 1, 2)
+        ),
+        "prefix", "ingest_ts", preds, within_sec=3600, watermark_sec=5,
+    )
+    q = (
+        res2.writeStream.format("memory")
+        .queryName("t_cep_chain")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_cep_chain").toPandas()
+    ref = scep.chain_stream(
+        src.clips_batch(spark, clips_dir).withColumn(
+            "prefix", F.substring("clip_id", 1, 2)
+        ),
+        "prefix", "ingest_ts", preds, within_sec=3600,
+    ).toPandas()
+    key = ["key", "start_ts", "end_ts"]
+    g = got.sort_values(key).reset_index(drop=True)
+    r = ref.sort_values(key).reset_index(drop=True)
+    assert len(g) > 0
+    pd.testing.assert_frame_equal(g[key + ["span_sec"]], r[key + ["span_sec"]])
