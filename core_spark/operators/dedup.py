@@ -261,54 +261,6 @@ def _jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, F.round(inter / union, 6)).otherwise(F.lit(0.0))
 
 
-def make_rarity_prefix_udf(threshold: float):
-    """Returns a pandas UDF: sorted-shingle array -> the doc's PREFIX under
-    a global rarity (ascending document-frequency) order, for prefix
-    filtering (Chaudhuri/Ganti/Kaushik SSJoin; Xiao et al. PPJoin).
-
-    Theorem: under ANY global total order, if |a .. b| >= alpha then the
-    prefixes of length |a|-alpha+1 and |b|-alpha+1 share an element. For
-    J >= t, qualifying pairs satisfy min >= t*max and overlap
-    alpha >= ceil(t*|x|) for either side x, so prefix length
-    p(x) = |x| - ceil(t*|x|) + 1 is sound. Rarity order is pure
-    performance: it puts the LONGEST postings (ubiquitous shingles — for
-    char-3-grams the background Jaccard of unrelated docs is ~0.45, so
-    value-ordered prefixes would collide corpus-wide) outside every prefix.
-
-    `rank_of` maps shingle -> rarity rank via two broadcast numpy arrays
-    (vocab keys sorted by value + their ranks); char k-gram vocabulary is
-    bounded (<= 37^k for the [a-z0-9 ] alphabet), so the dictionary
-    broadcast is a few hundred KB even at corpus scale, and the DF counts
-    it ranks by can come from a sample without affecting correctness.
-    """
-
-    def build(keys, ranks):
-        import numpy as np
-
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def _prefix(sh: pd.Series) -> pd.Series:
-            out = []
-            for arr in sh:
-                h = np.asarray(arr, dtype=np.int64)
-                n = len(h)
-                # ceil with downward epsilon: a too-LARGE prefix is safe
-                p = n - int(np.ceil(threshold * n - 1e-9)) + 1
-                p = max(1, min(n, p))
-                idx = np.searchsorted(keys, h)
-                # unseen shingles (sample-based DF) rank as rarest (-1)
-                r = np.where(
-                    (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == h),
-                    ranks[np.minimum(idx, len(keys) - 1)],
-                    -1,
-                )
-                out.append(h[np.argsort(r, kind="stable")[:p]])
-            return pd.Series(out)
-
-        return _prefix
-
-    return build
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -375,27 +327,32 @@ def ngram_jaccard_pairs(
     jac = F.when(union > 0, F.round(i / union, 6)).otherwise(F.lit(0.0))
 
     if prefix_filter:
-        import numpy as np
-
-        # Global rarity order from the (bounded-vocab) shingle document
-        # frequency. One explode+count over the persisted shingle table;
-        # at corpus scale this pass runs over a sample instead — the order
-        # only gates performance, never membership.
-        vocab = (
-            sh.select(F.explode("sh").alias("g"))
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .toPandas()
+        # Distributed rarity prefix — NOTHING comes to the driver. The
+        # rarity ORDER is just the lexicographic (document_frequency,
+        # shingle) tuple, so no dense integer rank (and no vocab collect)
+        # is needed: explode the persisted shingle table, equi-join the
+        # per-shingle DF counts back on, and keep each doc's
+        # p = n - ceil(t*n) + 1 smallest (c, g) via a row_number window
+        # PARTITIONED BY doc_id — per-doc top-p, fully parallel, no global
+        # sort, vocab never leaves the cluster. Soundness (SSJoin/PPJoin
+        # prefix theorem): under ANY global total order, |a .. b| >= alpha
+        # implies the length-(n - alpha + 1) prefixes intersect, and
+        # J >= t gives alpha >= ceil(t*n) for either side; rarity order is
+        # pure performance (ubiquitous shingles fall outside every prefix).
+        ex = sh.select("doc_id", *block_cols, "n_sh", F.explode("sh").alias("g"))
+        dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        p_len = F.greatest(
+            F.lit(1),
+            F.col("n_sh")
+            - F.ceil(F.col("n_sh") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+            + F.lit(1),
         )
-        order = np.lexsort((vocab["g"].to_numpy(), vocab["c"].to_numpy()))
-        keys = vocab["g"].to_numpy()[order]
-        ranks = np.empty(len(keys), dtype=np.int64)
-        ranks[np.argsort(keys, kind="stable")] = np.arange(len(keys))
-        keys_sorted = np.sort(keys)
-        prefix_udf = make_rarity_prefix_udf(threshold)(keys_sorted, ranks)
-
-        pref = sh.select(
-            "doc_id", *block_cols, "n_sh", F.explode(prefix_udf(F.col("sh"))).alias("g")
+        rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("c", "g"))
+        pref = (
+            ex.join(dfreq, "g")
+            .withColumn("rn", rn)
+            .filter(F.col("rn") <= p_len)
+            .select("doc_id", *block_cols, "n_sh", "g")
         )
         a, b = pref.alias("a"), pref.alias("b")
         cond = (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))

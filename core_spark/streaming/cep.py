@@ -152,12 +152,19 @@ def _make_funnel_fn(within_sec: int):
                         # duplicate A at one (key, ts) — at-least-once
                         # redelivery — collapses even after the original was
                         # matched/closed (done), matching the batch dedup
-                        if (
-                            t not in pending
-                            and t not in done
-                            and len(pending) < _MAX_PENDING
-                        ):
-                            pending.append(t)
+                        if t not in pending and t not in done:
+                            if len(pending) < _MAX_PENDING:
+                                pending.append(t)
+                            else:
+                                # state cap hit for this pathological key:
+                                # emit the A immediately with matched=NULL
+                                # (neither matched nor a watermark-closed
+                                # absence) so the drop is observable instead
+                                # of the alerting path silently going dark
+                                row = _emit(k, t, None)
+                                row["matched"] = None
+                                out.append(row)
+                                done.append(t)
                     else:
                         hit = [a for a in pending if _matches(a, t)]
                         if hit:
@@ -286,18 +293,53 @@ def tws_funnel(
         ]
     )
 
+    cols = ["clip_id", "a_ts", "b_ts", "lag_sec", "matched"]
+
     class FunnelProcessor(StatefulProcessor):
+        """Mirrors _make_funnel_fn exactly: a second ``done`` ListState
+        dedups redeliveries of already-emitted A's (matched OR absence) until
+        the watermark passes them, expired horizons close INLINE in
+        handleInputRows (a key with continuous traffic never fires its
+        timer), and over-cap A's emit a matched=NULL flagged row."""
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.pending = handle.getListState("pending_a", "a_ms long")
+            self.done = handle.getListState("done_a", "a_ms long")
             self.handle = handle
 
         def _horizon(self, a_ms):
             # same floored-seconds horizon as the applyInPandasWithState path
             return (a_ms // 1000 + within_sec + 1) * 1000
 
+        def _save(self, pend, done, wm):
+            self.pending.clear()
+            self.done.clear()
+            if pend:
+                self.pending.appendList([(a,) for a in pend])
+                self.handle.registerTimer(max(self._horizon(min(pend)), wm + 1))
+            elif done:
+                # GC wakeup once the watermark passes the last done entry
+                self.handle.registerTimer(max(max(done) + 1, wm + 1))
+            if done:
+                self.done.appendList([(a,) for a in done])
+
+        def _close_expired(self, k, pend, done, wm, out):
+            closed = [a for a in pend if self._horizon(a) <= wm]
+            if closed:
+                out.extend(
+                    (k, pd.Timestamp(a, unit="ms"), None, None, False)
+                    for a in closed
+                )
+                done.extend(closed)
+                pend = [a for a in pend if self._horizon(a) > wm]
+            done = [a for a in done if a >= wm]
+            return pend, done
+
         def handleInputRows(self, key, rows, timerValues):
             k = key[0]
+            wm = timerValues.getCurrentWatermarkInMs()
             pend = [r[0] for r in self.pending.get()]
+            done = [r[0] for r in self.done.get()]
             out = []
             for pdf in rows:
                 pdf = pdf.sort_values(["ts", "is_a"], kind="stable")
@@ -306,8 +348,13 @@ def tws_funnel(
                     pdf["is_a"].tolist(),
                 ):
                     if a_flag:
-                        if t not in pend:
-                            pend.append(t)
+                        if t not in pend and t not in done:
+                            if len(pend) < _MAX_PENDING:
+                                pend.append(t)
+                            else:
+                                out.append((k, pd.Timestamp(t, unit="ms"),
+                                            None, None, None))
+                                done.append(t)
                     else:
                         ok = lambda a: t > a and t // 1000 - a // 1000 <= within_sec
                         hit = [a for a in pend if ok(a)]
@@ -316,31 +363,23 @@ def tws_funnel(
                              t // 1000 - a // 1000, True)
                             for a in hit
                         )
+                        done.extend(hit)
                         pend = [a for a in pend if not ok(a)]
-            self.pending.clear()
-            if pend:
-                self.pending.appendList([(a,) for a in pend])
-                self.handle.registerTimer(self._horizon(min(pend)))
+            pend, done = self._close_expired(k, pend, done, wm, out)
+            self._save(pend, done, wm)
             if out:
-                yield pd.DataFrame(
-                    out, columns=["clip_id", "a_ts", "b_ts", "lag_sec", "matched"]
-                )
+                yield pd.DataFrame(out, columns=cols)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             k = key[0]
             wm = timerValues.getCurrentWatermarkInMs()
             pend = [r[0] for r in self.pending.get()]
-            closed = [a for a in pend if self._horizon(a) <= wm]
-            still = [a for a in pend if self._horizon(a) > wm]
-            self.pending.clear()
-            if still:
-                self.pending.appendList([(a,) for a in still])
-                self.handle.registerTimer(self._horizon(min(still)))
-            if closed:
-                yield pd.DataFrame(
-                    [(k, pd.Timestamp(a, unit="ms"), None, None, False) for a in closed],
-                    columns=["clip_id", "a_ts", "b_ts", "lag_sec", "matched"],
-                )
+            done = [r[0] for r in self.done.get()]
+            out = []
+            pend, done = self._close_expired(k, pend, done, wm, out)
+            self._save(pend, done, wm)
+            if out:
+                yield pd.DataFrame(out, columns=cols)
 
         def close(self) -> None:
             pass
@@ -381,7 +420,8 @@ def _make_chain_fn(n: int, within_sec: int | None):
         ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
         marks = np.zeros(len(rows), dtype=np.int64)
         for i in range(n):
-            marks |= rows[f"m{i}"].to_numpy(dtype=np.int64) << i
+            # belt-and-braces vs NULL markers (Arrow delivers them as NaN)
+            marks |= rows[f"m{i}"].fillna(0).to_numpy(dtype=np.int64) << i
 
         if state.exists:
             p_ts, p_mk = tuple(state.get)
@@ -434,7 +474,13 @@ def chain_stream(
     ev = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).alias("ts"),
-        *[F.expr(p).cast("int").alias(f"m{i}") for i, p in enumerate(preds)],
+        # coalesce: a predicate over NULL inputs is NULL, which Arrow hands
+        # to pandas as float64 NaN and the int64 cast in _make_chain_fn would
+        # raise, killing the query; the batch oracle treats null as false
+        *[
+            F.coalesce(F.expr(p).cast("int"), F.lit(0)).alias(f"m{i}")
+            for i, p in enumerate(preds)
+        ],
     )
     if not df.isStreaming:
         from ..operators import cep as _cep

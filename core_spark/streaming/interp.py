@@ -177,7 +177,13 @@ def make_interp_fn(every: int, method: str):
         if method == "ffill" and filled_to is not None and filled_to + 2 * every <= wm_s:
             due.append(filled_to + 2 * every)
         if due:
-            state.setTimeoutTimestamp(max(min(due) * 1000, (wm_s * 1000) + 1))
+            # floor at the RAW watermark +1, not the second-floored wm_s:
+            # when the ffill drain is capped, min(due)*1000 can be <= the true
+            # watermark's sub-second remainder and Spark rejects a timeout
+            # earlier than the current watermark (twa.py does the same)
+            state.setTimeoutTimestamp(
+                max(min(due) * 1000, state.getCurrentWatermarkMs() + 1)
+            )
 
     return fn
 

@@ -104,6 +104,26 @@ def test_ngram_candidate_strategies_agree(spark, docs):
     assert bitmap  # non-vacuous: the corpus has near-dup pairs
 
 
+def test_ngram_prefix_path_never_materializes_on_driver(spark, docs, monkeypatch):
+    """The rarity-prefix candidate path must stay fully distributed: no
+    toPandas()/collect() during plan build OR execution — at 10^12 docs the
+    shingle vocabulary is billions of rows and any driver pass OOMs. The
+    array-verify knob (bitmap_max_vocab=0) also skips the block path's
+    bounded vocab probe, so the whole query runs with driver collection
+    hard-disabled."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("driver-side materialization in prefix path")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    out = dd.ngram_jaccard_pairs(
+        docs, threshold=0.8, prefix_filter=True, bitmap_max_vocab=0
+    )
+    assert out.count() > 0
+
+
 # ---------------------------------------------------------------- minhash/lsh
 
 
