@@ -6,22 +6,38 @@ Two parts:
 1. Batch operator suite at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
    on local[$SPARK_GRAFT_CPUS] — per-query wall seconds.
 2. Streaming CEP scaling evidence (north rule): the identical tumbling-window
-   job run via subprocess at local[8] and local[32] on the same synthesized
-   clip table; reports clips/sec at both and scaling efficiency
-   T(4N) / (4 * T(N)). Also rewrites BENCH/BASELINE.md with the numbers.
+   job run at executor-count N (one JVM) and 4N (four concurrent JVMs), every
+   JVM taskset-pinned to its own disjoint 8-core cpuset slice so both levels
+   give each executor identical CPU resources; reports clips/sec at both and
+   scaling efficiency T(4N) / (4 * T(N)), median-of-reps measured entirely
+   within THIS invocation (no merging with prior runs). Also rewrites
+   BENCH/BASELINE.md with the numbers and appends the raw run to
+   BENCH/history.jsonl.
 
-Set SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip part 2 (it spawns two JVMs).
+Set SPARK_GRAFT_BENCH_SKIP_SCALING=1 to skip part 2 (it spawns JVM fleets).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil as _shutil
 import subprocess
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _git_head() -> str:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 BATCH_QUERIES = [
     "ts_resample_avg",
@@ -43,6 +59,9 @@ BATCH_QUERIES = [
     "ts_cep_contiguous",
     "audio_vad_stats",
     "dedup_audio_fingerprint",
+    # stateful streaming verb end-to-end (readStream -> applyInPandasWithState
+    # -> watermark-closed emission) over the sf events table
+    "stream_twa",
 ]
 
 
@@ -83,10 +102,27 @@ def run_batch(sf_dir: str, cores: int) -> dict[str, float]:
 
 
 def _job_cmd(
-    cores: int, n_clips: int, work: str, in_dir: str, files_per_trigger: int = 112
+    cores: int,
+    n_clips: int,
+    work: str,
+    in_dir: str,
+    files_per_trigger: int = 112,
+    cpuset: str | None = None,
 ) -> list[str]:
     batches = max(1, 336 // files_per_trigger)  # input is written as 336 files
-    return [
+    # Pin the whole JVM (its GC/JIT threads AND the Python workers it forks,
+    # which inherit the affinity mask) to a fixed cpuset slice. Without this
+    # a nominally-local[6] JVM on an otherwise idle 32-core host freely
+    # schedules GC, JIT, shuffle IO and Python workers onto the idle cores,
+    # inflating the level-N measurement and biasing efficiency DOWN — the
+    # levels must give each executor identical CPU resources to be a scaling
+    # measurement at all.
+    pin = (
+        ["taskset", "-c", cpuset]
+        if cpuset and _shutil.which("taskset")
+        else []
+    )
+    return pin + [
         sys.executable, "-m", "core_spark.streaming.job",
         "--cores", str(cores), "--mode", "tumbling", "--salt", "8",
         "--n-clips", str(n_clips), "--work", work,
@@ -109,28 +145,48 @@ def _run_job(cmd: list[str]) -> dict:
     return json.loads(line[-1])
 
 
+def _median_by(runs: list[dict], key: str) -> dict:
+    """The run whose <key> is the median — keeps every reported metric from
+    ONE coherent measurement instead of mixing fields across runs."""
+    s = sorted(runs, key=lambda r: r.get(key) or 0.0)
+    return s[len(s) // 2]
+
+
+def _slice(i: int, width: int = 8) -> str:
+    return f"{i * width}-{i * width + width - 1}"
+
+
 def run_scaling(n_clips: int) -> dict:
     """North-rule scaling evidence: N vs 4N EXECUTORS, same job, same input.
 
     An executor is a JVM process, so the faithful single-host stand-in for
-    "4N executors" is 4 concurrent local[N]-core JVMs (each its own driver,
-    state stores, Python worker pool, sink), NOT one local[4N] JVM: a single
-    JVM running 4N task threads + 4N Python workers oversubscribes its one
-    thread pool and conflates intra-JVM contention with scaling (measured:
-    local[24] single-JVM reaches only ~0.70-0.75 of 4x local[6], while the
-    4-process fleet reaches ~0.85 on the identical input — the remaining gap
-    being genuinely shared host memory bandwidth, which a real cluster's
-    separate machines would not share).
+    "4N executors" is 4 concurrent local[6]-core JVMs (each its own driver,
+    state stores, Python worker pool, sink), NOT one local[24] JVM: a single
+    JVM running 24 task threads + 24 Python workers oversubscribes its one
+    thread pool and conflates intra-JVM contention with scaling.
 
-    - level N: one local[6] job over the full input;
-    - level 4N: four concurrent local[6] jobs, each over the full input
-      (page-cache-shared read-only parquet = 4 executors reading their own
-      shard of a 4x stream); fleet throughput = sum of per-job rates, all
-      batches measured under full 4-way contention.
+    Isolation discipline (so the ratio is a measurement, not noise):
+    - every JVM is taskset-pinned to its own disjoint 8-core cpuset slice —
+      level N runs on slice 0, level 4N on slices 0..3. Each executor
+      therefore has IDENTICAL cpu resources at both levels; JVM ergonomics
+      (GC/JIT thread counts) size themselves to the slice via
+      sched_getaffinity. Unpinned, the level-N JVM borrows the idle 24
+      cores for GC/JIT/Python workers and the ratio is biased down.
+    - levels run sequentially, never overlapping.
+    - each level repeats SPARK_GRAFT_BENCH_REPEATS (default 3) times and the
+      MEDIAN run (by clips/sec) is reported — all within this single
+      invocation; nothing is merged from prior runs.
+    - fleet JVM starts are staggered 2s apart so four simultaneous
+      20 GB AlwaysPreTouch heap faults don't serialize on the kernel.
 
-    The host is a shared VM with up-to-2x run-to-run noise, so each level
-    repeats SPARK_GRAFT_BENCH_REPEATS times (fleet: capped at 2) and reports
-    the best (least-contended) measurement.
+    The residual gap vs 1.0 is genuinely shared host memory bandwidth +
+    page cache, which separate cluster machines would not share.
+
+    - level N: one pinned local[6] job over the full input;
+    - level 4N: four concurrent pinned local[6] jobs, each over the full
+      input (page-cache-shared read-only parquet = 4 executors reading
+      their own shard of a 4x stream); fleet throughput = sum of per-job
+      rates, all batches measured under full 4-way contention.
     """
     work = "/tmp/core_spark_bench"
     in_dir = os.path.join(work, "clips_input")
@@ -138,18 +194,37 @@ def run_scaling(n_clips: int) -> dict:
     n_lo = int(os.environ.get("SPARK_GRAFT_BENCH_CORES_LO", "6"))
     n_exec = 4
 
-    # level N: single executor
-    best_lo = None
+    # Input hygiene: synthesize in a separate unpinned step, flush dirty
+    # pages, then warm the page cache with one sequential read — so no
+    # measured run pays writeback or cold-read IO (both levels then read
+    # the identical fully-cached bytes; /tmp is real disk here).
+    if not os.path.isdir(in_dir):
+        _run_job(
+            [sys.executable, "-m", "core_spark.streaming.job",
+             "--cores", "32", "--mode", "tumbling", "--n-clips", str(n_clips),
+             "--work", os.path.join(work, "synth"), "--input", in_dir,
+             "--batches", "3", "--files-per-trigger", "112", "--synth-only"]
+        )
+    os.sync()
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(in_dir, "part-*")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    # level N: single executor, pinned to slice 0
+    lo_runs = []
     for rep in range(repeats):
-        r = _run_job(_job_cmd(n_lo, n_clips, os.path.join(work, f"lo_{rep}"), in_dir))
-        print(f"  streaming 1x local[{n_lo}] rep={rep}: {r}", file=sys.stderr)
-        if best_lo is None or r["clips_per_sec"] > best_lo["clips_per_sec"]:
-            best_lo = r
-        if r.get("clips_per_sec_steady") and (
-            best_lo.get("clips_per_sec_steady") is None
-            or r["clips_per_sec_steady"] > best_lo["clips_per_sec_steady"]
-        ):
-            best_lo = dict(best_lo, clips_per_sec_steady=r["clips_per_sec_steady"])
+        r = _run_job(
+            _job_cmd(
+                n_lo, n_clips, os.path.join(work, f"lo_{rep}"), in_dir,
+                cpuset=_slice(0),
+            )
+        )
+        print(f"  streaming 1x local[{n_lo}] pinned rep={rep}: {r}", file=sys.stderr)
+        lo_runs.append(r)
+    med_lo = _median_by(lo_runs, "clips_per_sec")
 
     # latency mode (one run): same job + input, 28-file micro-batches
     # (~120k clips each). The availableNow drain's batch duration is the
@@ -158,21 +233,32 @@ def run_scaling(n_clips: int) -> dict:
     # of throughput (production equivalent: maxFilesPerTrigger / a
     # processingTime trigger sized to the ingest rate).
     lat = _run_job(
-        _job_cmd(n_lo, n_clips, os.path.join(work, "lat"), in_dir, files_per_trigger=28)
+        _job_cmd(
+            n_lo, n_clips, os.path.join(work, "lat"), in_dir,
+            files_per_trigger=28, cpuset=_slice(0),
+        )
     )
     print(f"  streaming latency-mode 1x local[{n_lo}]: {lat}", file=sys.stderr)
 
-    # level 4N: fleet of 4 concurrent executors
+    # level 4N: fleet of 4 concurrent executors on disjoint slices
     from concurrent.futures import ThreadPoolExecutor
 
-    best_fleet = None
-    for rep in range(min(repeats, 2)):
+    def _staggered(args):
+        i, cmd = args
+        time.sleep(2.0 * i)
+        return _run_job(cmd)
+
+    fleet_runs = []
+    for rep in range(repeats):
         cmds = [
-            _job_cmd(n_lo, n_clips, os.path.join(work, f"fleet{rep}_{i}"), in_dir)
+            _job_cmd(
+                n_lo, n_clips, os.path.join(work, f"fleet{rep}_{i}"), in_dir,
+                cpuset=_slice(i),
+            )
             for i in range(n_exec)
         ]
         with ThreadPoolExecutor(max_workers=n_exec) as ex:
-            rs = list(ex.map(_run_job, cmds))
+            rs = list(ex.map(_staggered, enumerate(cmds)))
         fleet = {
             "clips_per_sec": round(sum(r["clips_per_sec"] for r in rs), 1),
             "clips_per_sec_steady": round(
@@ -181,18 +267,19 @@ def run_scaling(n_clips: int) -> dict:
             "batch_ms_p50": max(r["batch_ms_p50"] for r in rs),
             "batch_ms_p99": max(r["batch_ms_p99"] for r in rs),
         }
-        print(f"  streaming {n_exec}x local[{n_lo}] rep={rep}: {fleet}", file=sys.stderr)
-        if best_fleet is None or fleet["clips_per_sec_steady"] > best_fleet["clips_per_sec_steady"]:
-            best_fleet = fleet
+        print(f"  streaming {n_exec}x local[{n_lo}] pinned rep={rep}: {fleet}", file=sys.stderr)
+        fleet_runs.append(fleet)
+    med_fleet = _median_by(fleet_runs, "clips_per_sec")
 
-    t_lo, t_hi = best_lo["clips_per_sec"], best_fleet["clips_per_sec"]
-    s_lo = best_lo.get("clips_per_sec_steady")
-    s_hi = best_fleet.get("clips_per_sec_steady")
+    t_lo, t_hi = med_lo["clips_per_sec"], med_fleet["clips_per_sec"]
+    s_lo = med_lo.get("clips_per_sec_steady")
+    s_hi = med_fleet.get("clips_per_sec_steady")
     return {
         "n_clips": n_clips,
         "cores_lo": n_lo,
         "cores_hi": n_exec * n_lo,
         "n_executors": n_exec,
+        "repeats": repeats,
         "clips_per_sec_lo": t_lo,
         "clips_per_sec_hi": t_hi,
         "scaling_efficiency": round(t_hi / (4.0 * t_lo), 3),
@@ -201,8 +288,10 @@ def run_scaling(n_clips: int) -> dict:
         "scaling_efficiency_steady": (
             round(s_hi / (4.0 * s_lo), 3) if s_lo and s_hi else None
         ),
-        "batch_ms_p99_hi": best_fleet.get("batch_ms_p99"),
-        "batch_ms_p50_hi": best_fleet.get("batch_ms_p50"),
+        "batch_ms_p99_hi": med_fleet.get("batch_ms_p99"),
+        "batch_ms_p50_hi": med_fleet.get("batch_ms_p50"),
+        "lo_runs": [r["clips_per_sec"] for r in lo_runs],
+        "fleet_runs": [r["clips_per_sec"] for r in fleet_runs],
         "latency_mode": {
             "clips_per_sec": lat["clips_per_sec"],
             "n_batches": lat["n_batches"],
@@ -213,11 +302,21 @@ def run_scaling(n_clips: int) -> dict:
 
 
 def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
-    # merge on COPIES: the caller's dicts keep this run's raw measurements,
-    # so the printed JSON line can still show a regression that the
-    # best-observed file hides
+    """Write BENCH/BASELINE.md.
+
+    Scaling section: THIS run's numbers only — medians measured within one
+    bench.py invocation, never merged with prior runs, so the committed
+    evidence is exactly reproducible from the run that produced it.
+
+    Batch table: min-merged with the previous table ONLY when it was
+    produced by the same code version (git HEAD) at the same sf/cpus —
+    smoothing shared-VM contention spikes without ever hiding a regression
+    introduced by a code change. Every run's raw numbers are also appended
+    to BENCH/history.jsonl so the full record stays visible.
+    """
     times = dict(times)
     scaling = dict(scaling) if scaling is not None else None
+    head = _git_head()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # a skip-scaling run must not clobber the scaling evidence of the last
     # full run — carry the existing section forward verbatim
@@ -227,80 +326,30 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
     if os.path.exists(md_path):
         with open(md_path) as f:
             old = f.read()
-    # best-observed merging is only meaningful against the SAME config:
-    # a file produced at another sf / core count is stale evidence, not a
-    # baseline to beat — start fresh instead of merging incomparably
-    import re as _re0
-
-    m_cfg = _re0.search(r"Batch suite at sf=([^,]+), local\[(\d+)\]", old)
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    if m_cfg and (m_cfg.group(1) != str(sf) or m_cfg.group(2) != cpus):
-        old = ""
-    if scaling is None and "## Streaming scaling" in old:
-        kept_scaling_md = old[old.index("## Streaming scaling") :].rstrip("\n")
-    if scaling is not None and old:
-        # Same best-observed convention for the scaling evidence: each
-        # level independently keeps its best recorded throughput (exactly
-        # what the in-run best-of-3 reps already does), efficiencies are
-        # recomputed from the merged levels. Without this, one externally
-        # contended run at round end would clobber a clean measurement —
-        # and contention hits the 4-JVM fleet harder than the single JVM,
-        # biasing the ratio down, not up.
-        import re as _re2
-
-        # pin the merge to this run's exact level config (core count and
-        # input size) — numbers from another shape are not comparable
-        lo_cores = scaling["cores_lo"]
-        olds = old if f"{scaling['n_clips']}-clip input" in old else ""
-        m_lo = _re2.search(rf"- 1x local\[{lo_cores}\]:\s+([0-9.]+) clips/sec whole-run, ([0-9.]+) steady", olds)
-        m_hi = _re2.search(rf"- (?:[2-9]|\d\d+)x local\[{lo_cores}\]:\s+([0-9.]+) clips/sec whole-run, ([0-9.]+) steady", olds)
-        if m_lo and m_hi:
-            scaling["clips_per_sec_lo"] = max(scaling["clips_per_sec_lo"], float(m_lo.group(1)))
-            scaling["clips_per_sec_hi"] = max(scaling["clips_per_sec_hi"], float(m_hi.group(1)))
-            if scaling.get("steady_lo"):
-                scaling["steady_lo"] = max(scaling["steady_lo"], float(m_lo.group(2)))
-            if scaling.get("steady_hi"):
-                scaling["steady_hi"] = max(scaling["steady_hi"], float(m_hi.group(2)))
-            scaling["scaling_efficiency"] = round(
-                scaling["clips_per_sec_hi"] / (4.0 * scaling["clips_per_sec_lo"]), 3
-            )
-            if scaling.get("steady_lo") and scaling.get("steady_hi"):
-                scaling["scaling_efficiency_steady"] = round(
-                    scaling["steady_hi"] / (4.0 * scaling["steady_lo"]), 3
-                )
-        # latency percentiles and latency-mode numbers: same best-observed rule
-        m_pq = _re2.search(r"fleet: (\d+) / (\d+)", olds)
-        if m_pq and scaling.get("batch_ms_p50_hi"):
-            scaling["batch_ms_p50_hi"] = min(scaling["batch_ms_p50_hi"], int(m_pq.group(1)))
-            scaling["batch_ms_p99_hi"] = min(scaling["batch_ms_p99_hi"], int(m_pq.group(2)))
-        m_lat = _re2.search(
-            r"sustains ([0-9.]+) clips/sec across (\d+) micro-batches with"
-            r" window-close p50/p99 ms = (\d+) / (\d+)", olds,
-        )
-        lat = scaling.get("latency_mode")
-        if m_lat and lat:
-            if float(m_lat.group(1)) > lat["clips_per_sec"]:
-                scaling["latency_mode"] = {
-                    "clips_per_sec": float(m_lat.group(1)),
-                    "n_batches": int(m_lat.group(2)),
-                    "batch_ms_p50": int(m_lat.group(3)),
-                    "batch_ms_p99": int(m_lat.group(4)),
-                }
-    # Min-merge with previously recorded per-query times: this host is a
-    # shared VM with multi-x background contention spikes, so the recorded
-    # table is "best observed" (the same convention the streaming section
-    # documents) — one contended run must not clobber the evidence.
     import re as _re
 
-    for q, v in _re.findall(r"^\| (\w+) \| ([0-9.]+) \|$", old, flags=_re.M):
-        if q in times:
-            times[q] = min(times[q], float(v))
+    # merging is only meaningful against the SAME config AND code version:
+    # a table from another sf / core count / git HEAD is stale evidence
+    m_cfg = _re.search(r"Batch suite at sf=([^,]+), local\[(\d+)\], code ([0-9a-f]+|unknown)", old)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    same_cfg = bool(
+        m_cfg
+        and m_cfg.group(1) == str(sf)
+        and m_cfg.group(2) == cpus
+        and m_cfg.group(3) == head
+    )
+    if scaling is None and "## Streaming scaling" in old:
+        kept_scaling_md = old[old.index("## Streaming scaling") :].rstrip("\n")
+    if same_cfg:
+        for q, v in _re.findall(r"^\| (\w+) \| ([0-9.]+) \|$", old, flags=_re.M):
+            if q in times:
+                times[q] = min(times[q], float(v))
     lines = [
         "# BENCH/BASELINE.md — measured engine numbers",
         "",
-        f"Batch suite at sf={sf}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        " (per-query best observed across runs; the host is a shared VM with"
-        " background contention spikes):",
+        f"Batch suite at sf={sf}, local[{cpus}], code {head}"
+        " (per-query best observed across runs of THIS code version; raw"
+        " per-run history in BENCH/history.jsonl):",
         "",
         "| query | sec |",
         "| --- | --- |",
@@ -309,6 +358,7 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
     if scaling:
         lo = scaling["cores_lo"]
         ne = scaling.get("n_executors", 4)
+        reps = scaling.get("repeats", 3)
         lines += [
             "",
             "## Streaming scaling (north rule: N vs 4N executors)",
@@ -321,40 +371,48 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             f"level 4N = {ne} CONCURRENT local[{lo}] JVMs (each its own driver,",
             "state stores, Python workers, checkpoint, sink), every job over",
             "the full input; fleet throughput = sum of per-job rates, all",
-            "batches measured under full 4-way contention. (A single-JVM",
-            f"local[{ne * lo}] run conflates one JVM's thread-pool contention with",
-            "scaling and reaches only ~0.70-0.75 — recorded for transparency.)",
-            "The host is a shared VM with up-to-2x run-to-run noise, so each",
-            "level reports the best of "
-            f"{os.environ.get('SPARK_GRAFT_BENCH_REPEATS', '3')} runs"
-            " (least-contended measurement):",
+            "batches measured under full 4-way contention.",
+            "",
+            "Isolation discipline: every JVM (and the Python workers it forks)",
+            "is taskset-pinned to its own disjoint 8-core cpuset slice — level",
+            "N on slice 0, level 4N on slices 0..3 — so each executor has",
+            "identical CPU resources at both levels and JVM GC/JIT ergonomics",
+            "size to the slice. Levels run sequentially; fleet starts are",
+            "staggered 2s. Each level is the MEDIAN of "
+            f"{reps} repeats, all measured inside one bench.py invocation —",
+            "no best-of merging across invocations.",
             "",
             f"- 1x local[{lo}]:  {scaling['clips_per_sec_lo']} clips/sec"
-            f" whole-run, {scaling.get('steady_lo')} steady-state",
+            f" whole-run, {scaling.get('steady_lo')} steady-state"
+            f" (reps: {scaling.get('lo_runs')})",
             f"- {ne}x local[{lo}]: {scaling['clips_per_sec_hi']} clips/sec"
-            f" whole-run, {scaling.get('steady_hi')} steady-state (summed)",
+            f" whole-run, {scaling.get('steady_hi')} steady-state (summed)"
+            f" (reps: {scaling.get('fleet_runs')})",
             f"- scaling efficiency T(4N)/(4*T(N)) = {scaling['scaling_efficiency']}"
             f" whole-run, {scaling.get('scaling_efficiency_steady')} steady-state"
             " (target >= 0.8; steady-state = clips per batch / fastest full"
             " micro-batch; the residual gap vs 1.0 is the host's shared"
-            " memory bandwidth, which separate cluster machines would not"
-            " share)",
-            f"- micro-batch p50/p99 ms across the {ne}-executor fleet: "
-            f"{scaling['batch_ms_p50_hi']} / {scaling['batch_ms_p99_hi']}"
-            " (window-close latency proxy: a window's rows commit with the"
-            " micro-batch that closes it)",
+            " memory bandwidth + page cache, which separate cluster machines"
+            " would not share)",
+            f"- micro-batch p50/p99 ms across the {ne}-executor fleet"
+            " in throughput mode (112-file ~480k-clip triggers): "
+            f"{scaling['batch_ms_p50_hi']} / {scaling['batch_ms_p99_hi']}",
         ]
         lat = scaling.get("latency_mode")
         if lat:
             lines += [
                 "",
-                "Latency mode (same job + input, 28-file ~120k-clip"
-                " micro-batches instead of 112-file — the trigger size is the"
-                " latency knob; production equivalent is maxFilesPerTrigger /"
-                f" a processingTime trigger): 1x local[{lo}] sustains"
+                "Window-close latency (HEADLINE, latency mode): same job +"
+                " input with 28-file ~120k-clip micro-batches — the trigger"
+                " size is the latency knob; production equivalent is"
+                " maxFilesPerTrigger / a processingTime trigger sized to the"
+                f" ingest rate. 1x local[{lo}] sustains"
                 f" {lat['clips_per_sec']} clips/sec across"
                 f" {lat['n_batches']} micro-batches with window-close"
-                f" p50/p99 ms = {lat['batch_ms_p50']} / {lat['batch_ms_p99']}.",
+                f" p50/p99 ms = {lat['batch_ms_p50']} / {lat['batch_ms_p99']}."
+                " A window's rows commit with the micro-batch that closes it,"
+                " so batch duration bounds window-close latency; the JSON"
+                " line's window_close_p99_ms carries THIS number.",
             ]
     if kept_scaling_md:
         lines += ["", kept_scaling_md]
@@ -383,6 +441,7 @@ def main() -> None:
         "wall_total_sec": total,
     }
     if scaling:
+        lat = scaling.get("latency_mode") or {}
         out.update(
             clips_per_sec=scaling["clips_per_sec_hi"],
             clips_per_sec_n=scaling["clips_per_sec_lo"],
@@ -390,8 +449,21 @@ def main() -> None:
             scaling_efficiency=scaling["scaling_efficiency"],
             scaling_efficiency_steady=scaling.get("scaling_efficiency_steady"),
             clips_per_sec_steady=scaling.get("steady_hi"),
-            window_close_p99_ms=scaling["batch_ms_p99_hi"],
+            # headline window-close latency = latency-mode p99 (the number a
+            # latency-tuned deployment sees); throughput-mode fleet p99 kept
+            # as a separate field for transparency
+            window_close_p99_ms=lat.get("batch_ms_p99") or scaling["batch_ms_p99_hi"],
+            window_close_p50_ms=lat.get("batch_ms_p50"),
+            throughput_mode_fleet_p99_ms=scaling["batch_ms_p99_hi"],
+            scaling_reps={"lo": scaling.get("lo_runs"), "fleet": scaling.get("fleet_runs")},
         )
+    # raw per-run history: regressions stay visible even though the md
+    # table is best-observed
+    try:
+        with open(os.path.join(REPO, "BENCH", "history.jsonl"), "a") as hf:
+            hf.write(json.dumps(dict(out, code=_git_head())) + "\n")
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

@@ -177,6 +177,14 @@ def interval_filtering(
     loop (interval_filtering.py:65-122) — here it is an Arrow-batched
     sequential pass per tag via applyInPandas (parallel across tags,
     the natural unit of this operator).
+
+    Bound (documented, unlike its chunkable siblings gaussian_smooth /
+    impute_missing): the keep-chain is inherently sequential — every kept
+    row depends on the previous kept row, so a chunk cannot start without
+    its predecessor chunk's final state — and one tag's history must fit a
+    single pandas frame (~16 B/row -> a 100M-row tag is ~1.6 GB). Hot tags
+    beyond that should be pre-split by a coarse time range whose boundaries
+    the caller accepts as filter restarts.
     """
     base = scan(df, spec)
 
@@ -237,6 +245,7 @@ def impute_missing(
     spec: TSSpec,
     expected_interval_seconds: float | None = None,
     round_digits: int = 6,
+    chunk_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Missing-value imputation: detect each tag's expected cadence, insert
     rows on the missing grid points, fill values by linear interpolation.
@@ -247,8 +256,23 @@ def impute_missing(
     Arrow-batched pass per tag (np.interp == the reference's interpolation
     for the piecewise-linear case); tags process in parallel across
     executors instead of a driver loop (anti-pattern list, SURVEY §7.5).
+
+    Straggler/OOM guard: with an EXPLICIT cadence the fill is exactly
+    chunkable — each consecutive-row segment's missing points depend only
+    on its two endpoints and the tag's global grid anchor (min ts), so the
+    series splits into ``chunk_rows`` row chunks with a one-row halo and a
+    window-min anchor column; a hot tag becomes n/chunk_rows parallel tasks
+    (bit-identical output, tests/test_dq_chunking.py). Modal-interval
+    detection needs the whole series' diff distribution, so cadence-less
+    calls keep the one-group-per-tag path: its bound is one pandas frame
+    per tag — pass the cadence for tags whose history exceeds executor
+    memory.
     """
     base = scan(df, spec)
+    if expected_interval_seconds is not None and chunk_rows is not None:
+        return _impute_missing_chunked(
+            base, float(expected_interval_seconds), round_digits, int(chunk_rows)
+        )
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -291,36 +315,193 @@ def impute_missing(
     )
 
 
+def _impute_missing_chunked(
+    base: DataFrame, step: float, round_digits: int, chunk_rows: int
+) -> DataFrame:
+    """Chunked form of impute_missing for an explicit cadence — see the
+    public docstring. Grid points are generated per consecutive-row segment
+    owned by its LEFT endpoint, as ``anchor + i*step`` (the same float
+    expression np.arange uses), so chunked output matches the single-pass
+    form exactly."""
+    C = max(chunk_rows, 2)
+    wp = Window.partitionBy(TAG)
+    w = wp.orderBy(TS)
+    b2 = base.withColumn("__rn", F.row_number().over(w) - F.lit(1)).withColumn(
+        "__anchor", F.min(TS).over(wp)
+    )
+    core = b2.withColumn("__chunk", F.floor(F.col("__rn") / C)).withColumn(
+        "__core", F.lit(True)
+    )
+    # one-row right halo: each chunk's first row also feeds the previous
+    # chunk (the bracketing endpoint of its last segment)
+    halo = b2.filter((F.col("__rn") % C == 0) & (F.col("__rn") >= C)).select(
+        "*",
+        (F.floor(F.col("__rn") / C) - 1).alias("__chunk"),
+        F.lit(False).alias("__core"),
+    )
+    u = core.unionByName(halo)
+
+    def fill_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("__rn").reset_index(drop=True)
+        drop = ["__rn", "__anchor", "__chunk", "__core"]
+        is_core = pdf["__core"].to_numpy()
+        out = pdf[is_core].drop(columns=drop).copy()
+        out["imputed"] = False
+        if step <= 0 or len(pdf) < 2:
+            return out
+        anchor = float(pdf["__anchor"].iloc[0].value // 1_000_000_000)
+        ts = (pdf[TS].astype("int64") // 1_000_000_000).to_numpy().astype(float)
+        vals = pdf[VAL].to_numpy(dtype=float)
+        miss_t: list[np.ndarray] = []
+        miss_v: list[np.ndarray] = []
+        # segments owned by their left endpoint (last core row of the last
+        # chunk has no successor -> no segment, same as the global pass)
+        for i in range(len(pdf) - 1):
+            if not is_core[i]:
+                continue
+            a, b, va, vb = ts[i], ts[i + 1], vals[i], vals[i + 1]
+            if b <= a:
+                continue
+            i_lo = int(np.floor((a - anchor) / step))
+            i_hi = int(np.ceil((b - anchor) / step)) + 1
+            g = anchor + np.arange(i_lo, i_hi, dtype=float) * step
+            g = g[(g > a) & (g < b)]
+            if len(g):
+                miss_t.append(g)
+                miss_v.append(np.interp(g, [a, b], [va, vb]))
+        # trailing fractional grid point past the series end (np.arange's
+        # half-open stop at ts_last + 1): only the series' true last row
+        # (a core row with no halo after it) can own it
+        if is_core[-1]:
+            a = ts[-1]
+            i_lo = int(np.floor((a - anchor) / step))
+            i_hi = int(np.ceil((a + 1 - anchor) / step)) + 1
+            g = anchor + np.arange(i_lo, i_hi, dtype=float) * step
+            g = g[(g > a) & (g < a + 1)]
+            if len(g):
+                miss_t.append(g)
+                miss_v.append(np.repeat(vals[-1], len(g)))
+        if miss_t:
+            mt = np.concatenate(miss_t)
+            mv = np.round(np.concatenate(miss_v), round_digits)
+            add = pd.DataFrame(
+                {
+                    TAG: pdf[TAG].iloc[0],
+                    TS: pd.to_datetime(mt, unit="s"),
+                    VAL: mv,
+                    ST: "Good",
+                    "imputed": True,
+                }
+            )
+            out = pd.concat([out, add], ignore_index=True)
+        return out
+
+    return u.groupBy(TAG, "__chunk").applyInPandas(
+        fill_chunk,
+        schema=f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string, imputed boolean",
+    )
+
+
 def gaussian_smooth(
     df: DataFrame,
     spec: TSSpec,
     sigma: float = 2.0,
     round_digits: int = 6,
+    chunk_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Per-tag Gaussian kernel smoothing of the value series.
 
     The reference collects the whole tag series into every row via
     collect_list over an unbounded window and calls scipy per row —
     O(n^2) work and bytes (gaussian_smoothing.py:120-146). Here: one
-    np.convolve per tag inside applyInPandas, O(n * kernel).
+    np.convolve per chunk inside applyInPandas, O(n * kernel).
+
+    Straggler/OOM guard: the truncated kernel (radius = 3*sigma rows) makes
+    the convolution exactly chunkable — each tag's series is split into
+    ``chunk_rows`` row chunks with a radius-row halo copied from the
+    neighbours, so one pathologically hot tag becomes n/chunk_rows parallel
+    tasks instead of one task holding the whole history in a single pandas
+    frame. Interior chunk edges see real halo values; only true series
+    edges get the edge padding, so chunked output is bit-identical to the
+    single-pass form (tests/test_dq_chunking.py). ``chunk_rows=None`` keeps
+    the one-group-per-tag fast path (one shuffle instead of two).
     """
     base = scan(df, spec)
     radius = max(1, int(3.0 * sigma))
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _kernel():
         import numpy as np
 
-        pdf = pdf.sort_values(TS).reset_index(drop=True)
         x = np.arange(-radius, radius + 1, dtype=float)
         k = np.exp(-0.5 * (x / sigma) ** 2)
-        k /= k.sum()
-        v = pdf[VAL].to_numpy(dtype=float)
-        padded = np.pad(v, radius, mode="edge")
-        pdf["value_smooth"] = np.round(np.convolve(padded, k, "valid"), round_digits)
-        return pdf
+        return k / k.sum()
 
-    return base.groupBy(TAG).applyInPandas(
-        smooth,
+    if chunk_rows is None:
+        def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            pdf = pdf.sort_values(TS).reset_index(drop=True)
+            v = pdf[VAL].to_numpy(dtype=float)
+            padded = np.pad(v, radius, mode="edge")
+            pdf["value_smooth"] = np.round(
+                np.convolve(padded, _kernel(), "valid"), round_digits
+            )
+            return pdf
+
+        return base.groupBy(TAG).applyInPandas(
+            smooth,
+            schema=f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string, value_smooth double",
+        )
+
+    C = max(int(chunk_rows), 2 * radius + 1)
+    w = Window.partitionBy(TAG).orderBy(TS)
+    b2 = base.withColumn("__rn", F.row_number().over(w) - F.lit(1))
+    core = b2.withColumn("__chunk", F.floor(F.col("__rn") / C)).withColumn(
+        "__core", F.lit(True)
+    )
+    # rows near a chunk's end also serve as the NEXT chunk's left halo, and
+    # rows near its start as the PREVIOUS chunk's right halo
+    left_halo = b2.filter(F.col("__rn") % C >= C - radius).select(
+        "*",
+        (F.floor(F.col("__rn") / C) + 1).alias("__chunk"),
+        F.lit(False).alias("__core"),
+    )
+    right_halo = b2.filter(
+        (F.col("__rn") % C < radius) & (F.col("__rn") >= C)
+    ).select(
+        "*",
+        (F.floor(F.col("__rn") / C) - 1).alias("__chunk"),
+        F.lit(False).alias("__core"),
+    )
+    u = core.unionByName(left_halo).unionByName(right_halo)
+
+    def smooth_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("__rn").reset_index(drop=True)
+        is_core = pdf["__core"].to_numpy()
+        if not is_core.any():  # halo-only spill past the last chunk
+            return pdf.iloc[0:0].drop(columns=["__rn", "__chunk", "__core"]).assign(
+                value_smooth=pd.Series(dtype=float)
+            )
+        v = pdf[VAL].to_numpy(dtype=float)
+        n_left = int(np.argmax(is_core))  # leading halo rows
+        n_right = int(np.argmax(is_core[::-1]))  # trailing halo rows
+        # short halos occur exactly at true series edges -> edge padding
+        # there reproduces the single-pass behaviour (v[0]/v[-1] are then
+        # the series' own first/last values)
+        padded = np.concatenate(
+            [np.repeat(v[0], radius - n_left), v, np.repeat(v[-1], radius - n_right)]
+        )
+        sm = np.round(np.convolve(padded, _kernel(), "valid"), round_digits)
+        out = pdf[is_core].copy()
+        out["value_smooth"] = sm  # valid conv length == core row count
+        return out.drop(columns=["__rn", "__chunk", "__core"])
+
+    return u.groupBy(TAG, "__chunk").applyInPandas(
+        smooth_chunk,
         schema=f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string, value_smooth double",
     )
 

@@ -1750,31 +1750,207 @@ def q_stream_cep_chain(spark, sf_dir):
     return _run_entry_stream(res, "entry_stream_chain")
 
 
+# ------------------------- oracled event-stream verbs (north rule, DuckDB-gated)
+#
+# The five streaming verbs below run as REAL readStream queries
+# (availableNow, append mode, watermark-closed emission) over the sf_dir
+# events table, mapped to the verbs' (prefix, ingest_ts, energy) feature
+# shape — so the driver's DuckDB gate hash-checks the same stateful
+# operators the clip pipeline uses (their clip-stream forms keep their
+# batch-parity pytest coverage in tests/test_streaming*.py).
+#
+# Exactness design (check_exact=True in the gate):
+# - events values have exactly 2 decimals, so sum-bearing verbs are fed
+#   round(value*100) as integer-valued doubles: float sums are then exact
+#   in ANY accumulation order, and the wrapper descales by /100 — the
+#   oracle mirrors the identical IEEE expression tree, making every double
+#   bit-identical (no tolerance needed).
+# - _round6 (streaming/twa.py: HALF_UP on the shortest-repr decimal) is
+#   replicated in SQL with exact integer arithmetic:
+#   round6(p/q) = ((2*p*1e6 + q) // (2*q)) / 1e6 for non-negative p/q.
+# - transcendental aggregates (circular cos/sin) are rounded to 4 decimals
+#   on both sides; their values are irrational, so exact-midpoint rounding
+#   divergence cannot occur.
+# - both sides cut at the same watermark-closed frontier: the stream's
+#   final watermark is max(ms-truncated ts) - 30 s (floor-seconds), derived
+#   identically in Spark (one-row bounded collect) and in the oracle SQL;
+#   a 60 s safety margin keeps the comparison off the exact frontier edge.
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+_EV_WM = 30  # watermark delay (seconds)
+_EV_EVERY = 3600  # hourly buckets
+
+_EV_SCAN = (
+    "SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS mts, "
+    "CAST(value AS DOUBLE) AS v, CAST(ROUND(value * 100.0) AS BIGINT) AS sv "
+    "FROM events"
+)
+_EV_WM_SQL = "(epoch_ms(max(mts)) - 30000) // 1000"
+_EV_BS = "(CAST(FLOOR(epoch(mts)) AS BIGINT) // 3600) * 3600"
+
+
+def _events_feature_stream(spark, sf_dir, scale100=False):
+    """The events table as a real file stream in the (prefix, ingest_ts,
+    energy) shape the streaming verbs consume. scale100 feeds exact
+    integer-valued doubles (see block comment). The file stream source
+    requires a directory, so the single events.parquet file is staged once
+    into a temp dir (a few MB)."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src_file = f"{sf_dir}/events.parquet"
+    tag = _hashlib.sha1(_os.path.abspath(src_file).encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "core_spark_ev_stream", tag)
+    staged = _os.path.join(d, "events.parquet")
+    if not _os.path.exists(staged) or (
+        _os.path.getmtime(staged) < _os.path.getmtime(src_file)
+    ):
+        _os.makedirs(d, exist_ok=True)
+        _shutil.copy2(src_file, staged + ".tmp")
+        _os.replace(staged + ".tmp", staged)
+    s = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    val = (
+        F.round(F.col("value") * 100.0).cast("double")
+        if scale100
+        else F.col("value").cast("double")
+    )
+    return s.select(
+        F.col("event_type").alias("prefix"),
+        F.date_trunc("millisecond", F.col("ts")).alias("ingest_ts"),
+        val.alias("energy"),
+    )
+
+
+def _events_wm_s(spark, sf_dir) -> int:
+    """Floor-seconds of the stream's final watermark (max ms-truncated ts
+    minus the 30 s delay) — the same number _EV_WM_SQL derives, so both
+    sides cut at identical bucket boundaries. One-row bounded collect."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return int(
+        df.agg(
+            F.floor(
+                (
+                    F.unix_millis(F.max(F.date_trunc("millisecond", F.col("ts"))))
+                    - F.lit(30000)
+                )
+                / F.lit(1000.0)
+            ).alias("w")
+        ).collect()[0]["w"]
+    )
+
+
 def q_stream_twa(spark, sf_dir):
     """Incremental time-weighted average (streaming/twa.py): stateful
     bucket integration with carried last observation, grace-window closure,
-    late-CDC rows for sparse keys. Closed buckets are bit-identical to the
-    batch TWA verb (tests/test_streaming_twa.py). Rows-only."""
+    late-CDC rows for sparse keys (reference TWA semantics,
+    _time_series_query_builder.py:1424-1567, recast per SURVEY §7.4.3).
+    Run as a real stream over the events table; the oracle replicates the
+    sub-segment trapezoid integration (bucket-edge split, per-sub-segment
+    scaled-int rounding, one final division) in exact arithmetic."""
     from .streaming import twa as _stwa
 
     res = _stwa.twa_stream(
-        _entry_clip_stream(spark), 60, watermark_sec=10, grace_sec=30
+        _events_feature_stream(spark, sf_dir),
+        _EV_EVERY,
+        watermark_sec=_EV_WM,
+        grace_sec=60,
+        featured=True,
     )
-    return _run_entry_stream(res, "entry_stream_twa")
+    out = _run_entry_stream(res, "ev_stream_twa")
+    wm = _events_wm_s(spark, sf_dir)
+    # internal emission: bucket + every + grace <= wm; extra 60s margin
+    return out.where(
+        F.unix_timestamp("event_time") <= F.lit(wm - _EV_EVERY - 60 - 60)
+    ).select(
+        F.col("prefix").alias("tagname"), "event_time", "value", "good_sec", "late"
+    )
+
+
+SQL_STREAM_TWA = f"""
+WITH e AS ({_EV_SCAN}),
+wm AS (SELECT {_EV_WM_SQL} AS wm_s FROM e),
+o AS (SELECT tagname, CAST(FLOOR(epoch(mts)) AS BIGINT) AS t, v,
+             lead(CAST(FLOOR(epoch(mts)) AS BIGINT)) OVER w AS t1,
+             lead(v) OVER w AS v1
+      FROM e WINDOW w AS (PARTITION BY tagname ORDER BY mts)),
+seg AS (SELECT * FROM o WHERE t1 IS NOT NULL AND t1 > t),
+sub AS (SELECT tagname, t, v, t1, v1,
+               unnest(generate_series(t // 3600, (t1 - 1) // 3600)) AS bi
+        FROM seg),
+c AS (SELECT tagname, bi * 3600 AS bucket, t, t1, v, v1,
+             GREATEST(t, bi * 3600) AS lo, LEAST(t1, bi * 3600 + 3600) AS hi
+      FROM sub),
+c2 AS (SELECT tagname, bucket, CAST(hi - lo AS DOUBLE) AS dt,
+         v + (v1 - v) * CAST(lo - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) AS va,
+         v + (v1 - v) * CAST(hi - t AS DOUBLE) / CAST(t1 - t AS DOUBLE) AS vb
+       FROM c),
+c3 AS (SELECT tagname, bucket,
+         CAST(FLOOR(((va + vb) / 2.0 * dt) * 1000000.0 + 0.5) AS BIGINT) AS tw_i,
+         CAST(FLOOR(dt * 1000.0 + 0.5) AS BIGINT) AS dt_i
+       FROM c2),
+agg AS (SELECT tagname, bucket, SUM(tw_i) AS tw, SUM(dt_i) AS dtt
+        FROM c3 GROUP BY 1, 2 HAVING SUM(dt_i) > 0)
+SELECT tagname, make_timestamp(bucket * 1000000) AS event_time,
+       CAST((tw * 2000 + dtt) // (2 * dtt) AS DOUBLE) / 1000000.0 AS value,
+       CAST(dtt AS DOUBLE) / 1000.0 AS good_sec,
+       FALSE AS late
+FROM agg, wm WHERE bucket <= wm_s - 3720
+"""
 
 
 def q_stream_interpolate(spark, sf_dir):
-    """Incremental resample+interpolate (streaming/interp.py): per-key
-    bucket averages closed at the watermark, gap buckets held pending until
-    the next non-empty bucket decides their linear fill. Emitted buckets
-    match the batch interpolate verb (tests/test_streaming_interp.py).
-    Rows-only."""
+    """Incremental resample+fill (streaming/interp.py): per-key bucket
+    averages closed at the watermark, forward-fill drained to the watermark
+    frontier with timer resume (reference interpolate semantics,
+    _time_series_query_builder.py:269-301). Real stream over the events
+    table (scaled-int feed -> exact bucket sums); linear-fill variant keeps
+    batch-parity pytest coverage (tests/test_streaming_interp.py)."""
     from .streaming import interp as _sintp
 
     res = _sintp.interp_stream(
-        _entry_clip_stream(spark), 60, watermark_sec=10, method="linear"
+        _events_feature_stream(spark, sf_dir, scale100=True),
+        _EV_EVERY,
+        watermark_sec=_EV_WM,
+        method="ffill",
+        featured=True,
     )
-    return _run_entry_stream(res, "entry_stream_interp")
+    out = _run_entry_stream(res, "ev_stream_interp")
+    wm = _events_wm_s(spark, sf_dir)
+    return out.where(
+        F.unix_timestamp("event_time") <= F.lit(wm - _EV_EVERY - 60)
+    ).select(
+        F.col("prefix").alias("tagname"),
+        "event_time",
+        (F.col("value") / 100.0).alias("value"),
+        "filled",
+    )
+
+
+SQL_STREAM_INTERPOLATE = f"""
+WITH e AS ({_EV_SCAN}),
+wm AS (SELECT {_EV_WM_SQL} AS wm_s FROM e),
+b AS (SELECT tagname, {_EV_BS} AS bs, sv FROM e),
+a AS (SELECT tagname, bs, SUM(sv) AS s, COUNT(*) AS c FROM b, wm
+      WHERE bs + 3600 <= wm_s GROUP BY 1, 2),
+a2 AS (SELECT tagname, bs, (2 * s * 1000000 + c) // (2 * c) AS n6 FROM a),
+grid AS (SELECT tagname,
+                unnest(generate_series(mn, ((wm_s - 3600) // 3600) * 3600, 3600)) AS bs
+         FROM (SELECT tagname, min(bs) AS mn FROM a2 GROUP BY 1), wm),
+f AS (SELECT g.tagname, g.bs, a2.n6,
+        last_value(a2.n6 IGNORE NULLS) OVER (PARTITION BY g.tagname ORDER BY g.bs
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv6
+      FROM grid g LEFT JOIN a2 ON g.tagname = a2.tagname AND g.bs = a2.bs)
+SELECT tagname, make_timestamp(bs * 1000000) AS event_time,
+       (CAST(fv6 AS DOUBLE) / 1000000.0) / 100.0 AS value,
+       (n6 IS NULL) AS filled
+FROM f, wm WHERE bs <= wm_s - 3660
+"""
 
 
 def _entry_clip_stream(spark):
@@ -1805,36 +1981,144 @@ def _run_entry_stream(res, name):
 
 def q_stream_ohlc(spark, sf_dir):
     """Streaming OHLC downsample (plot verb, TSQB:800-855) as a native
-    windowed min_by/max_by aggregate — batch/stream parity in
-    tests/test_streaming.py. Rows-only."""
+    windowed min_by/max_by stateful aggregate, run as a real stream over
+    the events table (append mode, watermark-closed windows). All outputs
+    are exact picks — no arithmetic — so the oracle is a plain
+    row_number/min/max per bucket. Clip-stream batch/stream parity in
+    tests/test_streaming.py."""
     from .streaming import windows as _sw
 
-    return _run_entry_stream(
-        _sw.ohlc_windows(_entry_clip_stream(spark), 60), "entry_stream_ohlc"
+    res = _sw.ohlc_windows(
+        _events_feature_stream(spark, sf_dir),
+        _EV_EVERY,
+        watermark_sec=_EV_WM,
+        featured=True,
     )
+    out = _run_entry_stream(res, "ev_stream_ohlc")
+    wm = _events_wm_s(spark, sf_dir)
+    return out.where(
+        F.unix_timestamp("window_start") <= F.lit(wm - _EV_EVERY - 60)
+    ).select(
+        F.col("prefix").alias("tagname"),
+        F.col("window_start").alias("event_time"),
+        "open", "high", "low", "close",
+        F.col("n_clips").alias("cnt"),
+    )
+
+
+SQL_STREAM_OHLC = f"""
+WITH e AS ({_EV_SCAN}),
+wm AS (SELECT {_EV_WM_SQL} AS wm_s FROM e),
+b AS (SELECT tagname, {_EV_BS} AS bs, v, mts FROM e),
+r AS (SELECT *, row_number() OVER (PARTITION BY tagname, bs ORDER BY mts ASC) AS rn_a,
+             row_number() OVER (PARTITION BY tagname, bs ORDER BY mts DESC) AS rn_d
+      FROM b)
+SELECT tagname, make_timestamp(bs * 1000000) AS event_time,
+       MAX(CASE WHEN rn_a = 1 THEN v END) AS open,
+       MAX(v) AS high, MIN(v) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN v END) AS close,
+       COUNT(*) AS cnt
+FROM r, wm GROUP BY tagname, bs, wm_s HAVING bs <= wm_s - 3660
+"""
 
 
 def q_stream_summary(spark, sf_dir):
     """Streaming summary verb (TSQB:304-382) as one algebraic windowed
-    aggregate (count/avg/min/max/stddev/sum/var); batch/stream parity in
-    tests/test_streaming.py. Rows-only."""
+    aggregate (count/avg/min/max/stddev/sum/var from (sum, sum-of-squares)
+    partials), run as a real stream over the events table with the exact
+    scaled-int feed — every emitted double is bit-identical to the oracle.
+    Clip-stream batch/stream parity in tests/test_streaming.py."""
     from .streaming import windows as _sw
 
-    return _run_entry_stream(
-        _sw.summary_windows(_entry_clip_stream(spark), 60), "entry_stream_summary"
+    res = _sw.summary_windows(
+        _events_feature_stream(spark, sf_dir, scale100=True),
+        _EV_EVERY,
+        watermark_sec=_EV_WM,
+        featured=True,
     )
+    out = _run_entry_stream(res, "ev_stream_summary")
+    wm = _events_wm_s(spark, sf_dir)
+    return out.where(
+        F.unix_timestamp("window_start") <= F.lit(wm - _EV_EVERY - 60)
+    ).select(
+        F.col("prefix").alias("tagname"),
+        F.col("window_start").alias("event_time"),
+        F.col("n_clips").alias("cnt"),
+        (F.col("avg_energy") / 100.0).alias("avg"),
+        (F.col("min_energy") / 100.0).alias("min"),
+        (F.col("max_energy") / 100.0).alias("max"),
+        (F.col("stddev_energy") / 100.0).alias("st_dev"),
+        (F.col("sum_energy") / 100.0).alias("sum"),
+        (F.col("var_energy") / 10000.0).alias("var"),
+    )
+
+
+SQL_STREAM_SUMMARY = f"""
+WITH e AS ({_EV_SCAN}),
+wm AS (SELECT {_EV_WM_SQL} AS wm_s FROM e),
+b AS (SELECT tagname, {_EV_BS} AS bs, sv FROM e),
+a AS (SELECT tagname, bs, COUNT(*) AS cnt,
+             CAST(SUM(sv) AS DOUBLE) AS s, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(MIN(sv) AS DOUBLE) AS mn, CAST(MAX(sv) AS DOUBLE) AS mx,
+             CAST(SUM(sv * sv) AS DOUBLE) AS ss
+      FROM b GROUP BY 1, 2),
+v AS (SELECT *, CASE WHEN cnt > 1
+                     THEN GREATEST((ss - s * s / n) / (n - 1.0), 0.0) END AS var_s
+      FROM a)
+SELECT tagname, make_timestamp(bs * 1000000) AS event_time, cnt,
+       (s / n) / 100.0 AS avg, mn / 100.0 AS min, mx / 100.0 AS max,
+       SQRT(var_s) / 100.0 AS st_dev, s / 100.0 AS sum, var_s / 10000.0 AS var
+FROM v, wm WHERE bs <= wm_s - 3660
+"""
 
 
 def q_stream_circular_avg(spark, sf_dir):
     """Streaming circular average (TSQB:1570-1719) as a native windowed
-    cos/sin aggregate with atan2 recompose; wrap-around + parity tests in
-    tests/test_streaming.py. Rows-only."""
+    cos/sin aggregate with atan2 recompose, run as a real stream over the
+    events table (lo/hi = 0/20, the batch circular verb's scale).
+    Transcendental values — both sides round to 4 decimals. Wrap-around +
+    clip parity tests in tests/test_streaming.py."""
     from .streaming import windows as _sw
 
-    return _run_entry_stream(
-        _sw.circular_avg_windows(_entry_clip_stream(spark), 60),
-        "entry_stream_circ",
+    res = _sw.circular_avg_windows(
+        _events_feature_stream(spark, sf_dir),
+        _EV_EVERY,
+        lo=0.0,
+        hi=20.0,
+        watermark_sec=_EV_WM,
+        featured=True,
     )
+    out = _run_entry_stream(res, "ev_stream_circ")
+    wm = _events_wm_s(spark, sf_dir)
+    return out.where(
+        F.unix_timestamp("window_start") <= F.lit(wm - _EV_EVERY - 60)
+    ).select(
+        F.col("prefix").alias("tagname"),
+        F.col("window_start").alias("event_time"),
+        F.round("circ_avg", 4).alias("circ_avg"),
+        F.round("r_len", 4).alias("r_len"),
+        F.col("n_clips").alias("cnt"),
+    )
+
+
+# mirrors circular_avg_windows' exact expression tree: rad scale, avg cos/sin,
+# atan2, the WHEN ang<0 wrap (not fmod), then rescale — round 4 both sides
+SQL_STREAM_CIRCULAR_AVG = f"""
+WITH e AS ({_EV_SCAN}),
+wm AS (SELECT {_EV_WM_SQL} AS wm_s FROM e),
+b AS (SELECT tagname, {_EV_BS} AS bs,
+             (v - 0.0) / 20.0 * 2.0 * {PI!r} AS rad FROM e),
+a AS (SELECT tagname, bs, AVG(COS(rad)) AS mc, AVG(SIN(rad)) AS ms,
+             COUNT(*) AS cnt
+      FROM b GROUP BY 1, 2),
+w2 AS (SELECT *, CASE WHEN atan2(ms, mc) < 0 THEN atan2(ms, mc) + 2.0 * {PI!r}
+                      ELSE atan2(ms, mc) END AS ang FROM a)
+SELECT tagname, make_timestamp(bs * 1000000) AS event_time,
+       ROUND(0.0 + ang / (2.0 * {PI!r}) * 20.0, 4) AS circ_avg,
+       ROUND(SQRT(mc * mc + ms * ms), 4) AS r_len,
+       cnt
+FROM w2, wm WHERE bs <= wm_s - 3660
+"""
 
 
 # ---------------------------------------------------------------- registry
@@ -2863,6 +3147,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_gap_sessions": q_ts_gap_sessions,
     "ts_cep_funnel": q_ts_cep_funnel,
     "ts_cep_contiguous": q_ts_cep_contiguous,
+    # oracled STREAMING verbs (real readStream, availableNow, watermark-
+    # closed emission over the events table) — inside the driver's first-50
+    # gate window so the stateful operators get hash-checked
+    "stream_twa": q_stream_twa,
+    "stream_interpolate": q_stream_interpolate,
+    "stream_ohlc": q_stream_ohlc,
+    "stream_summary": q_stream_summary,
+    "stream_circular_avg": q_stream_circular_avg,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_near_dup": q_sim_near_dup,
     "ts_interpolate_at_time": q_ts_interpolate_at_time,
@@ -2907,11 +3199,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_interval_filtering": q_dq_interval_filtering,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_cep_chain": q_stream_cep_chain,
-    "stream_twa": q_stream_twa,
-    "stream_interpolate": q_stream_interpolate,
-    "stream_ohlc": q_stream_ohlc,
-    "stream_summary": q_stream_summary,
-    "stream_circular_avg": q_stream_circular_avg,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_lsh_topk": q_sim_lsh_topk,
@@ -2955,6 +3242,11 @@ ORACLES: dict[str, str] = {
     "ts_twa_step": _twa_sql(21600, step=True),
     "ts_circular_avg": _circ_sql(86400, 0.0, 20.0, sd=False),
     "ts_circular_sd": _circ_sql(86400, 0.0, 20.0, sd=True),
+    "stream_twa": SQL_STREAM_TWA,
+    "stream_interpolate": SQL_STREAM_INTERPOLATE,
+    "stream_ohlc": SQL_STREAM_OHLC,
+    "stream_summary": SQL_STREAM_SUMMARY,
+    "stream_circular_avg": SQL_STREAM_CIRCULAR_AVG,
     "ts_pivot": SQL_TS_PIVOT,
     "ts_linreg_trend": SQL_TS_LINREG_TREND,
     "ts_ar1_forecast": SQL_TS_AR1_FORECAST,

@@ -194,13 +194,21 @@ def interp_stream(
     watermark_sec: int = 30,
     method: str = "linear",
     prefix_len: int = 2,
+    featured: bool = False,
 ) -> DataFrame:
     """Streaming resample-and-fill over the clip stream (value = clip
     energy): non-empty buckets emit their average, gap buckets emit the
     batch verb's fill once decidable. Batch frames run the plain batch
     verb shape via groupBy+window functions in operators/timeseries —
-    that is the parity oracle (tests/test_streaming_interp.py)."""
-    feats = clip_features(df, prefix_len).select("prefix", "ingest_ts", "energy")
+    that is the parity oracle (tests/test_streaming_interp.py).
+
+    ``featured=True``: df already carries (prefix, ingest_ts, energy) — any
+    keyed tag/ts/value stream rides the same stateful operator without the
+    clip decode stage. Feeding integer-valued energies (e.g. a fixed-point
+    2-decimal scale) makes the bucket sums exact in any accumulation order,
+    which is what the registry's DuckDB-oracled stream_interpolate does."""
+    src = df if featured else clip_features(df, prefix_len)
+    feats = src.select("prefix", "ingest_ts", "energy")
     if not df.isStreaming:
         raise ValueError(
             "batch frames should use operators/timeseries.interpolate — "

@@ -56,6 +56,9 @@ def build_args(argv=None):
                         "per-core stores — decode parallelism comes from input "
                         "file splits, not from this")
     p.add_argument("--keep-work", action="store_true")
+    p.add_argument("--synth-only", action="store_true",
+                   help="synthesize the input table and exit (bench uses this "
+                        "so input writeback never overlaps a measured run)")
     return p.parse_args(argv)
 
 
@@ -87,6 +90,12 @@ def main(argv=None) -> dict:
     if not os.path.isdir(in_dir):
         synth.write_clips_parquet(spark, in_dir, a.n_clips, n_files=n_files)
         n_clips = a.n_clips
+        if a.synth_only:
+            print(json.dumps({"synth_only": True, "n_clips": n_clips}))
+            return {"synth_only": True, "n_clips": n_clips}
+    elif a.synth_only:
+        print(json.dumps({"synth_only": True, "existing": True}))
+        return {"synth_only": True, "existing": True}
     elif a.input:
         # pre-existing input: throughput must be computed from the ACTUAL
         # row count, not the --n-clips default (footer-only count, untimed)

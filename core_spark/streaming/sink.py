@@ -224,10 +224,34 @@ class MergeSink:
 
     # ---------------------------------------------------------------- iceberg
 
-    def iceberg_merge_sql(self, catalog_table: str, source_view: str) -> str:
+    def iceberg_merge_sql(
+        self,
+        catalog_table: str,
+        source_view: str,
+        data_cols: Sequence[str] | None = None,
+    ) -> str:
         """The equivalent cluster-side MERGE (reference pattern:
-        delta_merge.py:212-271 translated to Iceberg SQL)."""
+        delta_merge.py:212-271 translated to Iceberg SQL). With a CDC verb
+        column the delete branch mirrors the reference's ChangeType routing
+        (pcdm_to_delta.py:311-314); the source view then carries op_col, so
+        the table columns must be listed explicitly (``data_cols``).
+        Executed for real by streaming/iceberg.IcebergMergeSink when an
+        Iceberg runtime is on the classpath (tests/test_iceberg_sink.py,
+        jar-gated)."""
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
+        if self.op_col is not None:
+            if not data_cols:
+                raise ValueError("CDC merge (op_col set) needs data_cols")
+            sets = ", ".join(f"t.{c} = s.{c}" for c in data_cols)
+            cols = ", ".join(data_cols)
+            vals = ", ".join(f"s.{c}" for c in data_cols)
+            return (
+                f"MERGE INTO {catalog_table} t USING {source_view} s ON {on} "
+                f"WHEN MATCHED AND s.{self.op_col} = '{self.delete_value}' THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED AND s.{self.op_col} <> '{self.delete_value}' "
+                f"THEN INSERT ({cols}) VALUES ({vals})"
+            )
         return (
             f"MERGE INTO {catalog_table} t USING {source_view} s ON {on} "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"

@@ -276,17 +276,24 @@ def ohlc_windows(
     window_sec: int = 60,
     watermark_sec: int = 30,
     prefix_len: int = 2,
+    featured: bool = False,
 ) -> DataFrame:
     """Per-prefix OHLC downsample of clip energy — the reference's plot
     verb (TSQB:800-855; batch form operators/timeseries.plot_ohlc) on the
     stream. The reference's min/max-over-struct window trick becomes the
     native ``min_by``/``max_by`` aggregates (SURVEY §2.4), so this is a
     plain stateful hash aggregate: one shuffle, scalar state per window.
-    (clip_id, ingest_ts) tie-breaks keep the picks deterministic."""
-    feats = clip_features(df, prefix_len).withWatermark(
+    (clip_id, ingest_ts) tie-breaks keep the picks deterministic.
+
+    ``featured=True``: df already carries (prefix, ingest_ts, energy) —
+    any keyed value stream (e.g. a generic tag/ts/value table) rides the
+    same operator without the clip decode stage; ties then break on
+    (ingest_ts, energy), the batch plot verb's ordering."""
+    feats = (df if featured else clip_features(df, prefix_len)).withWatermark(
         "ingest_ts", f"{watermark_sec} seconds"
     )
-    ordkey = F.struct("ingest_ts", "clip_id")
+    tie = "clip_id" if "clip_id" in feats.columns else "energy"
+    ordkey = F.struct("ingest_ts", tie)
     agg = feats.groupBy(
         F.window("ingest_ts", f"{window_sec} seconds").alias("w"), "prefix"
     ).agg(
@@ -309,15 +316,18 @@ def circular_avg_windows(
     hi: float = 1.0,
     watermark_sec: int = 30,
     prefix_len: int = 2,
+    featured: bool = False,
 ) -> DataFrame:
     """Per-prefix circular average of clip energy — the reference's
     circular_average verb (TSQB:1570-1719) as a native windowed aggregate:
     scale [lo, hi) to radians, average cos/sin (algebraic partials,
     map-side combined), atan2 recompose, rescale (TSQB:1591,1597). The
     wrap-around property — values just below hi and just above lo average
-    to the boundary, not the midpoint — is what a plain avg cannot give."""
+    to the boundary, not the midpoint — is what a plain avg cannot give.
+    ``featured=True`` skips the clip decode (df already has prefix/
+    ingest_ts/energy)."""
     span = hi - lo
-    feats = clip_features(df, prefix_len).withWatermark(
+    feats = (df if featured else clip_features(df, prefix_len)).withWatermark(
         "ingest_ts", f"{watermark_sec} seconds"
     )
     rad = (F.col("energy") - F.lit(lo)) / F.lit(span) * F.lit(2.0) * F.lit(_PI)
@@ -347,13 +357,14 @@ def summary_windows(
     window_sec: int = 60,
     watermark_sec: int = 30,
     prefix_len: int = 2,
+    featured: bool = False,
 ) -> DataFrame:
     """Per-prefix windowed summary of clip energy — the reference's summary
     verb (TSQB:304-382: count/avg/min/max/stddev/sum/var per tag) on the
     stream. All algebraic aggregates (stddev/var fold as sum/sum-of-squares
     partials), so the whole verb is one map-side-combined stateful hash
-    aggregate."""
-    feats = clip_features(df, prefix_len).withWatermark(
+    aggregate. ``featured=True`` skips the clip decode."""
+    feats = (df if featured else clip_features(df, prefix_len)).withWatermark(
         "ingest_ts", f"{watermark_sec} seconds"
     )
     agg = feats.groupBy(
@@ -363,13 +374,31 @@ def summary_windows(
         F.avg("energy").alias("avg_energy"),
         F.min("energy").alias("min_energy"),
         F.max("energy").alias("max_energy"),
-        F.stddev("energy").alias("stddev_energy"),
         F.sum("energy").alias("sum_energy"),
-        F.variance("energy").alias("var_energy"),
+        F.sum(F.col("energy") * F.col("energy")).alias("ss_energy"),
     )
-    return agg.select(F.col("w.start").alias("window_start"), "prefix", "n_clips",
-                      "avg_energy", "min_energy", "max_energy", "stddev_energy",
-                      "sum_energy", "var_energy")
+    # variance from algebraic (sum, sum-of-squares) partials instead of
+    # F.variance's merged (mean, M2) pairs: the sums are plain map-side
+    # combines (cheaper state), and on exact inputs (integer-valued
+    # energies) the result is a deterministic IEEE expression — which is
+    # what lets the registry's event-stream variant hash-match a DuckDB
+    # oracle bit-for-bit. GREATEST clamps the epsilon-negative cancellation
+    # case (all-equal values).
+    n = F.col("n_clips").cast("double")
+    var = F.when(
+        F.col("n_clips") > 1,
+        F.greatest(
+            (F.col("ss_energy") - F.col("sum_energy") * F.col("sum_energy") / n)
+            / (n - F.lit(1.0)),
+            F.lit(0.0),
+        ),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"), "prefix", "n_clips",
+        "avg_energy", "min_energy", "max_energy",
+        F.sqrt(var).alias("stddev_energy"), "sum_energy",
+        var.alias("var_energy"),
+    )
 
 
 CODEC_DIM_ROWS = [
