@@ -1707,47 +1707,83 @@ SQL_TS_CEP_CONTIGUOUS = cp.match_contiguous_sql("events", CEP_SPEC, *_CEP_CHAIN)
 
 
 def q_stream_cep_funnel(spark, sf_dir):
-    """Streaming CEP funnel (applyInPandasWithState, per-clip_id state,
-    event-time timers for absence alerts) over the clip + correction
-    streams; matched rows equal the batch operator's, asserted in
-    tests/test_cep.py. Rows-only."""
-    import os as _os
-    import tempfile
-
-    from . import synth as _synth
+    """Streaming CEP funnel (applyInPandasWithState, per-key state,
+    event-time timers + inline horizon close for absence alerts) run as a
+    REAL readStream over the events table: signup followed-by purchase
+    within 6h per user — the streaming twin of ts_cep_funnel, cut at the
+    watermark-closed frontier so the DuckDB oracle (the batch funnel SQL
+    under the same cut) matches exactly. The clip + correction two-stream
+    form keeps its batch-parity pytest coverage (tests/test_cep.py)."""
     from .streaming import cep as _scep
-    from .streaming import source as _src
 
-    corr_dir = _os.path.join(tempfile.gettempdir(), "core_spark_entry_stream", "cep_corr")
-    clips = _entry_clip_stream(spark)
-    if not _os.path.isdir(corr_dir):
-        spark.createDataFrame(
-            _synth.make_corrections_pdf_range(0, 2000), schema=_synth.CORRECTIONS_SCHEMA
-        ).coalesce(2).write.parquet(corr_dir)
-    res = _scep.funnel_stream(
-        clips,
-        _src.corrections_stream(spark, corr_dir),
-        within_sec=60,
-        watermark_sec=5,
+    a, b, within = _CEP_FUNNEL
+    res = _scep.funnel_stream_keyed(
+        _events_raw_stream(spark, sf_dir), "user_id", "ts", a, b, within,
+        watermark_sec=_EV_WM,
     )
-    return _run_entry_stream(res, "entry_stream_cep")
+    out = _run_entry_stream(res, "ev_stream_cep_funnel")
+    # the funnel's scan-pushed A|B filter means its watermark advances only
+    # with pattern events — frontier over the same subset on both sides
+    wm = _events_wm_s(spark, sf_dir, f"({a}) OR ({b})")
+    # an A is final once its horizon (a_s + within + 1) is behind the final
+    # watermark; 120 s margin keeps the cut off the frontier edge
+    return out.where(
+        F.unix_timestamp("a_ts") <= F.lit(wm - within - 120)
+    ).select(
+        F.col("clip_id").cast("long").alias("user_id"),
+        "a_ts", "b_ts", "lag_sec", "matched",
+    )
+
+
+# the batch funnel SQL over ms-truncated events (the stream's timestamp
+# resolution), restricted to As whose horizon the final watermark closed
+SQL_STREAM_CEP_FUNNEL = f"""
+WITH wm AS (SELECT (epoch_ms(max(date_trunc('milliseconds', ts))) - 30000) // 1000
+            AS wm_s FROM events
+            WHERE ({_CEP_FUNNEL[0]}) OR ({_CEP_FUNNEL[1]}))
+SELECT f.* FROM (
+{cp.followed_by_sql(
+    "(SELECT user_id, date_trunc('milliseconds', ts) AS ts, event_type FROM events)",
+    cp.CepSpec(key_col="user_id", ts_col="ts"),
+    *_CEP_FUNNEL,
+)}
+) f, wm WHERE CAST(FLOOR(epoch(f.a_ts)) AS BIGINT) <= wm_s - {_CEP_FUNNEL[2]} - 120
+"""
 
 
 def q_stream_cep_chain(spark, sf_dir):
     """Streaming contiguous-chain CEP (streaming/cep.chain_stream): per-key
     state carries the last n-1 events so chains spanning micro-batch
-    boundaries fire; batch operator parity under arbitrary batch splits in
-    tests/test_cep.py. Rows-only."""
+    boundaries fire. Run as a real readStream over the events table with
+    the batch chain's pattern (view -> click -> purchase in 24h per user),
+    cut at the watermark frontier; oracle = the batch MATCH_RECOGNIZE SQL
+    under the same cut. Multi-batch-split parity stays in tests/test_cep.py."""
     from .streaming import cep as _scep
 
-    clips = _entry_clip_stream(spark).withColumn(
-        "prefix", F.substring("clip_id", 1, 2)
-    )
+    preds, within = _CEP_CHAIN
     res = _scep.chain_stream(
-        clips, "prefix", "ingest_ts",
-        ["codec = 'pcm16'", "codec = 'ulaw'"], within_sec=3600, watermark_sec=5,
+        _events_raw_stream(spark, sf_dir), "user_id", "ts", list(preds),
+        within_sec=within, watermark_sec=_EV_WM,
     )
-    return _run_entry_stream(res, "entry_stream_chain")
+    out = _run_entry_stream(res, "ev_stream_cep_chain")
+    wm = _events_wm_s(spark, sf_dir)
+    return out.where(F.unix_timestamp("end_ts") <= F.lit(wm - 60)).select(
+        F.col("key").cast("long").alias("user_id"),
+        "start_ts", "end_ts", "span_sec",
+    )
+
+
+SQL_STREAM_CEP_CHAIN = f"""
+WITH wm AS (SELECT (epoch_ms(max(date_trunc('milliseconds', ts))) - 30000) // 1000
+            AS wm_s FROM events)
+SELECT c.* FROM (
+{cp.match_contiguous_sql(
+    "(SELECT user_id, event_id, date_trunc('milliseconds', ts) AS ts, event_type FROM events)",
+    CEP_SPEC,
+    *_CEP_CHAIN,
+)}
+) c, wm WHERE CAST(FLOOR(epoch(c.end_ts)) AS BIGINT) <= wm_s - 60
+"""
 
 
 # ------------------------- oracled event-stream verbs (north rule, DuckDB-gated)
@@ -1792,18 +1828,14 @@ _EV_WM_SQL = "(epoch_ms(max(mts)) - 30000) // 1000"
 _EV_BS = "(CAST(FLOOR(epoch(mts)) AS BIGINT) // 3600) * 3600"
 
 
-def _events_feature_stream(spark, sf_dir, scale100=False):
-    """The events table as a real file stream in the (prefix, ingest_ts,
-    energy) shape the streaming verbs consume. scale100 feeds exact
-    integer-valued doubles (see block comment). The file stream source
-    requires a directory, so the single events.parquet file is staged once
-    into a temp dir (a few MB)."""
+def _stage_events_dir(sf_dir) -> str:
+    """The file stream source requires a directory, so the single
+    events.parquet file is staged once into a temp dir (a few MB)."""
     import hashlib as _hashlib
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src_file = f"{sf_dir}/events.parquet"
     tag = _hashlib.sha1(_os.path.abspath(src_file).encode()).hexdigest()[:12]
     d = _os.path.join(_tempfile.gettempdir(), "core_spark_ev_stream", tag)
@@ -1814,7 +1846,28 @@ def _events_feature_stream(spark, sf_dir, scale100=False):
         _os.makedirs(d, exist_ok=True)
         _shutil.copy2(src_file, staged + ".tmp")
         _os.replace(staged + ".tmp", staged)
-    s = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(d)
+    return d
+
+
+def _events_raw_stream(spark, sf_dir):
+    """The events table as a real file stream, full schema, timestamps
+    ms-truncated (the streaming operators' output resolution, so oracle
+    timestamps compare exactly)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
+        _stage_events_dir(sf_dir)
+    )
+    return s.withColumn("ts", F.date_trunc("millisecond", F.col("ts")))
+
+
+def _events_feature_stream(spark, sf_dir, scale100=False):
+    """The events table as a real file stream in the (prefix, ingest_ts,
+    energy) shape the streaming verbs consume. scale100 feeds exact
+    integer-valued doubles (see block comment)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
+        _stage_events_dir(sf_dir)
+    )
     val = (
         F.round(F.col("value") * 100.0).cast("double")
         if scale100
@@ -1827,11 +1880,19 @@ def _events_feature_stream(spark, sf_dir, scale100=False):
     )
 
 
-def _events_wm_s(spark, sf_dir) -> int:
+def _events_wm_s(spark, sf_dir, where: str | None = None) -> int:
     """Floor-seconds of the stream's final watermark (max ms-truncated ts
     minus the 30 s delay) — the same number _EV_WM_SQL derives, so both
-    sides cut at identical bucket boundaries. One-row bounded collect."""
+    sides cut at identical bucket boundaries. One-row bounded collect.
+
+    ``where``: when the streaming operator filters rows BEFORE its
+    withWatermark (the funnel pushes its A|B predicate into the scan), the
+    stream's watermark only advances with the surviving rows — the frontier
+    must be computed over the same subset or the cut misses rows whose
+    horizon the real watermark never closed."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if where:
+        df = df.where(where)
     return int(
         df.agg(
             F.floor(
@@ -3155,6 +3216,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ohlc": q_stream_ohlc,
     "stream_summary": q_stream_summary,
     "stream_circular_avg": q_stream_circular_avg,
+    "stream_cep_funnel": q_stream_cep_funnel,
+    "stream_cep_chain": q_stream_cep_chain,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_near_dup": q_sim_near_dup,
     "ts_interpolate_at_time": q_ts_interpolate_at_time,
@@ -3197,8 +3260,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- DuckDB gate reads the first 50 keys, so oracle-backed come first
     "ts_exp_smooth": q_ts_exp_smooth,
     "dq_interval_filtering": q_dq_interval_filtering,
-    "stream_cep_funnel": q_stream_cep_funnel,
-    "stream_cep_chain": q_stream_cep_chain,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_lsh_topk": q_sim_lsh_topk,
@@ -3247,6 +3308,8 @@ ORACLES: dict[str, str] = {
     "stream_ohlc": SQL_STREAM_OHLC,
     "stream_summary": SQL_STREAM_SUMMARY,
     "stream_circular_avg": SQL_STREAM_CIRCULAR_AVG,
+    "stream_cep_funnel": SQL_STREAM_CEP_FUNNEL,
+    "stream_cep_chain": SQL_STREAM_CEP_CHAIN,
     "ts_pivot": SQL_TS_PIVOT,
     "ts_linreg_trend": SQL_TS_LINREG_TREND,
     "ts_ar1_forecast": SQL_TS_AR1_FORECAST,

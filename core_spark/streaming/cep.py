@@ -242,6 +242,45 @@ def funnel_stream(
     )
 
 
+def funnel_stream_keyed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    a_pred: str,
+    b_pred: str,
+    within_sec: int,
+    watermark_sec: int = 30,
+) -> DataFrame:
+    """A-followed-by-B funnel over ANY single keyed event stream — the same
+    stateful matcher as ``funnel_stream`` (identical state schema, horizon
+    arithmetic, inline close) with the A/B split expressed as predicates
+    instead of two physical streams (batch twin: ``operators/cep
+    .followed_by``, reference pattern per SURVEY §2.12). Predicates are
+    coalesced JVM-side so NULL inputs read as false, matching the batch
+    oracle. Output keeps the funnel's schema with ``clip_id`` carrying the
+    stringified key."""
+    ev = df.where(f"({a_pred}) OR ({b_pred})").select(
+        F.col(key_col).cast("string").alias("clip_id"),
+        F.col(ts_col).alias("ts"),
+        F.coalesce(F.expr(a_pred), F.lit(False)).alias("is_a"),
+    )
+    if not df.isStreaming:
+        from ..operators import cep as _cep
+
+        return _cep.followed_by(
+            ev, _cep.CepSpec(key_col="clip_id", ts_col="ts"), "is_a", "NOT is_a",
+            within_sec,
+        )
+    ev = ev.withWatermark("ts", f"{watermark_sec} seconds")
+    return ev.groupBy("clip_id").applyInPandasWithState(
+        _make_funnel_fn(within_sec),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def tws_available() -> bool:
     """True when Spark 4's transformWithStateInPandas Python API can run
     (its wire protocol needs google.protobuf in the worker env)."""

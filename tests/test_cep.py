@@ -449,3 +449,65 @@ def test_chain_stream_on_clip_stream(spark, cep_dirs):
     r = ref.sort_values(key).reset_index(drop=True)
     assert len(g) > 0
     pd.testing.assert_frame_equal(g[key + ["span_sec"]], r[key + ["span_sec"]])
+
+
+def test_funnel_stream_keyed_matches_batch(spark, tmp_path):
+    """funnel_stream_keyed (single predicate-split stream) == batch
+    followed_by on the same events, for every A whose horizon the stream's
+    final watermark closed. Also pins the watermark-source subtlety: the
+    operator's A|B filter runs BEFORE withWatermark, so the stream frontier
+    advances only with pattern events — the closed-set cut must use
+    max(pattern ts), not max(all ts)."""
+    rows = []
+    # 3 users, signups + purchases + noise events after the last purchase
+    for u in range(3):
+        for i in range(8):
+            rows.append((u, t(u * 11 + i * 700), "signup", 1.0))
+            if i % 2 == 0:
+                rows.append((u, t(u * 11 + i * 700 + 120), "purchase", 1.0))
+        rows.append((u, t(50_000), "view", 0.0))  # advances nothing (filtered)
+    df = _events(spark, rows)
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(d)
+
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    res = scep.funnel_stream_keyed(
+        stream, "user_id", "ts", "event_type = 'signup'",
+        "event_type = 'purchase'", within_sec=300, watermark_sec=10,
+    )
+    q = (
+        res.writeStream.format("memory").queryName("fsk_par")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("fsk_par").toPandas()
+
+    batch = scep.funnel_stream_keyed(
+        df, "user_id", "ts", "event_type = 'signup'",
+        "event_type = 'purchase'", within_sec=300,
+    ).toPandas()
+
+    # frontier over PATTERN events only (the view rows never reach the
+    # watermark operator)
+    import pandas as _pd
+
+    pat = df.where("event_type IN ('signup','purchase')").agg(
+        F.max("ts").alias("m")
+    ).collect()[0]["m"]
+    wm_s = int(_pd.Timestamp(pat).value // 1_000_000_000) - 10
+    closed = batch[
+        batch["a_ts"].astype("int64") // 1_000_000_000 + 300 + 1 <= wm_s
+    ]
+
+    key = ["clip_id", "a_ts"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = closed.sort_values(key).reset_index(drop=True)
+    # every closed batch row appears in the stream output with equal fields
+    merged = b.merge(a, on=key, suffixes=("_b", "_s"), how="left")
+    assert not merged["matched_s"].isna().any(), "stream missing closed rows"
+    assert (merged["matched_b"] == merged["matched_s"]).all()
+    lag_eq = (
+        merged["lag_sec_b"].fillna(-1).astype("int64")
+        == merged["lag_sec_s"].fillna(-1).astype("int64")
+    )
+    assert lag_eq.all()
