@@ -546,10 +546,35 @@ SQL_DQ_DEDUP_ROWS = "SELECT * FROM events"
 
 
 def q_dq_interval_filtering(spark, sf_dir):
-    # applyInPandas sequential thinning: not SQL-expressible => rows-only check
+    # applyInPandas sequential thinning; the keep-chain recurrence (keep a
+    # row iff it is >= min_interval after the LAST KEPT row) is replayed in
+    # a DuckDB recursive CTE — ms-resolution timestamps make the float
+    # total_seconds() test equivalent to exact integer epoch-ms arithmetic
     return dq.interval_filtering(
         _load(spark, sf_dir, "events"), EVENTS_SPEC, min_interval_seconds=1800.0
     )
+
+
+SQL_DQ_INTERVAL_FILTERING = """
+WITH RECURSIVE base AS (
+  SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS event_time,
+         CAST(value AS DOUBLE) AS value, 'Good' AS status,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events
+),
+rec AS (
+  SELECT tagname, rn, event_time, value, status, TRUE AS keep,
+         event_time AS last_kept
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.tagname, b.rn, b.event_time, b.value, b.status,
+         epoch_ms(b.event_time) - epoch_ms(r.last_kept) >= 1800000 AS keep,
+         CASE WHEN epoch_ms(b.event_time) - epoch_ms(r.last_kept) >= 1800000
+              THEN b.event_time ELSE r.last_kept END AS last_kept
+  FROM rec r JOIN base b ON b.tagname = r.tagname AND b.rn = r.rn + 1
+)
+SELECT tagname, event_time, value, status FROM rec WHERE keep
+"""
 
 
 def q_dq_binning(spark, sf_dir):
@@ -563,13 +588,95 @@ FROM ({_SCAN})
 
 
 def q_dq_impute_missing(spark, sf_dir):
-    # modal-interval grid + np.interp fill: not SQL-expressible => rows-only;
-    # exactness asserted in tests/test_data_quality.py
+    # explicit hourly cadence -> the chunked segment fill (grid points are
+    # anchor + i*3600 on floored-second endpoints, np.interp's
+    # slope*(g-a)+va expression) is integer-exact arithmetic the oracle
+    # replays verbatim; modal-cadence exactness stays in
+    # tests/test_data_quality.py
     return dq.impute_missing(_load(spark, sf_dir, "events"), EVENTS_SPEC, 3600.0)
 
 
+SQL_DQ_IMPUTE_MISSING = """
+WITH base AS (
+  SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS event_time,
+         CAST(value AS DOUBLE) AS value, 'Good' AS status
+  FROM events
+),
+o AS (
+  SELECT tagname, value AS va,
+         CAST(epoch_ms(event_time) // 1000 AS DOUBLE) AS a_s,
+         CAST(MIN(epoch_ms(event_time) // 1000)
+              OVER (PARTITION BY tagname) AS DOUBLE) AS anchor,
+         CAST(LEAD(epoch_ms(event_time) // 1000) OVER w AS DOUBLE) AS b_s,
+         LEAD(value) OVER w AS vb
+  FROM base WINDOW w AS (PARTITION BY tagname ORDER BY event_time)
+),
+seg AS (SELECT * FROM o WHERE b_s IS NOT NULL AND b_s > a_s),
+g AS (
+  SELECT tagname, a_s, b_s, va, vb, anchor,
+         unnest(generate_series(
+            CAST(FLOOR((a_s - anchor) / 3600.0) AS BIGINT),
+            CAST(CEIL((b_s - anchor) / 3600.0) AS BIGINT))) AS i
+  FROM seg
+),
+mm AS (
+  SELECT tagname, anchor + CAST(i AS DOUBLE) * 3600.0 AS gs, a_s, b_s, va, vb
+  FROM g
+  WHERE anchor + CAST(i AS DOUBLE) * 3600.0 > a_s
+    AND anchor + CAST(i AS DOUBLE) * 3600.0 < b_s
+)
+SELECT tagname, event_time, value, status, FALSE AS imputed FROM base
+UNION ALL
+SELECT tagname, make_timestamp(CAST(gs AS BIGINT) * 1000000) AS event_time,
+       ROUND(((vb - va) / (b_s - a_s)) * (gs - a_s) + va, 6) AS value,
+       'Good' AS status, TRUE AS imputed
+FROM mm
+"""
+
+
 def q_dq_gaussian_smooth(spark, sf_dir):
+    # truncated-Gaussian convolution with edge padding; the oracle embeds
+    # the EXACT numpy kernel doubles as literals (repr round-trips) and
+    # replays the weighted sum via LAG/LEAD — round-6 absorbs np.convolve's
+    # internal accumulation order (verified over random 2-decimal data)
     return dq.gaussian_smooth(_load(spark, sf_dir, "events"), EVENTS_SPEC, sigma=2.0)
+
+
+def _gauss_sql() -> str:
+    import numpy as _np
+
+    radius = 6  # = int(3 * sigma), sigma = 2.0 (operator default arithmetic)
+    x = _np.arange(-radius, radius + 1, dtype=float)
+    k = _np.exp(-0.5 * (x / 2.0) ** 2)
+    k = k / k.sum()
+    terms = []
+    for o in range(-radius, radius + 1):
+        w = repr(float(k[radius + o]))
+        if o < 0:
+            v = f"COALESCE(LAG(value, {-o}) OVER w, fv)"
+        elif o > 0:
+            v = f"COALESCE(LEAD(value, {o}) OVER w, lv)"
+        else:
+            v = "value"
+        terms.append(f"{v} * {w}")
+    s = " + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS event_time,
+         CAST(value AS DOUBLE) AS value, 'Good' AS status,
+         FIRST_VALUE(value) OVER w AS fv,
+         LAST_VALUE(value) OVER (PARTITION BY event_type ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+  FROM (SELECT event_type, ts, CAST(value AS DOUBLE) AS value FROM events)
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+)
+SELECT tagname, event_time, value, status,
+       ROUND({s}, 6) AS value_smooth
+FROM base WINDOW w AS (PARTITION BY tagname ORDER BY event_time)
+"""
+
+
+SQL_DQ_GAUSSIAN_SMOOTH = _gauss_sql()
 
 
 def q_transform_json_props(spark, sf_dir):
@@ -821,12 +928,40 @@ FROM r
 
 
 def q_ts_exp_smooth(spark, sf_dir):
-    # sequential per-tag recurrence (pandas ewm inside applyInPandas):
-    # no stable SQL closed form => rows-only; recurrence exactness asserted
-    # in tests/test_dq_extra.py
+    # sequential per-tag recurrence (pandas ewm(adjust=False) inside
+    # applyInPandas); the oracle replays pandas' exact FP kernel
+    # s = ((1-a)*s + a*x) / ((1-a) + a) in a DuckDB recursive CTE (verified
+    # bit-identical to ewm), so this is hash-checkable despite having no
+    # closed-form SQL
     return ts.exp_smooth(
         _load(spark, sf_dir, "events"), EVENTS_SPEC, alpha=0.3, start=START, end=END
     )
+
+
+# pandas ewm(adjust=False) kernel per step: s = (owf*s + a*x) / (owf + a)
+# with owf = 1.0 - a (all doubles, same IEEE expression tree in DuckDB)
+SQL_TS_EXP_SMOOTH = f"""
+WITH RECURSIVE base AS (
+  SELECT event_type AS tagname, date_trunc('milliseconds', ts) AS event_time,
+         CAST(value AS DOUBLE) AS value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events WHERE ts >= TIMESTAMP '{START}' AND ts < TIMESTAMP '{END}'
+),
+rec AS (
+  SELECT tagname, rn, event_time, value, value AS s FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.tagname, b.rn, b.event_time, b.value,
+         CASE WHEN r.s = b.value THEN r.s
+              ELSE ((1.0 - 0.3) * r.s + 0.3 * b.value) / ((1.0 - 0.3) + 0.3)
+         END
+  FROM rec r JOIN base b ON b.tagname = r.tagname AND b.rn = r.rn + 1
+),
+last AS (
+  SELECT tagname, ROUND(arg_max(s, rn), 6) AS forecast FROM rec GROUP BY 1
+)
+SELECT r.tagname, r.event_time, r.value, ROUND(r.s, 6) AS level, l.forecast
+FROM rec r JOIN last l ON r.tagname = l.tagname
+"""
 
 
 def q_dq_tag_correlation(spark, sf_dir):
@@ -3310,6 +3445,10 @@ ORACLES: dict[str, str] = {
     "stream_circular_avg": SQL_STREAM_CIRCULAR_AVG,
     "stream_cep_funnel": SQL_STREAM_CEP_FUNNEL,
     "stream_cep_chain": SQL_STREAM_CEP_CHAIN,
+    "ts_exp_smooth": SQL_TS_EXP_SMOOTH,
+    "dq_interval_filtering": SQL_DQ_INTERVAL_FILTERING,
+    "dq_impute_missing": SQL_DQ_IMPUTE_MISSING,
+    "dq_gaussian_smooth": SQL_DQ_GAUSSIAN_SMOOTH,
     "ts_pivot": SQL_TS_PIVOT,
     "ts_linreg_trend": SQL_TS_LINREG_TREND,
     "ts_ar1_forecast": SQL_TS_AR1_FORECAST,
