@@ -78,9 +78,146 @@ def ulaw_decode(b: bytes) -> np.ndarray:
     return ULAW_LUT[np.frombuffer(b, dtype=np.uint8)]
 
 
-_DECODERS = {"pcm16": pcm16_decode, "ulaw": ulaw_decode}
-#: bytes per encoded sample, keyed like _DECODERS
-_SAMPLE_BYTES = {"pcm16": 2, "ulaw": 1}
+def _build_alaw_lut() -> np.ndarray:
+    """G.711 A-law: all 256 codes decoded once (ITU G.711 / classic
+    alaw2linear), gathered per clip like the mu-law LUT."""
+    out = np.empty(256, dtype=np.float32)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[code] = (t if (a & 0x80) else -t) / 32768.0
+    return out
+
+
+ALAW_LUT = _build_alaw_lut()
+
+_ALAW_SEG_END = np.array(
+    [0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], dtype=np.int32
+)
+
+
+def alaw_encode(x: np.ndarray) -> bytes:
+    """float [-1,1] -> G.711 A-law bytes (vectorized linear2alaw)."""
+    pcm = np.clip(np.rint(x * 32768.0), -32768, 32767).astype(np.int32)
+    mask = np.where(pcm >= 0, 0xD5, 0x55).astype(np.int32)
+    mag = np.where(pcm >= 0, pcm, -pcm - 8)
+    mag = np.maximum(mag, 0)
+    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left").astype(np.int32)
+    full = seg >= 8
+    seg_c = np.minimum(seg, 7)
+    shift = np.where(seg_c < 2, 4, seg_c + 3)
+    aval = (seg_c << 4) | ((mag >> shift) & 0x0F)
+    aval = np.where(full, 0x7F, aval)
+    return ((aval ^ mask) & 0xFF).astype(np.uint8).tobytes()
+
+
+def alaw_decode(b: bytes) -> np.ndarray:
+    return ALAW_LUT[np.frombuffer(b, dtype=np.uint8)]
+
+
+# IMA ADPCM (DVI4): 4 bits/sample with a predictive state machine. Block
+# format here: 4-byte header (int16 LE predictor, uint8 step index, 1
+# reserved) + packed nibbles, low nibble first. The decode is inherently
+# sequential (each step feeds the next), so it is an O(n) Python loop —
+# correct and deterministic, but ~100x slower than the LUT codecs; real
+# deployments would swap in a native decoder via the _DECODERS registry,
+# which is exactly the injection point this entry demonstrates.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    step = int(_IMA_STEPS[idx])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if (nib & 8) else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+    return pred, idx
+
+
+def adpcm_encode(x: np.ndarray) -> bytes:
+    """float [-1,1] -> IMA ADPCM block (4-byte header + packed nibbles)."""
+    pcm = np.clip(np.rint(x * 32767.0), -32768, 32767).astype(np.int32)
+    n = len(pcm)
+    pred, idx = (int(pcm[0]) if n else 0), 0
+    nibs = bytearray()
+    for s in pcm:
+        step = int(_IMA_STEPS[idx])
+        delta = int(s) - pred
+        nib = 8 if delta < 0 else 0
+        if delta < 0:
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        pred, idx = _ima_step(pred, idx, nib)
+        nibs.append(nib)
+    header = int(pcm[0] if n else 0).to_bytes(2, "little", signed=True) + bytes(
+        [0, 0]
+    )
+    packed = bytearray()
+    for k in range(0, len(nibs), 2):
+        lo = nibs[k]
+        hi = nibs[k + 1] if k + 1 < len(nibs) else 0
+        packed.append(lo | (hi << 4))
+    return header + bytes(packed)
+
+
+def adpcm_decode(b: bytes) -> np.ndarray:
+    if len(b) < 4:
+        return _EMPTY_F32
+    pred = int.from_bytes(b[:2], "little", signed=True)
+    idx = 0
+    packed = np.frombuffer(b, dtype=np.uint8, offset=4)
+    nibs = np.empty(2 * len(packed), dtype=np.uint8)
+    nibs[0::2] = packed & 0x0F
+    nibs[1::2] = packed >> 4
+    out = np.empty(len(nibs), dtype=np.float32)
+    for k, nib in enumerate(nibs):
+        pred, idx = _ima_step(pred, idx, int(nib))
+        out[k] = pred
+    return out / 32767.0
+
+
+_DECODERS = {
+    "pcm16": pcm16_decode,
+    "ulaw": ulaw_decode,
+    "alaw": alaw_decode,
+    "adpcm": adpcm_decode,
+}
+#: encoded length -> decoded sample count, keyed like _DECODERS
+_SAMPLE_COUNT = {
+    "pcm16": lambda nbytes: nbytes // 2,
+    "ulaw": lambda nbytes: nbytes,
+    "alaw": lambda nbytes: nbytes,
+    "adpcm": lambda nbytes: max(0, nbytes - 4) * 2,
+}
 _EMPTY_F32 = np.empty(0, dtype=np.float32)
 
 
@@ -162,10 +299,10 @@ def decoded_samples(data: pd.Series, codec: pd.Series) -> pd.Series:
     out = []
     for b, c in zip(data.to_numpy(), codec.to_numpy()):
         try:
-            width = _SAMPLE_BYTES[c]
+            count = _SAMPLE_COUNT[c]
         except KeyError:
             raise ValueError(f"unknown codec: {c!r}") from None
-        out.append(0 if b is None else len(b) // width)
+        out.append(0 if b is None else count(len(b)))
     return pd.Series(out).astype("int32")
 
 

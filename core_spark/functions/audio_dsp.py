@@ -352,3 +352,112 @@ def audio_fingerprint(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd
             continue
         out.append(fingerprint(_decode_one(b, c), s))
     return pd.Series(out)
+
+
+# ------------------------------------------------------- MFCC + quality
+
+_N_MFCC = 13
+
+
+def _dct2_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the standard MFCC transform), n_out x n_in."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    m = np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_in))
+    m *= np.sqrt(2.0 / n_in)
+    m[0] *= np.sqrt(0.5)
+    return m
+
+
+def mfcc_embedding(
+    x: np.ndarray, sr: int, n_mels: int = 24, n_mfcc: int = _N_MFCC
+) -> np.ndarray:
+    """Time-pooled MFCC vector: DCT-II over per-frame log-mel energies,
+    mean-pooled. The decorrelated twin of logmel_embedding — the compact
+    embedding a speech training pipeline stores per clip."""
+    p = _spec_frames(np.asarray(x, dtype=np.float64))
+    fb = mel_filterbank(sr, n_mels)
+    mel = np.log10(p @ fb.T + 1e-10)     # frames x n_mels
+    if len(mel) == 0:
+        return np.zeros(n_mfcc, dtype=np.float32)
+    coef = mel @ _dct2_matrix(n_mels, n_mfcc).T   # frames x n_mfcc
+    return coef.mean(axis=0).astype(np.float32)
+
+
+def quality_stats(x: np.ndarray, sr: int) -> tuple:
+    """Per-clip audio quality gate metrics:
+
+    - clipping_ratio: fraction of samples at (or past) full scale — the
+      dominant ingest defect in user-generated audio.
+    - dc_offset: mean sample value (mic/ADC bias).
+    - snr_est_db: VAD-split SNR estimate — speech-frame power over
+      noise-frame power; +inf-free (capped at 99 dB), 0-speech or
+      0-noise clips degrade to 0.0 / 99.0 respectively.
+    - dynamic_range_db: peak over per-frame RMS floor.
+    """
+    n = len(x)
+    if n == 0:
+        return (0.0, 0.0, 0.0, 0.0)
+    full = 32766.0 / 32767.0
+    clip_ratio = float(np.count_nonzero(np.abs(x) >= full)) / n
+    dc = float(x.mean())
+    # vad_mask is per 20 ms frame — expand to a per-sample mask
+    fmask = vad_mask(x, sr)
+    frame_n = max(1, sr * 20 // 1000)
+    smask = np.repeat(fmask, frame_n)[:n]
+    xm = x[: len(smask)]
+    speech = xm[smask]
+    noise = xm[~smask]
+    p_speech = float(np.mean(speech.astype(np.float64) ** 2)) if len(speech) else 0.0
+    p_noise = float(np.mean(noise.astype(np.float64) ** 2)) if len(noise) else 0.0
+    if p_speech <= 0.0:
+        snr = 0.0
+    elif p_noise <= 1e-12:
+        snr = 99.0
+    else:
+        snr = min(99.0, 10.0 * float(np.log10(p_speech / p_noise)))
+    frame = max(1, sr // 50)
+    rms = frame_rms(x, frame)
+    floor = float(rms[rms > 0].min()) if np.any(rms > 0) else _FLOOR
+    peak = float(np.max(np.abs(x)))
+    dyn = 20.0 * float(np.log10(max(peak, _FLOOR) / max(floor, _FLOOR)))
+    return (clip_ratio, dc, snr, dyn)
+
+
+QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("clipping_ratio", T.DoubleType()),
+        T.StructField("dc_offset", T.DoubleType()),
+        T.StructField("snr_est_db", T.DoubleType()),
+        T.StructField("dynamic_range_db", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(QUALITY_SCHEMA)
+def audio_quality(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.DataFrame:
+    """Vectorized per-clip quality gate (fused decode->reduce->discard,
+    same null surface as audio_vad)."""
+    rows = []
+    for b, c, sr in zip(data.to_numpy(), codec.to_numpy(), sr_hz.to_numpy()):
+        s = _safe_sr(sr)
+        x = _decode_one(b, c) if (s is not None and c is not None) else None
+        if x is None or len(x) == 0:
+            rows.append((0.0, 0.0, 0.0, 0.0))
+            continue
+        rows.append(quality_stats(x, s))
+    return pd.DataFrame(
+        rows, columns=["clipping_ratio", "dc_offset", "snr_est_db", "dynamic_range_db"]
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def audio_mfcc(data: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Series:
+    out = []
+    for b, c, sr in zip(data.to_numpy(), codec.to_numpy(), sr_hz.to_numpy()):
+        s = _safe_sr(sr)
+        if b is None or c is None or s is None:
+            out.append(None)
+            continue
+        out.append(mfcc_embedding(_decode_one(b, c), s).tolist())
+    return pd.Series(out)

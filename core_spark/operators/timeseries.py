@@ -600,11 +600,15 @@ def circular_average(
     tags: Sequence[str] | None = None,
     include_bad: bool = False,
     round_digits: int = 6,
+    fill: bool = False,
 ) -> DataFrame:
     """Wrap-around mean of angular values per (tag, bucket) (TSQB:1570-1669).
 
     Scale [lower, upper) to radians (TSQB:1590), mean of cos/sin, atan2
-    recompose (TSQB:1597), rescale to units in [lower, upper).
+    recompose (TSQB:1597), rescale to units in [lower, upper). With
+    ``fill=True`` the output is densified onto the full time grid via a
+    left join (the reference's ``date_array`` CTE, TSQB:1581-1588), empty
+    buckets carrying NULL values.
     """
     base = scan(df, spec, start, end, tags, include_bad)
     span = upper - lower
@@ -617,11 +621,14 @@ def circular_average(
     ang = F.atan2(F.col("__s"), F.col("__c"))  # (-pi, pi]
     pi2 = 2.0 * 3.141592653589793
     ang_pos = (ang + F.lit(pi2)) % F.lit(pi2)
-    return agg.select(
+    out = agg.select(
         TAG,
         TS,
         F.round(ang_pos / F.lit(pi2) * F.lit(span) + F.lit(lower), round_digits).alias(VAL),
     )
+    if fill:
+        out = _densify(out, df, spec, start, end, every_seconds, tags)
+    return out
 
 
 def circular_stddev(
@@ -635,8 +642,12 @@ def circular_stddev(
     tags: Sequence[str] | None = None,
     include_bad: bool = False,
     round_digits: int = 6,
+    fill: bool = False,
 ) -> DataFrame:
-    """Circular standard deviation sqrt(-2 ln R) in units (TSQB:1635)."""
+    """Circular standard deviation sqrt(-2 ln R) in units (TSQB:1635).
+
+    ``fill=True`` densifies onto the full grid as in :func:`circular_average`.
+    """
     base = scan(df, spec, start, end, tags, include_bad)
     span = upper - lower
     rad = (F.col(VAL) - F.lit(lower)) / F.lit(span) * 2.0 * F.lit(3.141592653589793)
@@ -653,11 +664,33 @@ def circular_stddev(
     )
     pi2 = 2.0 * 3.141592653589793
     sd_rad = F.sqrt(-2.0 * F.log(r))
-    return agg.select(
+    out = agg.select(
         TAG,
         TS,
         F.round(sd_rad / F.lit(pi2) * F.lit(span), round_digits).alias(VAL),
     )
+    if fill:
+        out = _densify(out, df, spec, start, end, every_seconds, tags)
+    return out
+
+
+def _densify(
+    out: DataFrame,
+    df: DataFrame,
+    spec: TSSpec,
+    start: str | None,
+    end: str | None,
+    every_seconds: int,
+    tags: Sequence[str] | None,
+) -> DataFrame:
+    """Left-join ``out`` onto the tags x buckets grid (TSQB ``date_array``)."""
+    if start is None or end is None:
+        return out
+    tag_src = df.select(F.col(spec.tag_col).alias(TAG))
+    if tags is not None:
+        tag_src = tag_src.filter(F.col(TAG).isin(list(tags)))
+    grid = _grid(tag_src, start, end, every_seconds)
+    return grid.join(out, [TAG, TS], "left_outer").select(TAG, TS, VAL)
 
 
 def pivot_wide(

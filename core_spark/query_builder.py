@@ -415,6 +415,7 @@ class TimeSeriesQueryBuilder:
         out = tsq.circular_average(
             self._events(), self.spec, every, lower_bound, upper_bound,
             start_date, end_date, tagname_filter, include_bad_data,
+            fill=True,
         )
         if pivot:
             return self._finish(self._pivot(out, tagname_filter), True, limit, offset, (TS,))
@@ -442,6 +443,7 @@ class TimeSeriesQueryBuilder:
         out = tsq.circular_stddev(
             self._events(), self.spec, every, lower_bound, upper_bound,
             start_date, end_date, tagname_filter, include_bad_data,
+            fill=True,
         )
         if pivot:
             return self._finish(self._pivot(out, tagname_filter), True, limit, offset, (TS,))

@@ -1811,6 +1811,54 @@ def q_stream_dedup_watermark(spark, sf_dir):
     return spark.table("entry_stream_dedup")
 
 
+def _synth_meta_oracles() -> dict[str, str]:
+    """Exact DuckDB oracles for the clip-stream queries whose input is the
+    deterministic synthetic clips table: synth.clips_meta_sql reproduces
+    the generator's metadata bit-for-bit in SQL (parity asserted in
+    tests/test_synth_sql.py), so the payload-free streaming verbs become
+    hash-checkable. Audio-decode verbs stay rows-only (PCM DSP is not SQL).
+    """
+    from . import synth
+
+    meta2000 = synth.clips_meta_sql(2000)
+    dedup = f"""
+SELECT clip_id, sr_hz, dur_ms, codec, transcript FROM ({meta2000})
+"""
+    # windowed_transcript_tokens: 60 s tumbling window keyed by 2-char prefix
+    tokens = f"""
+SELECT
+  make_timestamp((epoch_ms(ingest_ts) // 60000) * 60000000) AS window_start,
+  substr(clip_id, 1, 2) AS prefix,
+  count(*) AS n_clips,
+  CAST(sum(len(regexp_extract_all(transcript, '\\S+'))) AS BIGINT) AS sum_tokens
+FROM ({meta2000})
+GROUP BY 1, 2
+"""
+    # corrected_transcripts: interval left join within 60 s tolerance
+    corrections = f"""
+WITH cm AS ({meta2000}),
+x AS ({synth.corrections_meta_sql(0, 2000)})
+SELECT
+  cm.clip_id,
+  cm.ingest_ts,
+  cm.transcript,
+  x.corrected_transcript,
+  x.correction_ts,
+  coalesce(x.corrected_transcript, cm.transcript) AS final_transcript,
+  x.corrected_transcript IS NOT NULL AS corrected
+FROM cm
+LEFT JOIN x
+  ON cm.clip_id = x.clip_id
+ AND x.correction_ts >= cm.ingest_ts
+ AND x.correction_ts <= cm.ingest_ts + INTERVAL 60 SECOND
+"""
+    return {
+        "stream_dedup_watermark": dedup,
+        "stream_transcript_tokens": tokens,
+        "stream_join_corrections": corrections,
+    }
+
+
 # ------------------------------------------------------------ CEP (operators/cep)
 
 CEP_SPEC = cp.CepSpec(key_col="user_id", ts_col="ts", id_col="event_id")
@@ -3304,6 +3352,53 @@ def q_sim_semantic_dedup(spark, sf_dir):
     return sim.semantic_dedup(emb, threshold=0.95, n_lists=8)
 
 
+def q_audio_segment_clips(spark, sf_dir):
+    """VAD utterance chunking: clips explode into per-segment child rows
+    with sliced re-encoded payloads and byte-range lineage
+    (operators/audio_prep.segment_clips). Rows-only (DSP not SQL);
+    invariants in tests/test_audio_prep.py."""
+    from . import synth
+    from .operators import audio_prep as ap
+
+    clips = synth.clips_df(spark, 300)
+    segs = ap.segment_clips(clips)
+    return segs.select(
+        "clip_id", "seg_idx", "child_id", "sr_hz", "dur_ms",
+        "start_ms", "end_ms",
+        (F.length("bytes") / 2).cast("long").alias("n_samples"),
+    )
+
+
+def q_audio_quality_gate(spark, sf_dir):
+    """Clipping/SNR/speech-ratio accept-reject gate over the clip stream
+    (operators/audio_prep.quality_gate) — the audio twin of the text
+    quality score. Rows-only."""
+    from . import synth
+    from .operators import audio_prep as ap
+
+    clips = synth.clips_df(spark, 400)
+    out = ap.quality_gate(clips)
+    return out.select(
+        "clip_id",
+        F.round("clipping_ratio", 4).alias("clipping_ratio"),
+        F.round("snr_est_db", 2).alias("snr_est_db"),
+        F.round("speech_ratio", 4).alias("speech_ratio"),
+        "accept",
+        "reject_reason",
+    )
+
+
+def q_audio_transcript_rate(spark, sf_dir):
+    """Text x audio consistency check: transcript tokens per second of
+    detected speech (operators/audio_prep.transcript_rate_check).
+    Rows-only."""
+    from . import synth
+    from .operators import audio_prep as ap
+
+    clips = synth.clips_df(spark, 400)
+    return ap.transcript_rate_check(clips)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_raw": q_ts_raw,
     "ts_resample_avg": q_ts_resample_avg,
@@ -3420,6 +3515,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_kmeans_binning": q_dq_kmeans_binning,
     "ts_ar_auto": q_ts_ar_auto,
     "sim_semantic_dedup": q_sim_semantic_dedup,
+    "audio_segment_clips": q_audio_segment_clips,
+    "audio_quality_gate": q_audio_quality_gate,
+    "audio_transcript_rate": q_audio_transcript_rate,
 }
 
 ORACLES: dict[str, str] = {
@@ -3511,3 +3609,7 @@ ORACLES: dict[str, str] = {
     "sample_split": SQL_SAMPLE_SPLIT,
     "text_contamination": SQL_TEXT_CONTAMINATION,
 }
+
+# clip-stream queries over the synthetic table: oracled via the SQL twin of
+# the generator (synth.clips_meta_sql / corrections_meta_sql)
+ORACLES.update(_synth_meta_oracles())

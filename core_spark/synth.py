@@ -291,3 +291,92 @@ def write_clips_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ------------------------------------------------------------------ oracle SQL
+
+
+def clips_meta_sql(
+    n: int,
+    seed: int = 42,
+    step_ms: int = 200,
+    disorder_ms: int = 5_000,
+    late_every: int = 97,
+    late_by_ms: int = 600_000,
+    gap_every: int = 500,
+    gap_len: int = 40,
+) -> str:
+    """ANSI-SQL (DuckDB) reproduction of ``make_clips_pdf``'s metadata
+    columns — bit-identical clip_id / sr_hz / dur_ms / codec / transcript /
+    ingest_ts for indices [0, n), plus the raw ``i`` and ``ts_ms`` for
+    derived feeds (corrections). Every field is the same pure function of
+    the index the numpy generator computes: the multiplicative uint64 hash
+    is HUGEINT arithmetic mod 2**64, the Zipf CDF constants are embedded at
+    full float64 precision, and jitter truncation matches astype(int64).
+    Lets the driver's DuckDB gate oracle-check streaming queries whose
+    input is the synthetic clips table rather than a parquet view."""
+    ranks = np.arange(1, len(PREFIXES) + 1, dtype=np.float64)
+    p = ranks**-1.2
+    p /= p.sum()
+    cdf = np.cumsum(p)
+    cdf_lits = ", ".join(repr(float(c)) for c in cdf)
+    vocab = "[" + ", ".join(f"'{w}'" for w in _VOCAB) + "]"
+    prefs = "[" + ", ".join(f"'{p}'" for p in PREFIXES) + "]"
+    two64 = "18446744073709551616::HUGEINT"
+    k64 = "11400714819323198485::HUGEINT"
+
+    def uniform(col: str, add: int) -> str:
+        return (
+            f"(((({col} + {add})::HUGEINT * {k64}) % {two64}) // 2048)::DOUBLE"
+            " / 9007199254740992.0"
+        )
+
+    return f"""
+SELECT
+  i,
+  {prefs}[pidx + 1] || '-' || printf('%08d', i) AS clip_id,
+  [8000, 16000, 44100][CAST(i % 3 AS INT) + 1] AS sr_hz,
+  200 + (i * 37) % 1801 AS dur_ms,
+  CASE WHEN i % 2 = 0 THEN 'pcm16' ELSE 'ulaw' END AS codec,
+  array_to_string(
+    list_transform(range(0, CAST(3 + i % 4 AS INT)),
+                   j -> {vocab}[CAST((i * 7 + j) % 26 AS INT) + 1]), ' ') AS transcript,
+  ts_ms,
+  TIMESTAMP '2024-03-01 00:00:00' + ts_ms * INTERVAL 1 MILLISECOND AS ingest_ts
+FROM (
+  SELECT i, pidx,
+    i * {step_ms} + jit
+      + CASE WHEN i % {late_every} = {late_every - 1} THEN {late_by_ms} ELSE 0 END
+      + CASE WHEN i % {gap_every} >= {gap_every - gap_len} THEN {3 * late_by_ms} ELSE 0 END
+      AS ts_ms
+  FROM (
+    SELECT i,
+      least(len(list_filter([{cdf_lits}], x -> x <= {uniform('i', seed + 1)})), {len(PREFIXES) - 1}) AS pidx,
+      CAST(trunc(({uniform('i', seed + 8)}) * {disorder_ms}.0) AS BIGINT) AS jit
+    FROM (SELECT i::BIGINT AS i FROM range(0, {n}) t(i))
+  )
+)
+"""
+
+
+def corrections_meta_sql(
+    lo: int,
+    hi: int,
+    seed: int = 42,
+    within_lag_ms: int = 30_000,
+    beyond_lag_ms: int = 3_600_000,
+) -> str:
+    """SQL twin of ``make_corrections_pdf_range`` over ``clips_meta_sql``:
+    every 10th clip gets a correction; every 3rd of those arrives beyond
+    the join tolerance."""
+    return f"""
+SELECT
+  clip_id,
+  transcript || '-corr' AS corrected_transcript,
+  TIMESTAMP '2024-03-01 00:00:00'
+    + (ts_ms + CASE WHEN (i // 10) % 3 = 2 THEN {beyond_lag_ms}
+               ELSE ((i // 10) * 131) % {within_lag_ms} END) * INTERVAL 1 MILLISECOND
+    AS correction_ts
+FROM ({clips_meta_sql(hi, seed)})
+WHERE i % 10 = 0 AND i >= {lo}
+"""

@@ -106,7 +106,9 @@ def test_twa_step_variants(qb, events, meta):
 
 def test_circular_and_summary_and_latest(qb, events):
     ca = qb.circular_average(TAGS, START, END, "1", "day", 0, 360)
-    want_ca = tsq.circular_average(events, SPEC, 86400, 0, 360, START, END, TAGS)
+    want_ca = tsq.circular_average(
+        events, SPEC, 86400, 0, 360, START, END, TAGS, fill=True
+    )
     assert rows(ca) == rows(want_ca)
     sm = qb.summary(TAGS, START, END)
     want_sm = tsq.summary(events, SPEC, START, END, TAGS)
