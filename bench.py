@@ -101,6 +101,19 @@ def run_batch(sf_dir: str, cores: int) -> dict[str, float]:
     return times
 
 
+def _bench_root() -> str:
+    """Scaling work dirs live on tmpfs when available: checkpoints, state
+    stores, and sink merges then never contend on the host's single real
+    disk — the honest single-host analog of a cluster where every executor
+    has its own local disks. Override with $SPARK_GRAFT_BENCH_WORK."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_WORK")
+    if env:
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/core_spark_bench"
+    return "/tmp/core_spark_bench"
+
+
 def _job_cmd(
     cores: int,
     n_clips: int,
@@ -108,6 +121,8 @@ def _job_cmd(
     in_dir: str,
     files_per_trigger: int = 112,
     cpuset: str | None = None,
+    barrier_dir: str | None = None,
+    barrier_count: int = 1,
 ) -> list[str]:
     batches = max(1, 336 // files_per_trigger)  # input is written as 336 files
     # Pin the whole JVM (its GC/JIT threads AND the Python workers it forks,
@@ -122,7 +137,7 @@ def _job_cmd(
         if cpuset and _shutil.which("taskset")
         else []
     )
-    return pin + [
+    cmd = pin + [
         sys.executable, "-m", "core_spark.streaming.job",
         "--cores", str(cores), "--mode", "tumbling", "--salt", "8",
         "--n-clips", str(n_clips), "--work", work,
@@ -132,10 +147,19 @@ def _job_cmd(
         "--input", in_dir, "--batches", str(batches),
         "--files-per-trigger", str(files_per_trigger),
     ]
+    if barrier_dir:
+        cmd += ["--barrier-dir", barrier_dir, "--barrier-count", str(barrier_count)]
+    return cmd
 
 
-def _run_job(cmd: list[str]) -> dict:
+def _run_job(cmd: list[str], heap: str | None = None) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO)
+    if heap:
+        # scaling jobs run a right-sized heap at BOTH levels (identical
+        # config, fair ratio): a local[6] slice job on a 20 GB AlwaysPreTouch
+        # heap wastes startup on 20 GB of page-zeroing (4 concurrent = a
+        # fleet-wide fault storm) and measures ~15% slower from GC locality
+        env["SPARK_GRAFT_DRIVER_MEM"] = heap
     out = subprocess.run(
         cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=3600
     )
@@ -172,15 +196,23 @@ def run_scaling(n_clips: int) -> dict:
       (GC/JIT thread counts) size themselves to the slice via
       sched_getaffinity. Unpinned, the level-N JVM borrows the idle 24
       cores for GC/JIT/Python workers and the ratio is biased down.
-    - levels run sequentially, never overlapping.
-    - each level repeats SPARK_GRAFT_BENCH_REPEATS (default 3) times and the
-      MEDIAN run (by clips/sec) is reported — all within this single
+    - work dirs (checkpoints, state stores, sink output) live on tmpfs:
+      a cluster gives every executor its own local disks, so four JVMs
+      fsync-contending on this host's single real disk would be measuring
+      the sandbox, not the engine.
+    - fleet jobs rendezvous on a file barrier AFTER their untimed warm-up,
+      so every measured phase runs under full 4-way contention and no
+      job's measurement overlaps another's JVM startup/heap pretouch.
+    - reps are INTERLEAVED (lo, fleet, lo, fleet, ...) and the efficiency
+      is the median of per-pair ratios fleet_i/(4*lo_i): slow host drift
+      (page-cache churn, shared-VM neighbors) then cancels in each pair
+      instead of biasing whichever level ran later. All within this single
       invocation; nothing is merged from prior runs.
-    - fleet JVM starts are staggered 2s apart so four simultaneous
-      20 GB AlwaysPreTouch heap faults don't serialize on the kernel.
+    - levels run sequentially, never overlapping; rep work dirs are
+      removed after each rep so tmpfs usage stays bounded.
 
     The residual gap vs 1.0 is genuinely shared host memory bandwidth +
-    page cache, which separate cluster machines would not share.
+    LLC, which separate cluster machines would not share.
 
     - level N: one pinned local[6] job over the full input;
     - level 4N: four concurrent pinned local[6] jobs, each over the full
@@ -188,16 +220,17 @@ def run_scaling(n_clips: int) -> dict:
       their own shard of a 4x stream); fleet throughput = sum of per-job
       rates, all batches measured under full 4-way contention.
     """
-    work = "/tmp/core_spark_bench"
-    in_dir = os.path.join(work, "clips_input")
+    work = _bench_root()
+    heap = os.environ.get("SPARK_GRAFT_BENCH_HEAP", "8g")
+    in_dir = os.path.join(work, f"clips_input_{n_clips}")
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     n_lo = int(os.environ.get("SPARK_GRAFT_BENCH_CORES_LO", "6"))
     n_exec = 4
 
     # Input hygiene: synthesize in a separate unpinned step, flush dirty
-    # pages, then warm the page cache with one sequential read — so no
-    # measured run pays writeback or cold-read IO (both levels then read
-    # the identical fully-cached bytes; /tmp is real disk here).
+    # pages, then touch every byte once — on tmpfs the pages ARE the cache;
+    # on a /tmp fallback this warms the page cache so no measured run pays
+    # cold-read IO.
     if not os.path.isdir(in_dir):
         _run_job(
             [sys.executable, "-m", "core_spark.streaming.job",
@@ -213,47 +246,35 @@ def run_scaling(n_clips: int) -> dict:
             while fh.read(1 << 24):
                 pass
 
-    # level N: single executor, pinned to slice 0
-    lo_runs = []
-    for rep in range(repeats):
-        r = _run_job(
-            _job_cmd(
-                n_lo, n_clips, os.path.join(work, f"lo_{rep}"), in_dir,
-                cpuset=_slice(0),
-            )
-        )
-        print(f"  streaming 1x local[{n_lo}] pinned rep={rep}: {r}", file=sys.stderr)
-        lo_runs.append(r)
-    med_lo = _median_by(lo_runs, "clips_per_sec")
-
-    # latency mode (one run): same job + input, 28-file micro-batches
-    # (~120k clips each). The availableNow drain's batch duration is the
-    # window-close latency proxy, so the trigger size IS the latency knob;
-    # this run shows where the engine sits when tuned for latency instead
-    # of throughput (production equivalent: maxFilesPerTrigger / a
-    # processingTime trigger sized to the ingest rate).
-    lat = _run_job(
-        _job_cmd(
-            n_lo, n_clips, os.path.join(work, "lat"), in_dir,
-            files_per_trigger=28, cpuset=_slice(0),
-        )
-    )
-    print(f"  streaming latency-mode 1x local[{n_lo}]: {lat}", file=sys.stderr)
-
-    # level 4N: fleet of 4 concurrent executors on disjoint slices
     from concurrent.futures import ThreadPoolExecutor
 
     def _staggered(args):
         i, cmd = args
-        time.sleep(2.0 * i)
-        return _run_job(cmd)
+        time.sleep(1.0 * i)  # spread heap-pretouch fault bursts
+        return _run_job(cmd, heap=heap)
 
-    fleet_runs = []
+    lo_runs: list[dict] = []
+    fleet_runs: list[dict] = []
+    pair_eff: list[float] = []
     for rep in range(repeats):
+        # level N: single executor, pinned to slice 0
+        lo_dir = os.path.join(work, f"lo_{rep}")
+        r_lo = _run_job(
+            _job_cmd(n_lo, n_clips, lo_dir, in_dir, cpuset=_slice(0)),
+            heap=heap,
+        )
+        print(f"  streaming 1x local[{n_lo}] pinned rep={rep}: {r_lo}", file=sys.stderr)
+        lo_runs.append(r_lo)
+        _shutil.rmtree(lo_dir, ignore_errors=True)
+
+        # level 4N: fleet of 4 concurrent executors on disjoint slices,
+        # measured phases aligned by the post-warmup barrier
+        bdir = os.path.join(work, f"barrier_{rep}")
+        _shutil.rmtree(bdir, ignore_errors=True)
         cmds = [
             _job_cmd(
                 n_lo, n_clips, os.path.join(work, f"fleet{rep}_{i}"), in_dir,
-                cpuset=_slice(i),
+                cpuset=_slice(i), barrier_dir=bdir, barrier_count=n_exec,
             )
             for i in range(n_exec)
         ]
@@ -269,20 +290,48 @@ def run_scaling(n_clips: int) -> dict:
         }
         print(f"  streaming {n_exec}x local[{n_lo}] pinned rep={rep}: {fleet}", file=sys.stderr)
         fleet_runs.append(fleet)
-    med_fleet = _median_by(fleet_runs, "clips_per_sec")
+        pair_eff.append(
+            round(fleet["clips_per_sec"] / (4.0 * r_lo["clips_per_sec"]), 3)
+        )
+        for i in range(n_exec):
+            _shutil.rmtree(os.path.join(work, f"fleet{rep}_{i}"), ignore_errors=True)
+        _shutil.rmtree(bdir, ignore_errors=True)
 
+    # latency mode (one run): same job + input, 28-file micro-batches
+    # (~120k clips each). The availableNow drain's batch duration is the
+    # window-close latency proxy, so the trigger size IS the latency knob;
+    # this run shows where the engine sits when tuned for latency instead
+    # of throughput (production equivalent: maxFilesPerTrigger / a
+    # processingTime trigger sized to the ingest rate).
+    lat = _run_job(
+        _job_cmd(
+            n_lo, n_clips, os.path.join(work, "lat"), in_dir,
+            files_per_trigger=28, cpuset=_slice(0),
+        ),
+        heap=heap,
+    )
+    print(f"  streaming latency-mode 1x local[{n_lo}]: {lat}", file=sys.stderr)
+    _shutil.rmtree(os.path.join(work, "lat"), ignore_errors=True)
+
+    med_lo = _median_by(lo_runs, "clips_per_sec")
+    med_fleet = _median_by(fleet_runs, "clips_per_sec")
     t_lo, t_hi = med_lo["clips_per_sec"], med_fleet["clips_per_sec"]
     s_lo = med_lo.get("clips_per_sec_steady")
     s_hi = med_fleet.get("clips_per_sec_steady")
+    med_pair_eff = sorted(pair_eff)[len(pair_eff) // 2]
     return {
         "n_clips": n_clips,
         "cores_lo": n_lo,
         "cores_hi": n_exec * n_lo,
         "n_executors": n_exec,
         "repeats": repeats,
+        "heap": heap,
         "clips_per_sec_lo": t_lo,
         "clips_per_sec_hi": t_hi,
-        "scaling_efficiency": round(t_hi / (4.0 * t_lo), 3),
+        # headline: median of paired same-rep ratios (drift-cancelling)
+        "scaling_efficiency": med_pair_eff,
+        "pair_efficiencies": pair_eff,
+        "scaling_efficiency_of_medians": round(t_hi / (4.0 * t_lo), 3),
         "steady_lo": s_lo,
         "steady_hi": s_hi,
         "scaling_efficiency_steady": (
@@ -377,10 +426,17 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             "is taskset-pinned to its own disjoint 8-core cpuset slice — level",
             "N on slice 0, level 4N on slices 0..3 — so each executor has",
             "identical CPU resources at both levels and JVM GC/JIT ergonomics",
-            "size to the slice. Levels run sequentially; fleet starts are",
-            "staggered 2s. Each level is the MEDIAN of "
-            f"{reps} repeats, all measured inside one bench.py invocation —",
-            "no best-of merging across invocations.",
+            f"size to the slice; both levels run identical {scaling.get('heap')}",
+            "heaps. Work dirs (checkpoints, state stores, sink) are on tmpfs —",
+            "a cluster gives each executor its own local disks, so four JVMs",
+            "fsync-contending on this host's one real disk would measure the",
+            "sandbox, not the engine. Fleet jobs rendezvous on a file barrier",
+            "after their untimed warm-up, so every measured phase runs under",
+            f"full {ne}-way contention. The {reps} reps are INTERLEAVED",
+            "(lo, fleet, lo, fleet, ...) and the headline efficiency is the",
+            "median of per-pair ratios fleet_i/(4*lo_i), so slow host drift",
+            "cancels within each pair. All measured inside one bench.py",
+            "invocation — no best-of merging across invocations.",
             "",
             f"- 1x local[{lo}]:  {scaling['clips_per_sec_lo']} clips/sec"
             f" whole-run, {scaling.get('steady_lo')} steady-state"
@@ -389,11 +445,13 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             f" whole-run, {scaling.get('steady_hi')} steady-state (summed)"
             f" (reps: {scaling.get('fleet_runs')})",
             f"- scaling efficiency T(4N)/(4*T(N)) = {scaling['scaling_efficiency']}"
-            f" whole-run, {scaling.get('scaling_efficiency_steady')} steady-state"
-            " (target >= 0.8; steady-state = clips per batch / fastest full"
-            " micro-batch; the residual gap vs 1.0 is the host's shared"
-            " memory bandwidth + page cache, which separate cluster machines"
-            " would not share)",
+            f" (median of paired ratios {scaling.get('pair_efficiencies')};"
+            f" ratio-of-medians {scaling.get('scaling_efficiency_of_medians')};"
+            f" steady-state {scaling.get('scaling_efficiency_steady')})"
+            " (target >= 0.8; steady-state = total clips / total time inside"
+            " data micro-batches, excluding only stream start/stop; the"
+            " residual gap vs 1.0 is the host's shared memory bandwidth +"
+            " LLC, which separate cluster machines would not share)",
             f"- micro-batch p50/p99 ms across the {ne}-executor fleet"
             " in throughput mode (112-file ~480k-clip triggers): "
             f"{scaling['batch_ms_p50_hi']} / {scaling['batch_ms_p99_hi']}",
@@ -447,6 +505,8 @@ def main() -> None:
             clips_per_sec_n=scaling["clips_per_sec_lo"],
             scaling_cores=[scaling["cores_lo"], scaling["cores_hi"]],
             scaling_efficiency=scaling["scaling_efficiency"],
+            scaling_efficiency_pairs=scaling.get("pair_efficiencies"),
+            scaling_efficiency_of_medians=scaling.get("scaling_efficiency_of_medians"),
             scaling_efficiency_steady=scaling.get("scaling_efficiency_steady"),
             clips_per_sec_steady=scaling.get("steady_hi"),
             # headline window-close latency = latency-mode p99 (the number a

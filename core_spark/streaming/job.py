@@ -59,7 +59,29 @@ def build_args(argv=None):
     p.add_argument("--synth-only", action="store_true",
                    help="synthesize the input table and exit (bench uses this "
                         "so input writeback never overlaps a measured run)")
+    p.add_argument("--barrier-dir", default=None,
+                   help="rendezvous dir: after the untimed warm-up this job "
+                        "drops a token file there and blocks until "
+                        "--barrier-count tokens exist, so every job in a "
+                        "concurrent fleet starts its MEASURED phase at the "
+                        "same instant — no job's measurement overlaps another "
+                        "job's JVM startup / heap pretouch")
+    p.add_argument("--barrier-count", type=int, default=1)
     return p.parse_args(argv)
+
+
+def _barrier(barrier_dir: str, count: int, timeout_sec: float = 600.0) -> None:
+    os.makedirs(barrier_dir, exist_ok=True)
+    token = os.path.join(barrier_dir, f"ready.{os.getpid()}")
+    with open(token, "w") as f:
+        f.write("1")
+    t0 = time.time()
+    while time.time() - t0 < timeout_sec:
+        n = len([f for f in os.listdir(barrier_dir) if f.startswith("ready.")])
+        if n >= count:
+            return
+        time.sleep(0.1)
+    # fail open: a crashed sibling must not hang the whole fleet
 
 
 def main(argv=None) -> dict:
@@ -133,6 +155,9 @@ def main(argv=None) -> dict:
             )
             feats.agg(F.sum("energy")).collect()
 
+    if a.barrier_dir:
+        _barrier(a.barrier_dir, a.barrier_count)
+
     if a.mode == "tumbling":
         result = sw.tumbling_energy(
             stream, a.window_sec, None, 30, a.salt or None, spectral=bool(a.spectral)
@@ -196,14 +221,14 @@ def main(argv=None) -> dict:
         return v[min(len(v) - 1, int(q_ * len(v)))] if v else None
 
     out_rows = sink.read(spark).count()
-    # steady-state throughput: clips in one full data batch / fastest full
-    # batch. On a shared host a single least-contended 15-30s micro-batch is
-    # a far better estimate of uncontended sustained rate than a whole run
-    # that must dodge neighbors for minutes (run-to-run noise here is ~2x).
+    # steady-state throughput: total clips / total time spent INSIDE data
+    # micro-batches. This excludes only stream start/stop and inter-batch
+    # driver gaps (costs a long-running production stream amortizes to zero)
+    # while still counting every processing second — no fastest-batch
+    # cherry-picking.
     full_batches = sorted(d for d, rows in progress if rows > 0)
-    clips_per_batch = n_clips / max(1, len(full_batches))
     steady = (
-        round(clips_per_batch / (full_batches[0] / 1000.0), 1)
+        round(n_clips / (sum(full_batches) / 1000.0), 1)
         if full_batches
         else None
     )
