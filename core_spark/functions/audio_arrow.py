@@ -69,6 +69,10 @@ def spectral_features_arrow(df: DataFrame, prefix_len: int = 2) -> DataFrame:
     stays a pure map.
     """
     keep = ["clip_id", "ingest_ts", "sr_hz", "dur_ms"]
+    # prune BEFORE the Arrow stage: mapInArrow consumes its whole input row,
+    # so an explicit select is what keeps unused columns (transcript) out of
+    # the parquet scan's ReadSchema and out of the JVM->Python Arrow stream
+    df = df.select(*keep, "bytes", "codec")
     out_schema = T.StructType(
         [df.schema[c] for c in keep]
         + [T.StructField(n, t) for n, t in FEATURE_FIELDS]
