@@ -478,12 +478,36 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def _run_batch_isolated(sf_dir: str, cores: int) -> dict[str, float]:
+    """Run the batch suite in a CHILD process so its local[32] JVM — a
+    pre-touched multi-GB heap plus `cores` Python workers — fully exits
+    before the scaling fleet is measured. Leaving it resident (even idle)
+    steals memory bandwidth + LLC from the pinned fleet JVMs and biases
+    the measured scaling efficiency down; r01's driver artifact showed
+    exactly that depression vs isolated runs of run_scaling."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--batch-only"],
+        cwd=REPO, env=dict(os.environ, PYTHONPATH=REPO),
+        stdout=subprocess.PIPE, text=True, timeout=3600,
+    )
+    lines = [l for l in (out.stdout or "").splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(f"batch suite child failed (rc={out.returncode})")
+    return json.loads(lines[-1])["times"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    if "--batch-only" in sys.argv:
+        print(json.dumps({"times": run_batch(sf_dir, cores)}))
+        return
     t0 = time.time()
-    times = run_batch(sf_dir, cores)
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"):
+        times = run_batch(sf_dir, cores)  # no fleet to protect — stay in-proc
+    else:
+        times = _run_batch_isolated(sf_dir, cores)
     scaling = None
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"):
         n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "1440000"))

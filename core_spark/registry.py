@@ -2011,6 +2011,159 @@ _EV_WM_SQL = "(epoch_ms(max(mts)) - 30000) // 1000"
 _EV_BS = "(CAST(FLOOR(epoch(mts)) AS BIGINT) // 3600) * 3600"
 
 
+def q_stream_cep_funnel_strict(spark, sf_dir):
+    """Strict-order streaming CEP funnel (streaming/cep.py
+    ``strict_order=True``): candidate Bs are buffered in state and each
+    match finalizes only when the watermark passes its EARLIEST B, so the
+    operator is batch-exact under ANY cross-micro-batch reorder inside the
+    watermark — the divergence the default latency-favoring mode documents.
+    Same pattern, stream, cut, and DuckDB oracle as ``stream_cep_funnel``:
+    behind the cut (horizon fully watermark-closed), strict rows are final
+    and identical to the batch funnel SQL."""
+    from .streaming import cep as _scep
+
+    a, b, within = _CEP_FUNNEL
+    res = _scep.funnel_stream_keyed(
+        _events_raw_stream(spark, sf_dir), "user_id", "ts", a, b, within,
+        watermark_sec=_EV_WM, strict_order=True,
+    )
+    out = _run_entry_stream(res, "ev_stream_cep_funnel_strict")
+    wm = _events_wm_s(spark, sf_dir, f"({a}) OR ({b})")
+    return out.where(
+        F.unix_timestamp("a_ts") <= F.lit(wm - within - 120)
+    ).select(
+        F.col("clip_id").cast("long").alias("user_id"),
+        "a_ts", "b_ts", "lag_sec", "matched",
+    )
+
+
+_EV_SESSION_GAP = 14400  # 4h: median per-user inter-arrival is ~7.4h, so
+# roughly a third of consecutive pairs merge — sessions of 1..n events
+
+
+def q_stream_sessions_events(spark, sf_dir):
+    """Native session_window() aggregate over a REAL readStream of the
+    events table, keyed by user_id with a 4h inactivity gap: per session
+    (start, end, n_events, sum(value)). Sum runs over scaled-int doubles so
+    every emitted value is bit-exact vs the oracle (the stream_summary
+    trick). Cut at watermark-closed sessions; DuckDB oracle = lag/cumsum
+    gap sessionization with the same half-open [start, last+gap) rule."""
+    from .streaming import windows as _sw
+
+    s = _events_raw_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100.0).cast("double").alias("sv"),
+    )
+    res = _sw.session_agg(
+        s, "user_id", "ts", "sv", gap_sec=_EV_SESSION_GAP, watermark_sec=_EV_WM
+    )
+    out = _run_entry_stream(res, "ev_stream_sessions")
+    wm = _events_wm_s(spark, sf_dir)
+    return out.where(F.unix_timestamp("session_end") <= F.lit(wm - 60)).select(
+        F.col("key").alias("user_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        (F.col("sum_value") / 100.0).alias("sum_value"),
+    )
+
+
+SQL_STREAM_SESSIONS_EVENTS = f"""
+WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS mts,
+                  CAST(ROUND(value * 100.0) AS BIGINT) AS sv FROM events),
+wm AS (SELECT {_EV_WM_SQL} AS wm_s FROM e),
+o AS (SELECT user_id, mts, sv,
+             CASE WHEN epoch_ms(mts) - epoch_ms(LAG(mts) OVER
+                      (PARTITION BY user_id ORDER BY mts))
+                  >= {_EV_SESSION_GAP} * 1000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY mts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id, MIN(mts) AS session_start,
+             MAX(mts) + INTERVAL {_EV_SESSION_GAP} SECOND AS session_end,
+             COUNT(*) AS n_events, SUM(sv) AS ssv
+      FROM s GROUP BY user_id, sid)
+SELECT g.user_id, g.session_start, g.session_end, g.n_events,
+       CAST(g.ssv AS DOUBLE) / 100.0 AS sum_value
+FROM g, wm WHERE CAST(FLOOR(epoch(g.session_end)) AS BIGINT) <= wm_s - 60
+"""
+
+
+def q_stream_dedup_events(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a REAL redelivered event stream:
+    the events table unioned with a +5s-jittered copy of itself (an
+    at-least-once transport replaying every row once), staged SORTED by
+    event time so each replay lands within the watermark of its original —
+    exactly one row per event_id survives. Projection excludes ts (which
+    copy is first-seen is batch-boundary-dependent; every other column is
+    identical between the copies), so the oracle is simply the events
+    table itself."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile
+    import time as _time
+
+    from .streaming import windows as _sw
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = _hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    pq = _os.path.join(
+        tempfile.gettempdir(), "core_spark_entry_stream", f"ev_redelivered_{tag}"
+    )
+    if not _os.path.isdir(pq):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        dup = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 SECONDS"))
+        both = ev.unionByName(dup).persist()
+        # Stage as TIME-RANGED files written oldest-first with distinct
+        # mtimes, so the file stream replays in event-time order (a replay
+        # then always lands in the same or the adjacent micro-batch as its
+        # original: inside the same batch the state suppresses it, across
+        # the boundary it is either still in state — original within 60 s
+        # of the batch's max ts — or already behind the watermark and
+        # dropped as late; exactly one row per event_id either way).
+        lo, hi = both.agg(
+            F.unix_millis(F.min("ts").cast("timestamp")),
+            F.unix_millis(F.max("ts").cast("timestamp")),
+        ).first()
+        n_files = 4
+        step = (hi - lo) // n_files + 1
+        for i in range(n_files):
+            part = both.where(
+                (F.unix_millis(F.col("ts").cast("timestamp")) >= lo + i * step)
+                & (F.unix_millis(F.col("ts").cast("timestamp")) < lo + (i + 1) * step)
+            )
+            part.coalesce(1).sortWithinPartitions("ts").write.mode(
+                "append"
+            ).parquet(pq)
+            _time.sleep(1.05)  # distinct mtimes => deterministic file order
+        both.unpersist()
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pq)
+    )
+    out = _sw.dedup_within_watermark(
+        stream, ["event_id"], watermark_sec=_EV_WM, event_col="ts"
+    )
+    res = _run_entry_stream(
+        out.select("event_id", "user_id", "event_type", "value"),
+        "ev_stream_dedup",
+    )
+    return res
+
+
+SQL_STREAM_DEDUP_EVENTS = (
+    "SELECT event_id, user_id, event_type, value FROM events"
+)
+
+
 def _stage_events_dir(sf_dir) -> str:
     """The file stream source requires a directory, so the single
     events.parquet file is staged once into a temp dir (a few MB)."""
@@ -3447,7 +3600,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_summary": q_stream_summary,
     "stream_circular_avg": q_stream_circular_avg,
     "stream_cep_funnel": q_stream_cep_funnel,
+    "stream_cep_funnel_strict": q_stream_cep_funnel_strict,
     "stream_cep_chain": q_stream_cep_chain,
+    "stream_sessions_events": q_stream_sessions_events,
+    "stream_dedup_events": q_stream_dedup_events,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_near_dup": q_sim_near_dup,
     "ts_interpolate_at_time": q_ts_interpolate_at_time,
@@ -3542,6 +3698,9 @@ ORACLES: dict[str, str] = {
     "stream_summary": SQL_STREAM_SUMMARY,
     "stream_circular_avg": SQL_STREAM_CIRCULAR_AVG,
     "stream_cep_funnel": SQL_STREAM_CEP_FUNNEL,
+    "stream_cep_funnel_strict": SQL_STREAM_CEP_FUNNEL,
+    "stream_sessions_events": SQL_STREAM_SESSIONS_EVENTS,
+    "stream_dedup_events": SQL_STREAM_DEDUP_EVENTS,
     "stream_cep_chain": SQL_STREAM_CEP_CHAIN,
     "ts_exp_smooth": SQL_TS_EXP_SMOOTH,
     "dq_interval_filtering": SQL_DQ_INTERVAL_FILTERING,

@@ -104,29 +104,40 @@ def clip_correction_events(clips: DataFrame, corrections: DataFrame) -> DataFram
     return a.unionByName(b)
 
 
+def _emit_row(key: str, a_ms: int, b_ms: int | None) -> dict[str, Any]:
+    return {
+        "clip_id": key,
+        "a_ts": pd.Timestamp(a_ms, unit="ms"),
+        "b_ts": pd.Timestamp(b_ms, unit="ms") if b_ms is not None else None,
+        # floor each side to seconds, then diff — the exact definition of
+        # unix_timestamp(b) - unix_timestamp(a) in the batch operator
+        "lag_sec": b_ms // 1000 - a_ms // 1000 if b_ms is not None else None,
+        "matched": b_ms is not None,
+    }
+
+
+# The batch oracle's horizon is floored-seconds arithmetic
+# (unix_timestamp(b) - unix_timestamp(a) <= within, operators/cep.py):
+# B matches A iff it is strictly later in ms AND its floored-second lag
+# fits. An A's horizon therefore closes only once no future B can
+# satisfy the SECONDS test: b_s <= a_s + within  <=>  b_ms < horizon.
+def _horizon_of(a_ms: int, within_sec: int) -> int:
+    return (a_ms // 1000 + within_sec + 1) * 1000
+
+
+def _b_matches(a_ms: int, b_ms: int, within_sec: int) -> bool:
+    return b_ms > a_ms and b_ms // 1000 - a_ms // 1000 <= within_sec
+
+
 def _make_funnel_fn(within_sec: int):
 
-    def _emit(key: str, a_ms: int, b_ms: int | None) -> dict[str, Any]:
-        return {
-            "clip_id": key,
-            "a_ts": pd.Timestamp(a_ms, unit="ms"),
-            "b_ts": pd.Timestamp(b_ms, unit="ms") if b_ms is not None else None,
-            # floor each side to seconds, then diff — the exact definition of
-            # unix_timestamp(b) - unix_timestamp(a) in the batch operator
-            "lag_sec": b_ms // 1000 - a_ms // 1000 if b_ms is not None else None,
-            "matched": b_ms is not None,
-        }
+    _emit = _emit_row
 
-    # The batch oracle's horizon is floored-seconds arithmetic
-    # (unix_timestamp(b) - unix_timestamp(a) <= within, operators/cep.py):
-    # B matches A iff it is strictly later in ms AND its floored-second lag
-    # fits. An A's horizon therefore closes only once no future B can
-    # satisfy the SECONDS test: b_s <= a_s + within  <=>  b_ms < horizon.
     def _horizon_ms(a_ms: int) -> int:
-        return (a_ms // 1000 + within_sec + 1) * 1000
+        return _horizon_of(a_ms, within_sec)
 
     def _matches(a_ms: int, b_ms: int) -> bool:
-        return b_ms > a_ms and b_ms // 1000 - a_ms // 1000 <= within_sec
+        return _b_matches(a_ms, b_ms, within_sec)
 
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -200,11 +211,111 @@ def _make_funnel_fn(within_sec: int):
     return fn
 
 
+STRICT_STATE_SCHEMA = "pending array<long>, done array<long>, bs array<long>"
+
+
+def _make_strict_funnel_fn(within_sec: int):
+    """Order-insensitive funnel: buffer candidate B timestamps and emit each
+    A's match only once the watermark passes its EARLIEST matching B — at
+    that point no earlier B can still arrive (the engine drops rows behind
+    the watermark), so the choice is final and equals the batch oracle's
+    earliest-B rule even when Bs are reordered ACROSS micro-batches. This
+    closes the one documented divergence of ``_make_funnel_fn`` at the cost
+    of watermark-bounded emission latency on the matched path (absence rows
+    already carried that latency). State adds one array: the live B
+    candidates, pruned to ``> watermark`` (a retained B at or behind the
+    watermark would already have finalized every A it could serve)."""
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            pending, done, bs = (list(x) for x in tuple(state.get))
+        else:
+            pending, done, bs = [], [], []
+        out: list[dict[str, Any]] = []
+
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if not rows.empty:
+                ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
+                is_a = rows["is_a"].to_numpy(dtype=bool)
+                for t, a_flag in zip(ts_ms.tolist(), is_a.tolist()):
+                    if a_flag:
+                        if t not in pending and t not in done:
+                            if len(pending) < _MAX_PENDING:
+                                pending.append(t)
+                            else:
+                                row = _emit_row(k, t, None)
+                                row["matched"] = None
+                                out.append(row)
+                                done.append(t)
+                    else:
+                        if t not in bs:
+                            if len(bs) < _MAX_PENDING:
+                                bs.append(t)
+                            else:
+                                # keep the EARLIEST candidates — they are the
+                                # only ones the earliest-B rule can pick;
+                                # evict the max so a pathological key's
+                                # buffer degrades toward late-match, never
+                                # toward a false absence for old As
+                                mx = max(bs)
+                                if t < mx:
+                                    bs.remove(mx)
+                                    bs.append(t)
+
+        # finalize: A matches min(B) once wm passes that B; absence once the
+        # horizon itself is behind wm with no candidate in sight
+        still: list[int] = []
+        for a in pending:
+            cand = [b for b in bs if _b_matches(a, b, within_sec)]
+            mb = min(cand) if cand else None
+            if mb is not None and mb <= wm:
+                out.append(_emit_row(k, a, mb))
+                done.append(a)
+            elif _horizon_of(a, within_sec) <= wm:
+                out.append(_emit_row(k, a, None))
+                done.append(a)
+            else:
+                still.append(a)
+        pending = still
+        done = [a for a in done if a >= wm]
+        # every retained matching B for a still-pending A is > wm (else the
+        # A would have finalized above); Bs at/behind wm serve no future A
+        # either (a late A would itself be dropped by the engine)
+        bs = [b for b in bs if b > wm]
+
+        if out:
+            yield pd.DataFrame(out)
+        if pending or done or bs:
+            state.update((pending, done, bs))
+            if pending:
+                due = [
+                    min(
+                        [b for b in bs if _b_matches(a, b, within_sec)]
+                        or [_horizon_of(a, within_sec)]
+                    )
+                    for a in pending
+                ]
+                state.setTimeoutTimestamp(max(min(due), wm + 1))
+            else:
+                tail = max(max(done, default=0), max(bs, default=0))
+                state.setTimeoutTimestamp(max(tail + 1, wm + 1))
+        elif state.exists:
+            state.remove()
+
+    return fn
+
+
 def funnel_stream(
     clips: DataFrame,
     corrections: DataFrame,
     within_sec: int = 60,
     watermark_sec: int = 30,
+    strict_order: bool = False,
 ) -> DataFrame:
     """A-followed-by-B pattern over the live clip + correction streams.
 
@@ -212,14 +323,19 @@ def funnel_stream(
     the watermark closes an A's horizon. Batch frames run the same union
     through the batch operator semantics (``operators/cep.followed_by``) —
     that equivalence is the operator's correctness oracle for in-order
-    streams. One documented divergence: if two candidate Bs for one A are
-    REORDERED ACROSS micro-batches (the later-timestamped B committed in an
-    earlier batch, both within the watermark), the stream matches the B it
-    saw first, while the batch oracle picks the earlier timestamp —
-    resolving that would mean buffering every match until the watermark
-    passes it; the engine favors emission latency, like its stream-stream
-    join. Within a micro-batch, rows are time-sorted, so ordinary
-    bounded-disorder ingest is unaffected.
+    streams. Default mode favors emission latency (a match fires the moment
+    its B arrives), with one documented divergence: if two candidate Bs for
+    one A are REORDERED ACROSS micro-batches (the later-timestamped B
+    committed in an earlier batch, both within the watermark), the stream
+    matches the B it saw first, while the batch oracle picks the earlier
+    timestamp. Within a micro-batch, rows are time-sorted, so ordinary
+    bounded-disorder ingest is unaffected. ``strict_order=True`` removes the
+    divergence entirely: candidate Bs are buffered in state and each match
+    is emitted only once the watermark passes its earliest B — batch-exact
+    under ANY cross-batch reorder inside the watermark, at the cost of
+    watermark-bounded match latency (tests/test_cep.py proves both the
+    default mode's divergence and the strict mode's exactness on the same
+    adversarial split).
     """
     events = clip_correction_events(clips, corrections)
     if not clips.isStreaming:
@@ -234,9 +350,9 @@ def funnel_stream(
         )
     events = events.withWatermark("ts", f"{watermark_sec} seconds")
     return events.groupBy("clip_id").applyInPandasWithState(
-        _make_funnel_fn(within_sec),
+        _make_strict_funnel_fn(within_sec) if strict_order else _make_funnel_fn(within_sec),
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=STRICT_STATE_SCHEMA if strict_order else STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -250,15 +366,16 @@ def funnel_stream_keyed(
     b_pred: str,
     within_sec: int,
     watermark_sec: int = 30,
+    strict_order: bool = False,
 ) -> DataFrame:
     """A-followed-by-B funnel over ANY single keyed event stream — the same
     stateful matcher as ``funnel_stream`` (identical state schema, horizon
-    arithmetic, inline close) with the A/B split expressed as predicates
-    instead of two physical streams (batch twin: ``operators/cep
-    .followed_by``, reference pattern per SURVEY §2.12). Predicates are
-    coalesced JVM-side so NULL inputs read as false, matching the batch
-    oracle. Output keeps the funnel's schema with ``clip_id`` carrying the
-    stringified key."""
+    arithmetic, inline close, same ``strict_order`` watermark-finalized
+    mode) with the A/B split expressed as predicates instead of two
+    physical streams (batch twin: ``operators/cep.followed_by``, reference
+    pattern per SURVEY §2.12). Predicates are coalesced JVM-side so NULL
+    inputs read as false, matching the batch oracle. Output keeps the
+    funnel's schema with ``clip_id`` carrying the stringified key."""
     ev = df.where(f"({a_pred}) OR ({b_pred})").select(
         F.col(key_col).cast("string").alias("clip_id"),
         F.col(ts_col).alias("ts"),
@@ -273,9 +390,9 @@ def funnel_stream_keyed(
         )
     ev = ev.withWatermark("ts", f"{watermark_sec} seconds")
     return ev.groupBy("clip_id").applyInPandasWithState(
-        _make_funnel_fn(within_sec),
+        _make_strict_funnel_fn(within_sec) if strict_order else _make_funnel_fn(within_sec),
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=STRICT_STATE_SCHEMA if strict_order else STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

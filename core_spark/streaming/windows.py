@@ -216,6 +216,48 @@ def session_windows_native(
     )
 
 
+def session_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    gap_sec: int,
+    watermark_sec: int = 30,
+) -> DataFrame:
+    """Generic keyed session aggregate via the native ``session_window()``
+    stateful operator: a session is a maximal run of events where each
+    inter-arrival gap is strictly under ``gap_sec`` (an event landing
+    exactly at the previous session's end — diff == gap — opens a NEW
+    session, the half-open [start, last_ts + gap) rule). Emits
+    (key, session_start, session_end, n_events, sum_value) when the
+    watermark closes the session. Runs identically on a batch frame
+    (``session_window`` is a plain groupBy there) — the SQL oracle is
+    lag/cumsum gap sessionization (registry: ``stream_sessions_events``).
+
+    Scale: native session windows merge state in the state store per key —
+    no per-key Python, state bounded by open sessions only; AQE-sized
+    shuffle on the key."""
+    src = (
+        df.withWatermark(ts_col, f"{watermark_sec} seconds")
+        if df.isStreaming
+        else df
+    )
+    agg = src.groupBy(
+        F.session_window(F.col(ts_col), f"{gap_sec} seconds").alias("w"),
+        F.col(key_col).alias("key"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+    )
+    return agg.select(
+        "key",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str] | None = None,

@@ -511,3 +511,119 @@ def test_funnel_stream_keyed_matches_batch(spark, tmp_path):
         == merged["lag_sec_s"].fillna(-1).astype("int64")
     )
     assert lag_eq.all()
+
+
+def _reorder_events_dir(spark, tmp_path):
+    """Adversarial cross-micro-batch reorder: the LATER-timestamped B commits
+    a whole micro-batch before the earlier B, both inside the watermark."""
+    d = str(tmp_path / "reorder_events")
+    files = [
+        [("u1", t(0), "a")],        # batch 1: the A
+        [("u1", t(20), "b")],       # batch 2: later B arrives FIRST
+        [("u1", t(10), "b")],       # batch 3: earlier B arrives second
+        [("u2", t(10_000), "a")],   # batch 4: pushes the watermark forward
+        [("u2", t(20_000), "b")],   # batch 5: finalizes everything open
+    ]
+    for rows in files:
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+    return d
+
+
+def _run_keyed(spark, d, name, strict):
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    res = scep.funnel_stream_keyed(
+        stream, "user_id", "ts", "event_type = 'a'", "event_type = 'b'",
+        within_sec=60, watermark_sec=30, strict_order=strict,
+    )
+    q = (
+        res.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).toPandas()
+
+
+def test_funnel_strict_order_matches_batch_under_reorder(spark, tmp_path):
+    """strict_order=True is batch-exact under a cross-batch B reorder that
+    the default latency-favoring mode demonstrably gets wrong — proving the
+    test scenario actually exercises the documented divergence AND that the
+    strict mode closes it."""
+    d = _reorder_events_dir(spark, tmp_path)
+
+    default = _run_keyed(spark, d, "cep_reorder_default", strict=False)
+    strict = _run_keyed(spark, d, "cep_reorder_strict", strict=True)
+    batch = scep.funnel_stream_keyed(
+        spark.read.schema("user_id string, ts timestamp, event_type string").parquet(d),
+        "user_id", "ts", "event_type = 'a'", "event_type = 'b'", within_sec=60,
+    ).toPandas()
+
+    # the default mode picked the first-seen (later) B: the divergence is real
+    d_u1 = default[default["clip_id"] == "u1"]
+    assert len(d_u1) == 1 and d_u1.iloc[0]["lag_sec"] == 20
+
+    # strict mode == batch oracle exactly, every row finalized
+    key = ["clip_id", "a_ts", "b_ts", "lag_sec", "matched"]
+    s = strict.sort_values(["clip_id", "a_ts"]).reset_index(drop=True)[key]
+    b = batch.sort_values(["clip_id", "a_ts"]).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(s, b)
+    assert s.loc[s["clip_id"] == "u1", "lag_sec"].iloc[0] == 10
+    # the u2 absence row closed via the strict path's horizon rule
+    assert (~s.loc[s["clip_id"] == "u2", "matched"]).all()
+
+
+def test_funnel_strict_checkpoint_restart(spark, tmp_path):
+    """Buffered-B state (the strict mode's extra array) survives a
+    checkpointed stop/restart mid-stream: stop after the reordered Bs are
+    buffered but before the watermark finalizes, restart, and the match
+    still resolves to the earliest B."""
+    d = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+
+    write([("u1", t(0), "a")])
+    write([("u1", t(20), "b")])
+    write([("u1", t(10), "b")])
+
+    def start():
+        stream = (
+            spark.readStream.schema("user_id string, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        res = scep.funnel_stream_keyed(
+            stream, "user_id", "ts", "event_type = 'a'", "event_type = 'b'",
+            within_sec=60, watermark_sec=30, strict_order=True,
+        )
+        # parquet sink: the memory sink cannot recover from a checkpoint
+        q = (
+            res.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(sink).toPandas()
+        except Exception:
+            return pd.DataFrame(
+                columns=["clip_id", "a_ts", "b_ts", "lag_sec", "matched"]
+            )
+
+    first = start()
+    assert first.empty  # nothing finalized yet: watermark still behind the Bs
+
+    write([("u2", t(10_000), "a")])
+    write([("u2", t(20_000), "b")])
+    second = start()
+    u1 = second[second["clip_id"] == "u1"]
+    assert len(u1) == 1 and u1.iloc[0]["lag_sec"] == 10 and bool(u1.iloc[0]["matched"])
