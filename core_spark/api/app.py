@@ -51,6 +51,8 @@ ROUTE_VERBS = {
     "/events/circularaverage": "circular_average",
     "/events/circularstandarddeviation": "circular_standard_deviation",
     "/events/summary": "summary",
+    "/events/percentiles": "percentiles",
+    "/events/topk": "top_k",
     "/events/latest": "latest",
     "/metadata": "metadata",
     "/sql/execute": "sql",
@@ -205,6 +207,16 @@ def execute_verb(
             tags, start, end, include_bad_data=include_bad,
             display_uom=display_uom, limit=limit, offset=offset,
         )
+    if verb == "percentiles":
+        start, end = M.require(params, "start_date", "end_date")
+        M.require(params, "tag_name")
+        ps = params.get("percentiles") or (0.5, 0.9, 0.95, 0.99)
+        if isinstance(ps, str):
+            ps = [float(x) for x in ps.split(",") if x.strip()]
+        return qb.percentiles(
+            tags, start, end, percentiles=tuple(float(p) for p in ps),
+            include_bad_data=include_bad, limit=limit, offset=offset,
+        )
     if verb == "interpolation_at_time":
         M.require(params, "tag_name", "timestamps")
         stamps = params["timestamps"]
@@ -221,6 +233,12 @@ def execute_verb(
         params, "start_date", "end_date", "time_interval_rate", "time_interval_unit"
     )
     M.require(params, "tag_name")
+    if verb == "top_k":
+        k = M.parse_int(params.get("k"), "k") or 3
+        return qb.top_k(
+            tags, start, end, rate, unit, k=k,
+            include_bad_data=include_bad, limit=limit, offset=offset,
+        )
     if verb == "resample":
         (agg,) = M.require(params, "agg_method")
         return qb.resample(

@@ -23,7 +23,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from .audio import ULAW_LUT, _spectral_one
+from .audio import ULAW_LUT, ULAW_LUT_I16, _spectral_one, _spectral_one_i16
 
 FEATURE_FIELDS = [
     ("energy", T.DoubleType()),
@@ -60,6 +60,24 @@ def _decode_view(view: np.ndarray, codec: str) -> np.ndarray:
     raise ValueError(f"unknown codec: {codec!r}")
 
 
+def _decode_view_i16(view: np.ndarray, codec: str) -> np.ndarray:
+    """Decode a uint8 view of one clip's payload to int16 PCM — the
+    minimum-traffic form: pcm16 is a zero-copy reinterpret of the Arrow
+    buffer (no decode output written AT ALL), ulaw a 1 B -> 2 B LUT gather.
+    The scaling-bench probe shows the 4-executor fleet is memory-bandwidth
+    capped, so every decoded byte avoided is fleet throughput; float32
+    conversion happens per cache-resident FFT chunk inside
+    ``_spectral_one_i16``."""
+    if codec == "pcm16":
+        try:
+            return view.view("<i2")
+        except ValueError:  # odd start offset in the shared buffer
+            return np.frombuffer(view.tobytes(), dtype="<i2")
+    if codec == "ulaw":
+        return ULAW_LUT_I16[view]
+    raise ValueError(f"unknown codec: {codec!r}")
+
+
 def spectral_features_arrow(df: DataFrame, prefix_len: int = 2) -> DataFrame:
     """clips frame -> per-clip DSP features, zero-copy from Arrow buffers.
 
@@ -89,8 +107,8 @@ def spectral_features_arrow(df: DataFrame, prefix_len: int = 2) -> DataFrame:
             feats = np.empty((n, 8), dtype=np.float64)
             for i in range(n):
                 view = data[offsets[i] : offsets[i + 1]]
-                pcm = _decode_view(view, codecs[i])
-                feats[i] = _spectral_one(pcm, int(srs[i]))
+                pcm = _decode_view_i16(view, codecs[i])
+                feats[i] = _spectral_one_i16(pcm, int(srs[i]))
             cols = [rb.column(rb.schema.get_field_index(c)) for c in keep]
             cols += [pa.array(feats[:, j]) for j in range(len(FEATURE_FIELDS))]
             yield pa.RecordBatch.from_arrays(

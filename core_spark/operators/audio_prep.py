@@ -170,3 +170,80 @@ def transcript_rate_check(
         flag.alias("rate_flag"),
         flag.isNull().alias("consistent"),
     )
+
+
+def cmvn_stats(
+    df: DataFrame, col: str = "embedding", exact_decimals: int | None = None
+) -> DataFrame:
+    """Per-dimension corpus mean / stddev of an ``array<float/double>``
+    feature column — the stats half of CMVN (cepstral mean-variance
+    normalization), the standard feature-normalization step ASR training
+    applies to MFCC/log-mel features. Analog of the reference's
+    Normalization components (normalization/normalization_zscore.py:49-77)
+    lifted from scalar columns to feature vectors.
+
+    ``exact_decimals`` switches the sums to scaled-integer arithmetic (the
+    ``summary`` verb's convention): mean and population stddev become pure
+    integer sums folded through one fixed float expression, so the result
+    is order-independent and bit-identical to a SQL oracle evaluating the
+    same formula.
+
+    Scale: ``posexplode`` then groupBy(dim) looks like an n x d shuffle
+    but is NOT — the hash aggregate partial-combines map-side, so each
+    task ships exactly d rows of (sum, sumsq, count) and the shuffle is
+    d x tasks rows total. No driver collect here; population stddev
+    (ddof=0) like the reference's z-score."""
+    ex = df.select(F.posexplode(F.col(col)).alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    if exact_decimals is None:
+        return (
+            ex.groupBy("dim")
+            .agg(
+                F.count("x").alias("cnt"),
+                F.avg("x").alias("mean"),
+                F.stddev_pop("x").alias("std"),
+            )
+            .orderBy("dim")
+        )
+    scale = float(10**exact_decimals)
+    u = F.round(F.col("x") * scale).cast("long")
+    g = ex.select("dim", u.alias("u")).groupBy("dim").agg(
+        F.count("u").alias("cnt"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("u") * F.col("u")).alias("sq"),
+    )
+    mean = F.col("su").cast("double") / scale / F.col("cnt")
+    ex2 = F.col("sq").cast("double") / (scale * scale) / F.col("cnt")
+    return g.select(
+        "dim",
+        "cnt",
+        mean.alias("mean"),
+        F.sqrt(ex2 - mean * mean).alias("std"),
+    ).orderBy("dim")
+
+
+def apply_cmvn(
+    df: DataFrame,
+    stats: DataFrame,
+    col: str = "embedding",
+    out_col: str = "cmvn",
+    eps: float = 1e-8,
+) -> DataFrame:
+    """Apply CMVN: ``(x_i - mean_i) / max(std_i, eps)`` per dimension.
+
+    ``stats`` is the (dim, mean, std) frame from :func:`cmvn_stats` — d
+    rows (feature width, e.g. 24 for MFCC), collected once and folded in
+    as literal arrays so the normalization is a pure JVM ``transform``
+    expression over the array column: no join, no shuffle, no Python in
+    the hot path."""
+    rows = sorted(stats.select("dim", "mean", "std").collect())
+    means = F.array(*[F.lit(float(r[1])) for r in rows])
+    stds = F.array(*[F.lit(max(float(r[2]), eps)) for r in rows])
+    return df.withColumn("_m", means).withColumn("_s", stds).withColumn(
+        out_col,
+        F.expr(
+            f"transform({col}, (x, i) ->"
+            " (CAST(x AS DOUBLE) - _m[i]) / _s[i])"
+        ),
+    ).drop("_m", "_s")

@@ -414,6 +414,99 @@ def summary(
     )
 
 
+def percentiles(
+    df: DataFrame,
+    spec: TSSpec,
+    ps: Sequence[float] = (0.5, 0.9, 0.95, 0.99),
+    start: str | None = None,
+    end: str | None = None,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+) -> DataFrame:
+    """Per-tag EXACT percentiles (linear interpolation, numpy/type-7 rule):
+    ``pos = (n-1)*p; k = floor(pos); v_k + (v_{k+1} - v_k) * (pos - k)``.
+
+    Extends the reference's summary verb (TSQB:304-382) with the quantile
+    family it lacks. Built from first principles rather than Spark's
+    ``percentile`` aggregate so the arithmetic is an explicit expression —
+    the SQL oracle evaluates the IDENTICAL formula and matches bit-for-bit
+    (aggregate implementations are free to associate the interpolation
+    differently by a ULP).
+
+    Scale: one shuffle on the tag key + per-tag sort (the same cost as any
+    exact quantile); rank/count via a tag-partitioned window, then a
+    conditional hash-agg picks the two bracketing rows per p. No global
+    windows, no driver collect; for sketch-accuracy at extreme cardinality
+    ``F.percentile_approx`` remains the cheap path.
+    """
+    base = scan(df, spec, start, end, tags, include_bad)
+    w = Window.partitionBy(TAG).orderBy(VAL)
+    wn = Window.partitionBy(TAG)
+    r = base.select(
+        TAG,
+        F.col(VAL).cast("double").alias("v"),
+        (F.row_number().over(w) - F.lit(1)).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    labels = [str(int(round(p * 100))) for p in ps]
+    aggs = [F.max("n").alias("n")]
+    for p, lab in zip(ps, labels):
+        pos = (F.col("n") - F.lit(1)).cast("double") * F.lit(float(p))
+        k = F.floor(pos)
+        k_hi = F.least(k + F.lit(1), F.col("n") - F.lit(1))
+        aggs += [
+            F.max(F.when(F.col("rn") == k, F.col("v"))).alias(f"lo_{lab}"),
+            F.max(F.when(F.col("rn") == k_hi, F.col("v"))).alias(f"hi_{lab}"),
+        ]
+    g = r.groupBy(TAG).agg(*aggs)
+    out = [F.col(TAG), F.col("n").alias("cnt")]
+    for p, lab in zip(ps, labels):
+        pos = (F.col("n") - F.lit(1)).cast("double") * F.lit(float(p))
+        frac = pos - F.floor(pos).cast("double")
+        out.append(
+            (
+                F.col(f"lo_{lab}")
+                + (F.col(f"hi_{lab}") - F.col(f"lo_{lab}")) * frac
+            ).alias(f"p{lab}")
+        )
+    return g.select(*out)
+
+
+def topk_by_bucket(
+    df: DataFrame,
+    spec: TSSpec,
+    every_sec: int,
+    k: int = 3,
+    start: str | None = None,
+    end: str | None = None,
+    tags: Sequence[str] | None = None,
+    include_bad: bool = False,
+) -> DataFrame:
+    """Top-k rows by value per (tag, time-bucket) — the windowed
+    generalization of the reference's k=1 argmax patterns (latest
+    pcdm_latest_to_delta.py:150-169, mode TSQB-adjacent; SURVEY §2.6 notes
+    only k=1 exists there). Deterministic tiebreak: value DESC, event time
+    ASC, so equal values rank identically in any engine.
+
+    Scale: epoch-aligned arithmetic bucket column + one tag/bucket-
+    partitioned window sort — no global ORDER BY, no range join; rank
+    filter prunes to k rows per group before anything else touches them.
+    """
+    base = scan(df, spec, start, end, tags, include_bad)
+    bucket = F.from_unixtime(
+        (F.unix_timestamp(TS) / every_sec).cast("long") * every_sec
+    ).cast("timestamp")
+    w = Window.partitionBy(TAG, "bucket").orderBy(
+        F.col(VAL).desc(), F.col(TS).asc()
+    )
+    return (
+        base.withColumn("bucket", bucket)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(TAG, "bucket", "rank", TS, VAL)
+    )
+
+
 def latest(
     df: DataFrame,
     spec: TSSpec,

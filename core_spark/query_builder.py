@@ -470,6 +470,47 @@ class TimeSeriesQueryBuilder:
             out = self._decorate_uom(out)
         return self._finish(out, True, limit, offset, (TAG,))
 
+    def percentiles(
+        self,
+        tagname_filter: Sequence[str],
+        start_date: str,
+        end_date: str,
+        percentiles: Sequence[float] = (0.5, 0.9, 0.95, 0.99),
+        include_bad_data: bool = False,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> DataFrame:
+        """Per-tag exact percentile family — engine extension of the
+        summary verb (quantiles the reference lacks; type-7 linear
+        interpolation, operators/timeseries.percentiles)."""
+        out = tsq.percentiles(
+            self._events(), self.spec, percentiles, start_date, end_date,
+            tagname_filter, include_bad_data,
+        )
+        return self._finish(out, True, limit, offset, (TAG,))
+
+    def top_k(
+        self,
+        tagname_filter: Sequence[str],
+        start_date: str,
+        end_date: str,
+        time_interval_rate: str,
+        time_interval_unit: str,
+        k: int = 3,
+        include_bad_data: bool = False,
+        limit: int | None = None,
+        offset: int | None = None,
+    ) -> DataFrame:
+        """Top-k rows by value per (tag, bucket) — windowed generalization
+        of the reference's k=1 argmax patterns (operators/timeseries
+        .topk_by_bucket)."""
+        every = parse_time_interval(time_interval_rate, time_interval_unit)
+        out = tsq.topk_by_bucket(
+            self._events(), self.spec, every, k, start_date, end_date,
+            tagname_filter, include_bad_data,
+        )
+        return self._finish(out, True, limit, offset, (TAG, "bucket", "rank"))
+
 
 class SQLQueryBuilder:
     """Raw-SQL escape hatch (queries/sql/sql_query.py:22-59): the reference

@@ -272,6 +272,59 @@ r AS (SELECT *, row_number() OVER (PARTITION BY tagname ORDER BY event_time DESC
 SELECT tagname, met AS event_time, value, status FROM r WHERE rn = 1
 """
 
+
+def q_ts_percentiles(spark, sf_dir):
+    """Exact per-tag percentile family (operators/timeseries.percentiles):
+    explicit type-7 interpolation so the oracle's identical expression
+    matches bit-for-bit; extends the reference's summary verb
+    (_time_series_query_builder.py:304-382) with quantiles it lacks."""
+    return ts.percentiles(_load(spark, sf_dir, "events"), EVENTS_SPEC)
+
+
+def _pctl_sql(ps=(0.5, 0.9, 0.95, 0.99)) -> str:
+    labs = [str(int(round(p * 100))) for p in ps]
+    pick = []
+    proj = []
+    for p, lab in zip(ps, labs):
+        pos = f"CAST(n - 1 AS DOUBLE) * {p!r}"
+        pick.append(
+            f"MAX(CASE WHEN rn = FLOOR({pos}) THEN v END) AS lo_{lab},\n"
+            f"  MAX(CASE WHEN rn = LEAST(FLOOR({pos}) + 1, n - 1) THEN v END)"
+            f" AS hi_{lab}"
+        )
+        proj.append(
+            f"lo_{lab} + (hi_{lab} - lo_{lab}) * ({pos} - FLOOR({pos})) AS p{lab}"
+        )
+    return f"""
+WITH s AS (SELECT tagname, CAST(value AS DOUBLE) AS v FROM ({_SCAN})),
+r AS (SELECT tagname, v,
+        ROW_NUMBER() OVER (PARTITION BY tagname ORDER BY v) - 1 AS rn,
+        COUNT(*) OVER (PARTITION BY tagname) AS n FROM s),
+g AS (SELECT tagname, MAX(n) AS n,
+  {', '.join(pick)}
+  FROM r GROUP BY tagname)
+SELECT tagname, n AS cnt, {', '.join(proj)} FROM g
+"""
+
+
+def q_ts_topk_window(spark, sf_dir):
+    """Per (tag, hourly bucket) top-3 by value with deterministic tiebreak
+    (operators/timeseries.topk_by_bucket) — windowed generalization of the
+    reference's k=1 argmax patterns (pcdm_latest_to_delta.py:150-169)."""
+    return ts.topk_by_bucket(
+        _load(spark, sf_dir, "events"), EVENTS_SPEC, 3600, k=3, start=START, end=END
+    )
+
+
+SQL_TS_TOPK_WINDOW = f"""
+WITH s AS ({_scan_sql(START, END)}),
+b AS (SELECT *, {_bucket_sql('event_time', 3600)} AS bucket FROM s),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY tagname, bucket
+        ORDER BY value DESC, event_time ASC) AS rank FROM b)
+SELECT tagname, bucket, rank, event_time, value FROM r WHERE rank <= 3
+"""
+
 _OHLC_CORE = f"""
 WITH s AS (SELECT *, {_bucket_sql('event_time', 86400)} AS b FROM ({_scan_sql(START, END)})),
 r AS (SELECT *,
@@ -1529,6 +1582,66 @@ def q_audio_vad_stats(spark, sf_dir):
     )
 
 
+def q_emb_cmvn_stats(spark, sf_dir):
+    """Per-dimension corpus feature stats — the stats half of CMVN
+    (operators/audio_prep.cmvn_stats, exact_decimals=6): scaled-integer
+    sums make mean and population stddev order-independent, so the DuckDB
+    oracle evaluating the identical formula matches bit-for-bit. Reference
+    analog: Normalization z-score stats (normalization_zscore.py:49-77)
+    lifted to vector features."""
+    from .operators import audio_prep as ap
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return ap.cmvn_stats(emb, "embedding", exact_decimals=6)
+
+
+SQL_EMB_CMVN_STATS = """
+WITH ex AS (
+  SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS u
+  FROM embeddings
+),
+g AS (SELECT dim, COUNT(u) AS cnt, SUM(u) AS su, SUM(u * u) AS sq
+      FROM ex GROUP BY dim)
+SELECT dim, cnt,
+       CAST(su AS DOUBLE) / 1000000.0 / cnt AS mean,
+       SQRT(CAST(sq AS DOUBLE) / 1000000000000.0 / cnt
+            - (CAST(su AS DOUBLE) / 1000000.0 / cnt)
+              * (CAST(su AS DOUBLE) / 1000000.0 / cnt)) AS std
+FROM g
+"""
+
+
+def q_audio_cmvn(spark, sf_dir):
+    """End-to-end CMVN over decoded audio features: clips -> MFCC
+    (functions/audio_dsp.audio_mfcc, Arrow-vectorized) -> corpus per-dim
+    stats (cmvn_stats) -> normalized features via a pure JVM transform
+    (apply_cmvn; no join, no shuffle on the apply path). Emits per-clip
+    checks of the normalized vector. Rows-only (DSP); the invariant
+    (per-dim corpus mean ~ 0, std ~ 1) is asserted in
+    tests/test_audio_prep.py."""
+    from . import synth
+    from .functions import audio_dsp as adsp
+    from .operators import audio_prep as ap
+
+    clips = synth.clips_df(spark, 400)
+    feats = clips.select(
+        "clip_id", adsp.audio_mfcc("bytes", "codec", "sr_hz").alias("mfcc")
+    )
+    stats = ap.cmvn_stats(feats, "mfcc")
+    out = ap.apply_cmvn(feats, stats, "mfcc", "cmvn")
+    return out.select(
+        "clip_id",
+        F.size("cmvn").alias("n_dims"),
+        F.round(F.aggregate("cmvn", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "coef_sum"
+        ),
+        F.round(
+            F.sqrt(F.aggregate("cmvn", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2"),
+    )
+
+
 def q_audio_resample_norm(spark, sf_dir):
     """Rate normalization: every clip windowed-sinc resampled to 16 kHz
     pcm16 (functions/audio_dsp.resample_sinc — SNR >= 30 dB vs the analytic
@@ -2466,6 +2579,87 @@ SELECT tagname, make_timestamp(bs * 1000000) AS event_time, cnt,
        (s / n) / 100.0 AS avg, mn / 100.0 AS min, mx / 100.0 AS max,
        SQRT(var_s) / 100.0 AS st_dev, s / 100.0 AS sum, var_s / 10000.0 AS var
 FROM v, wm WHERE bs <= wm_s - 3660
+"""
+
+
+def q_stream_percentiles(spark, sf_dir):
+    """Streaming EXACT windowed percentiles (streaming/windows
+    .percentile_windows): open buckets buffer values in group state and
+    emit type-7 quantiles when the watermark closes the bucket — the
+    streaming recast of operators/timeseries.percentiles with the same
+    IEEE arithmetic, so closed buckets match the DuckDB oracle
+    bit-for-bit. Exact quantiles are not algebraic; this is the bounded-
+    state buffered path (the sketch path is percentile_approx)."""
+    from .streaming import windows as _sw
+
+    res = _sw.percentile_windows(
+        _events_raw_stream(spark, sf_dir),
+        "event_type", "ts", "value", _EV_EVERY,
+        ps=(0.5, 0.95), watermark_sec=_EV_WM,
+    )
+    out = _run_entry_stream(res, "ev_stream_percentiles")
+    wm = _events_wm_s(spark, sf_dir)
+    return out.where(
+        F.unix_timestamp("event_time") <= F.lit(wm - _EV_EVERY - 60)
+    )
+
+
+def q_stream_topk(spark, sf_dir):
+    """Streaming per-(tag, hourly bucket) top-3 by value with O(k) group
+    state (streaming/windows.topk_windows): each open bucket's state holds
+    only the current k best candidates, ranked rows emit on watermark
+    close. Oracle = the batch row_number ranking over the same cut."""
+    from .streaming import windows as _sw
+
+    res = _sw.topk_windows(
+        _events_raw_stream(spark, sf_dir),
+        "event_type", "ts", "value", _EV_EVERY, k=3, watermark_sec=_EV_WM,
+    )
+    out = _run_entry_stream(res, "ev_stream_topk")
+    wm = _events_wm_s(spark, sf_dir)
+    return out.where(
+        F.unix_timestamp("bucket") <= F.lit(wm - _EV_EVERY - 60)
+    )
+
+
+SQL_STREAM_TOPK = f"""
+WITH e AS ({_EV_SCAN}),
+wm AS (SELECT {_EV_WM_SQL} AS wm_s FROM e),
+b AS (SELECT tagname, {_EV_BS} AS bs, mts, v FROM e),
+r AS (SELECT tagname, bs, mts, v, ROW_NUMBER() OVER (
+        PARTITION BY tagname, bs ORDER BY v DESC, mts ASC) AS rank FROM b)
+SELECT tagname, make_timestamp(bs * 1000000) AS bucket, CAST(rank AS INT) AS rank,
+       mts AS event_time, v AS value
+FROM r, wm WHERE rank <= 3 AND bs <= wm_s - 3660
+"""
+
+
+def _stream_pctl_sql(ps=(0.5, 0.95)) -> str:
+    labs = [str(int(round(p * 100))) for p in ps]
+    pick, proj = [], []
+    for p, lab in zip(ps, labs):
+        pos = f"CAST(n - 1 AS DOUBLE) * {p!r}"
+        pick.append(
+            f"MAX(CASE WHEN rn = FLOOR({pos}) THEN v END) AS lo_{lab},\n"
+            f"  MAX(CASE WHEN rn = LEAST(FLOOR({pos}) + 1, n - 1) THEN v END)"
+            f" AS hi_{lab}"
+        )
+        proj.append(
+            f"lo_{lab} + (hi_{lab} - lo_{lab}) * ({pos} - FLOOR({pos})) AS p{lab}"
+        )
+    return f"""
+WITH e AS ({_EV_SCAN}),
+wm AS (SELECT {_EV_WM_SQL} AS wm_s FROM e),
+b AS (SELECT tagname, {_EV_BS} AS bs, v FROM e),
+r AS (SELECT tagname, bs, v,
+        ROW_NUMBER() OVER (PARTITION BY tagname, bs ORDER BY v) - 1 AS rn,
+        COUNT(*) OVER (PARTITION BY tagname, bs) AS n FROM b),
+g AS (SELECT tagname, bs, MAX(n) AS n,
+  {', '.join(pick)}
+  FROM r GROUP BY tagname, bs)
+SELECT tagname, make_timestamp(bs * 1000000) AS event_time, n AS cnt,
+       {', '.join(proj)}
+FROM g, wm WHERE bs <= wm_s - 3660
 """
 
 
@@ -3562,6 +3756,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_interpolate_ffill": q_ts_interpolate_ffill,
     "ts_summary": q_ts_summary,
     "ts_latest": q_ts_latest,
+    "ts_percentiles": q_ts_percentiles,
+    "ts_topk_window": q_ts_topk_window,
     "ts_ohlc": q_ts_ohlc,
     "ts_plot_unpivot": q_ts_plot_unpivot,
     "ts_twa_linear": q_ts_twa_linear,
@@ -3598,6 +3794,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interpolate": q_stream_interpolate,
     "stream_ohlc": q_stream_ohlc,
     "stream_summary": q_stream_summary,
+    "stream_percentiles": q_stream_percentiles,
+    "stream_topk": q_stream_topk,
     "stream_circular_avg": q_stream_circular_avg,
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_cep_funnel_strict": q_stream_cep_funnel_strict,
@@ -3656,6 +3854,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_clip_energy": q_audio_clip_energy,
     "audio_window_energy": q_audio_window_energy,
     "audio_vad_stats": q_audio_vad_stats,
+    "emb_cmvn_stats": q_emb_cmvn_stats,
+    "audio_cmvn": q_audio_cmvn,
     "audio_resample_norm": q_audio_resample_norm,
     "dedup_audio_fingerprint": q_dedup_audio_fingerprint,
     "audio_logmel_topk": q_audio_logmel_topk,
@@ -3686,6 +3886,8 @@ ORACLES: dict[str, str] = {
     "ts_interpolate_ffill": _interp_fill_sql(21600, "ffill"),
     "ts_summary": SQL_TS_SUMMARY,
     "ts_latest": SQL_TS_LATEST,
+    "ts_percentiles": _pctl_sql(),
+    "ts_topk_window": SQL_TS_TOPK_WINDOW,
     "ts_ohlc": SQL_TS_OHLC,
     "ts_plot_unpivot": SQL_TS_PLOT_UNPIVOT,
     "ts_twa_linear": _twa_sql(21600, step=False),
@@ -3696,6 +3898,8 @@ ORACLES: dict[str, str] = {
     "stream_interpolate": SQL_STREAM_INTERPOLATE,
     "stream_ohlc": SQL_STREAM_OHLC,
     "stream_summary": SQL_STREAM_SUMMARY,
+    "stream_percentiles": _stream_pctl_sql(),
+    "stream_topk": SQL_STREAM_TOPK,
     "stream_circular_avg": SQL_STREAM_CIRCULAR_AVG,
     "stream_cep_funnel": SQL_STREAM_CEP_FUNNEL,
     "stream_cep_funnel_strict": SQL_STREAM_CEP_FUNNEL,
@@ -3730,6 +3934,7 @@ ORACLES: dict[str, str] = {
     "ts_cep_funnel": SQL_TS_CEP_FUNNEL,
     "ts_cep_contiguous": SQL_TS_CEP_CONTIGUOUS,
     "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
+    "emb_cmvn_stats": SQL_EMB_CMVN_STATS,
     "sim_near_dup": SQL_SIM_NEAR_DUP,
     "ts_interpolate_at_time": _iat_sql(),
     "ts_uom_join": SQL_TS_UOM_JOIN,

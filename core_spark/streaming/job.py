@@ -99,7 +99,15 @@ def main(argv=None) -> dict:
         cores=a.cores,
         shuffle_partitions=a.shuffle_partitions,
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(a.max_partition_mb * 1024 * 1024)
+            "spark.sql.files.maxPartitionBytes": str(a.max_partition_mb * 1024 * 1024),
+            # fat binary rows: the session default of 10k records/Arrow batch
+            # is ~350 MB of clip payload buffered per in-flight batch per
+            # task — far past LLC, so at 4 concurrent executors it turns
+            # into pure DRAM traffic on the JVM->Python hop (the scaling
+            # probe shows the fleet is bandwidth-capped). ~512 rows
+            # (~18 MB) keeps each hop's working set near-cache-resident;
+            # narrow tables elsewhere keep the bigger default.
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
         },
     )
 

@@ -464,3 +464,185 @@ def enrich_with_codec_dim(df: DataFrame, dim: DataFrame | None = None) -> DataFr
             "codec string, bits_per_sample int, compression_ratio double, decoder string",
         )
     return df.join(F.broadcast(dim), "codec", "left")
+
+
+def percentile_windows(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    every_sec: int,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99),
+    watermark_sec: int = 30,
+) -> DataFrame:
+    """EXACT per-(key, tumbling-bucket) percentiles on a stream.
+
+    Exact quantiles are not an algebraic aggregate — a plain windowed agg
+    can only give sketches (percentile_approx). This operator buffers each
+    open bucket's values in group state (``applyInPandasWithState``) and
+    emits once the event-time timeout fires, i.e. when the watermark passes
+    the bucket end — the streaming recast of the batch ``percentiles`` verb
+    (operators/timeseries.percentiles) with identical type-7 arithmetic
+    (``pos=(n-1)p; v[k] + (v[k+1]-v[k])*(pos-k)``), evaluated in the same
+    IEEE order, so closed buckets match the batch/SQL result bit-for-bit.
+
+    State bound: one float64 per buffered row, held only for open buckets —
+    watermark delay + bucket width caps the live span per key; a closed
+    bucket's state is freed on emission. Late rows beyond the watermark are
+    dropped by the engine (never double-emitted: the timeout fires only
+    once the watermark passed the bucket, so a later row for it is by
+    definition late). For sketch-sized state at extreme rates, the
+    algebraic path is ``summary_windows``/``percentile_approx``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    labels = [str(int(round(p * 100))) for p in ps]
+    out_schema = (
+        "tagname string, event_time timestamp, cnt long, "
+        + ", ".join(f"p{lab} double" for lab in labels)
+    )
+
+    src = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    if src.isStreaming:
+        src = src.withWatermark("ts", f"{watermark_sec} seconds")
+    # keep the watermarked ts column in the projection: event-time timeout
+    # requires the watermark column to survive into the stateful operator
+    keyed = src.select(
+        "k",
+        ((F.unix_timestamp("ts") / every_sec).cast("long") * every_sec).alias("bs"),
+        "v",
+        "ts",
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        k, bs = key[0], int(key[1])
+        end_ms = (bs + every_sec) * 1000
+        if state.hasTimedOut:
+            (vals,) = tuple(state.get)
+            v = np.sort(np.asarray(vals, dtype=np.float64))
+            n = len(v)
+            row = {
+                "tagname": k,
+                "event_time": pd.Timestamp(bs, unit="s"),
+                "cnt": n,
+            }
+            for p, lab in zip(ps, labels):
+                pos = (n - 1) * float(p)
+                kk = int(pos)
+                frac = pos - kk
+                lo, hi = v[kk], v[min(kk + 1, n - 1)]
+                row[f"p{lab}"] = lo + (hi - lo) * frac
+            state.remove()
+            yield pd.DataFrame([row])
+            return
+        vals = list(tuple(state.get)[0]) if state.exists else []
+        for pdf in pdfs:
+            vals.extend(pdf["v"].to_numpy(dtype=np.float64).tolist())
+        if vals:
+            state.update((vals,))
+            state.setTimeoutTimestamp(
+                max(end_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield from ()
+
+    return keyed.groupBy("k", "bs").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="vals array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def topk_windows(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    every_sec: int,
+    k: int = 3,
+    watermark_sec: int = 30,
+) -> DataFrame:
+    """Top-k rows by value per (key, tumbling bucket) on a stream — the
+    streaming recast of operators/timeseries.topk_by_bucket (itself the
+    windowed generalization of the reference's k=1 argmax,
+    pcdm_latest_to_delta.py:150-169).
+
+    Unlike exact percentiles, top-k IS incrementally maintainable with
+    O(k) state: each open bucket's group state holds only the current k
+    best (value DESC, ts ASC tiebreak) candidates, folded per micro-batch;
+    the ranked rows emit when the event-time timeout fires (watermark past
+    bucket end). State per open bucket = k (value, ts) pairs — constant,
+    regardless of input rate.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "tagname string, bucket timestamp, rank int, "
+        "event_time timestamp, value double"
+    )
+
+    src = df.select(
+        F.col(key_col).cast("string").alias("tag"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    if src.isStreaming:
+        src = src.withWatermark("ts", f"{watermark_sec} seconds")
+    # ts stays in the projection: event-time timeout needs the watermarked
+    # column visible to the stateful operator
+    keyed = src.select(
+        "tag",
+        ((F.unix_timestamp("ts") / every_sec).cast("long") * every_sec).alias("bs"),
+        (F.unix_millis(F.col("ts").cast("timestamp"))).alias("ts_ms"),
+        "v",
+        "ts",
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        tag, bs = key[0], int(key[1])
+        end_ms = (bs + every_sec) * 1000
+        if state.hasTimedOut:
+            vs, ts = (list(x) for x in tuple(state.get))
+            order = sorted(range(len(vs)), key=lambda i: (-vs[i], ts[i]))
+            out = [
+                {
+                    "tagname": tag,
+                    "bucket": pd.Timestamp(bs, unit="s"),
+                    "rank": r + 1,
+                    "event_time": pd.Timestamp(ts[i], unit="ms"),
+                    "value": vs[i],
+                }
+                for r, i in enumerate(order[:k])
+            ]
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+        vs, ts = (list(x) for x in tuple(state.get)) if state.exists else ([], [])
+        for pdf in pdfs:
+            vs.extend(pdf["v"].to_numpy(dtype=np.float64).tolist())
+            ts.extend(pdf["ts_ms"].to_numpy(dtype=np.int64).tolist())
+        if vs:
+            order = sorted(range(len(vs)), key=lambda i: (-vs[i], ts[i]))[:k]
+            vs, ts = [vs[i] for i in order], [ts[i] for i in order]
+            state.update((vs, ts))
+            state.setTimeoutTimestamp(
+                max(end_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield from ()
+
+    return keyed.groupBy("tag", "bs").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="vs array<double>, tss array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

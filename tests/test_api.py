@@ -217,3 +217,29 @@ def test_catalog_binding_resolution(spark):
         # no default binding: unmapped request is a clean 400
         bad = c.get("/api/v1/events/latest")
         assert bad.status_code == 400
+
+
+def test_percentiles_and_topk_routes(client):
+    pct = get_json(
+        client, "/api/v1/events/percentiles",
+        tag_name="click", start_date=START, end_date=END,
+        percentiles="0.5,0.95",
+    )
+    row = pct["data"][0]
+    assert row["cnt"] > 0 and row["p50"] <= row["p95"]
+
+    topk = get_json(
+        client, "/api/v1/events/topk",
+        tag_name="click", start_date=START, end_date=END,
+        time_interval_rate="1", time_interval_unit="day", k="2",
+    )
+    ranks = {r["rank"] for r in topk["data"]}
+    assert ranks <= {1, 2} and len(topk["data"]) > 0
+    # within each bucket, rank 1 value >= rank 2 value
+    import collections
+    by_bucket = collections.defaultdict(dict)
+    for r in topk["data"]:
+        by_bucket[r["bucket"]][r["rank"]] = r["value"]
+    for d in by_bucket.values():
+        if 1 in d and 2 in d:
+            assert d[1] >= d[2]

@@ -178,3 +178,41 @@ def test_registry_queries_run(spark):
     for k in ("audio_segment_clips", "audio_quality_gate", "audio_transcript_rate"):
         df = registry.QUERIES[k](spark, "/root/testdata/sf0.001")
         assert df.count() > 0
+
+
+# ------------------------------------------------------------------- cmvn
+
+
+def test_cmvn_stats_and_apply(spark):
+    """Corpus CMVN over MFCC features: after apply, every dimension has
+    mean ~ 0 and population std ~ 1 across the corpus."""
+    clips = synth.clips_df(spark, 60)
+    feats = clips.select(
+        "clip_id", adsp.audio_mfcc("bytes", "codec", "sr_hz").alias("mfcc")
+    )
+    stats = ap.cmvn_stats(feats, "mfcc")
+    sp = stats.toPandas()
+    assert (sp["dim"].to_numpy() == np.arange(len(sp))).all()
+    assert (sp["cnt"] == 60).all()
+
+    out = ap.apply_cmvn(feats, stats, "mfcc", "cmvn")
+    arr = np.stack(out.toPandas()["cmvn"].to_numpy())
+    np.testing.assert_allclose(arr.mean(axis=0), 0.0, atol=1e-7)
+    np.testing.assert_allclose(arr.std(axis=0), 1.0, atol=1e-6)
+
+
+def test_cmvn_exact_matches_float_path(spark):
+    """exact_decimals scaled-int stats agree with the float path to the
+    rounding precision."""
+    clips = synth.clips_df(spark, 40)
+    feats = clips.select(
+        "clip_id", adsp.audio_mfcc("bytes", "codec", "sr_hz").alias("mfcc")
+    )
+    f1 = ap.cmvn_stats(feats, "mfcc").toPandas().set_index("dim")
+    f2 = (
+        ap.cmvn_stats(feats, "mfcc", exact_decimals=6)
+        .toPandas()
+        .set_index("dim")
+    )
+    np.testing.assert_allclose(f1["mean"], f2["mean"], atol=1e-5)
+    np.testing.assert_allclose(f1["std"], f2["std"], atol=1e-4)

@@ -464,3 +464,109 @@ def test_enrich_with_codec_dim(spark, clips_dir):
         batch.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_percentile_windows_stream_exact(spark, tmp_path):
+    """Exact streaming windowed percentiles: watermark-closed buckets equal
+    the batch type-7 computation bit-for-bit; open buckets stay unemitted."""
+    import numpy as np
+    import pandas as pd
+
+    d = str(tmp_path / "pctl_events")
+    rng = np.random.default_rng(7)
+    rows = []
+    for m in range(12):  # 12 minutes of data, 2 tags, 60 s buckets
+        for tag in ("a", "b"):
+            for j in range(9):
+                rows.append(
+                    (tag, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=m * 60 + j * 6),
+                     float(np.round(rng.normal(10, 3), 3)))
+                )
+    pdf = pd.DataFrame(rows, columns=["tag", "ts", "v"]).sort_values("ts")
+    # two time-ordered files => the watermark advances across micro-batches
+    half = len(pdf) // 2
+    import time as _t
+    for part in (pdf.iloc[:half], pdf.iloc[half:]):
+        spark.createDataFrame(part).coalesce(1).write.mode("append").parquet(d)
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("tag string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    res = sw.percentile_windows(stream, "tag", "ts", "v", 60,
+                                ps=(0.5, 0.95), watermark_sec=10)
+    got = _run_to_memory(res, "t_pctl_win", mode="append").toPandas()
+    assert len(got) > 0
+
+    # expectation: exact type-7 per (tag, bucket), only closed buckets
+    wm = pdf["ts"].max() - pd.Timedelta(seconds=10)
+    pdf["bucket"] = pdf["ts"].dt.floor("60s")
+    exp = {}
+    for (tag, b), g in pdf.groupby(["tag", "bucket"]):
+        if pd.Timestamp(b) + pd.Timedelta(seconds=60) <= wm:
+            v = np.sort(g["v"].to_numpy())
+            n = len(v)
+            row = {}
+            for p, lab in ((0.5, "p50"), (0.95, "p95")):
+                pos = (n - 1) * p
+                k = int(pos)
+                lo, hi = v[k], v[min(k + 1, n - 1)]
+                row[lab] = lo + (hi - lo) * (pos - k)
+            row["cnt"] = n
+            exp[(tag, pd.Timestamp(b))] = row
+    got_k = {(r["tagname"], pd.Timestamp(r["event_time"])): r
+             for _, r in got.iterrows()}
+    assert set(got_k) == set(exp)
+    for key, e in exp.items():
+        g = got_k[key]
+        assert g["cnt"] == e["cnt"]
+        assert g["p50"] == e["p50"] and g["p95"] == e["p95"], key
+
+
+def test_topk_windows_stream_matches_batch_ranking(spark, tmp_path):
+    """O(k)-state streaming top-k equals the batch row_number ranking on
+    watermark-closed buckets, including the value-DESC/ts-ASC tiebreak."""
+    import numpy as np
+    import pandas as pd
+
+    d = str(tmp_path / "topk_events")
+    rng = np.random.default_rng(11)
+    rows = []
+    for m in range(10):
+        for tag in ("x", "y"):
+            for j in range(8):
+                rows.append(
+                    (tag, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=m * 60 + j * 7),
+                     float(rng.integers(0, 5)))  # coarse values force ties
+                )
+    pdf = pd.DataFrame(rows, columns=["tag", "ts", "v"]).sort_values("ts")
+    import time as _t
+    half = len(pdf) // 2
+    for part in (pdf.iloc[:half], pdf.iloc[half:]):
+        spark.createDataFrame(part).coalesce(1).write.mode("append").parquet(d)
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("tag string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    res = sw.topk_windows(stream, "tag", "ts", "v", 60, k=3, watermark_sec=10)
+    got = _run_to_memory(res, "t_topk_win", mode="append").toPandas()
+    assert len(got) > 0
+
+    wm = pdf["ts"].max() - pd.Timedelta(seconds=10)
+    pdf["bucket"] = pdf["ts"].dt.floor("60s")
+    exp_rows = []
+    for (tag, b), g in pdf.groupby(["tag", "bucket"]):
+        if pd.Timestamp(b) + pd.Timedelta(seconds=60) <= wm:
+            top = g.sort_values(["v", "ts"], ascending=[False, True]).head(3)
+            for r, (_, row) in enumerate(top.iterrows()):
+                exp_rows.append((tag, pd.Timestamp(b), r + 1, row["ts"], row["v"]))
+    exp = pd.DataFrame(
+        exp_rows, columns=["tagname", "bucket", "rank", "event_time", "value"]
+    ).sort_values(["tagname", "bucket", "rank"]).reset_index(drop=True)
+    g2 = got.sort_values(["tagname", "bucket", "rank"]).reset_index(drop=True)[exp.columns]
+    pd.testing.assert_frame_equal(g2, exp, check_dtype=False)

@@ -260,3 +260,47 @@ def test_gap_sessions_split_and_aggregate(spark):
         for r in gap_sessions(df, "user_id", "ts", "value", 1800).collect()
     }
     assert got == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def test_percentiles_matches_numpy(spark):
+    """Exact type-7 percentiles equal numpy.quantile(method='linear')."""
+    import numpy as np
+
+    vals_a = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0]
+    vals_b = [10.0, 20.0, 30.0, 40.0]
+    rows = [("A", t(i), "Good", v) for i, v in enumerate(vals_a)]
+    rows += [("B", t(i), "Good", v) for i, v in enumerate(vals_b)]
+    df = spark.createDataFrame(
+        rows, "TagName string, EventTime timestamp, Status string, Value double"
+    )
+    got = {
+        r["tagname"]: r.asDict()
+        for r in tsq.percentiles(df, SPEC, ps=(0.5, 0.9, 0.95, 0.99)).collect()
+    }
+    for tag, vals in (("A", vals_a), ("B", vals_b)):
+        assert got[tag]["cnt"] == len(vals)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.95, "p95"), (0.99, "p99")):
+            exp = float(np.quantile(np.array(vals), p, method="linear"))
+            assert got[tag][col] == pytest.approx(exp, abs=1e-12), (tag, col)
+
+
+def test_percentiles_excludes_bad(spark, events):
+    got = {r["tagname"]: r for r in tsq.percentiles(events, SPEC).collect()}
+    assert got["TAG-A"]["cnt"] == 5  # Bad row dropped, duplicate kept
+    assert got["TAG-A"]["p99"] < 999.0
+
+
+def test_topk_by_bucket(spark, events):
+    out = tsq.topk_by_bucket(events, SPEC, every_sec=600, k=2).toPandas()
+    a0 = out[(out["tagname"] == "TAG-A") & (out["rank"] == 1)]
+    # first 10-min bucket of TAG-A: values {0, 5, 5(dup), 999-Bad} -> top is 5.0
+    first = a0.sort_values("bucket").iloc[0]
+    assert first["value"] == 5.0
+    # rank 2 is the duplicate 5.0 (ties broken by time => same value twice)
+    a = out[out["tagname"] == "TAG-A"].sort_values(["bucket", "rank"])
+    b0 = a[a["bucket"] == a["bucket"].min()]
+    assert list(b0["value"]) == [5.0, 5.0]
+    assert (out.groupby(["tagname", "bucket"]).size() <= 2).all()
