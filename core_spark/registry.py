@@ -2082,6 +2082,50 @@ SELECT c.* FROM (
 """
 
 
+def q_stream_asof_join(spark, sf_dir):
+    """Streaming as-of enrichment (streaming/asof.py): each click event is
+    finalized with the latest preceding purchase value of its user once the
+    watermark passes the click — until then a late purchase could still
+    change the answer; after it, such a row is engine-dropped, so the
+    choice is final (the strict-funnel finalize-at-watermark argument).
+    Streaming twin of ``ts_asof_join``; oracle = DuckDB native ASOF LEFT
+    JOIN under the same watermark cut."""
+    from .streaming import asof as _sasof
+
+    ev = _events_raw_stream(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    res = _sasof.asof_stream(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        id_col="event_id",
+        watermark_sec=_EV_WM,
+    )
+    out = _run_entry_stream(res, "ev_stream_asof")
+    wm = _events_wm_s(spark, sf_dir, "event_type IN ('click', 'purchase')")
+    return out.where(F.unix_timestamp("ts") <= F.lit(wm - 60)).select(
+        "event_id", "user_id", "ts", "asof_ts", "asof_value"
+    )
+
+
+SQL_STREAM_ASOF_JOIN = """
+WITH e AS (SELECT event_id, date_trunc('milliseconds', ts) AS mts, user_id,
+                  event_type, value FROM events
+           WHERE event_type IN ('click', 'purchase')),
+wm AS (SELECT (epoch_ms(max(mts)) - 30000) // 1000 AS wm_s FROM e),
+c AS (SELECT event_id, user_id, mts FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, mts, MAX(value) AS value FROM e
+      WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.mts AS ts, p.mts AS asof_ts,
+       p.value AS asof_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.mts >= p.mts
+WHERE CAST(FLOOR(epoch(c.mts)) AS BIGINT) <= (SELECT wm_s - 60 FROM wm)
+"""
+
+
 # ------------------------- oracled event-stream verbs (north rule, DuckDB-gated)
 #
 # The five streaming verbs below run as REAL readStream queries
@@ -3840,6 +3884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
     "text_contamination": q_text_contamination,
+    "stream_asof_join": q_stream_asof_join,
     # ---- rows-only (no ANSI-SQL oracle) entries below: the driver's
     # ---- DuckDB gate reads the first 50 keys, so oracle-backed come first
     "ts_exp_smooth": q_ts_exp_smooth,
@@ -3972,6 +4017,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_split": SQL_SAMPLE_SPLIT,
     "text_contamination": SQL_TEXT_CONTAMINATION,
+    "stream_asof_join": SQL_STREAM_ASOF_JOIN,
 }
 
 # clip-stream queries over the synthetic table: oracled via the SQL twin of
