@@ -395,11 +395,14 @@ def run_scaling(n_clips: int) -> dict:
         # level N: single executor, pinned to slice 0, probe on core 31
         lo_dir = os.path.join(work, f"lo_{rep}")
         probe = _start_host_probe()
-        r_lo = _run_job(
-            _job_cmd(n_lo, n_clips, lo_dir, in_dir, cpuset=_slice(0, 7)),
-            heap=heap,
-        )
-        r_lo["probe"] = _stop_host_probe(probe)
+        try:
+            r_lo = _run_job(
+                _job_cmd(n_lo, n_clips, lo_dir, in_dir, cpuset=_slice(0, 7)),
+                heap=heap,
+            )
+        finally:
+            r_probe = _stop_host_probe(probe)
+        r_lo["probe"] = r_probe
         print(f"  streaming 1x local[{n_lo}] pinned rep={rep}: {r_lo}", file=sys.stderr)
         lo_runs.append(r_lo)
         _shutil.rmtree(lo_dir, ignore_errors=True)
@@ -416,9 +419,11 @@ def run_scaling(n_clips: int) -> dict:
             for i in range(n_exec)
         ]
         probe = _start_host_probe()
-        with ThreadPoolExecutor(max_workers=n_exec) as ex:
-            rs = list(ex.map(_staggered, enumerate(cmds)))
-        fprobe = _stop_host_probe(probe)
+        try:
+            with ThreadPoolExecutor(max_workers=n_exec) as ex:
+                rs = list(ex.map(_staggered, enumerate(cmds)))
+        finally:
+            fprobe = _stop_host_probe(probe)
         fleet = {
             "clips_per_sec": round(sum(r["clips_per_sec"] for r in rs), 1),
             "clips_per_sec_steady": round(
