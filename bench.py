@@ -123,6 +123,7 @@ def _job_cmd(
     cpuset: str | None = None,
     barrier_dir: str | None = None,
     barrier_count: int = 1,
+    mode: str = "tumbling",
 ) -> list[str]:
     batches = max(1, 336 // files_per_trigger)  # input is written as 336 files
     # Pin the whole JVM (its GC/JIT threads AND the Python workers it forks,
@@ -139,7 +140,7 @@ def _job_cmd(
     )
     cmd = pin + [
         sys.executable, "-m", "core_spark.streaming.job",
-        "--cores", str(cores), "--mode", "tumbling", "--salt", "8",
+        "--cores", str(cores), "--mode", mode, "--salt", "8",
         "--n-clips", str(n_clips), "--work", work,
         # throughput mode: 480k clips (112 x ~19MB files) per micro-batch —
         # big enough to amortize per-batch overhead; latency mode passes a
@@ -499,6 +500,30 @@ def run_scaling(n_clips: int) -> dict:
             _shutil.rmtree(os.path.join(work, f"peak_{i}"), ignore_errors=True)
         _shutil.rmtree(bdir, ignore_errors=True)
 
+    # stateful-mode sweep (one pinned run each): the scaling pairs exercise
+    # the tumbling hash-aggregate path; these runs put a throughput number
+    # on the OTHER stateful operator families the pipeline ships —
+    # applyInPandasWithState gap-sessionization and the watermarked
+    # stream-stream correction join — over the same input.
+    modes = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_MODES"):
+        for m in ("sessions", "join"):
+            r = _run_job(
+                _job_cmd(
+                    n_lo, n_clips, os.path.join(work, f"mode_{m}"), in_dir,
+                    cpuset=_slice(0, 7), mode=m,
+                ),
+                heap=heap,
+            )
+            modes[m] = {
+                "clips_per_sec": r["clips_per_sec"],
+                "clips_per_sec_steady": r["clips_per_sec_steady"],
+                "batch_ms_p99": r["batch_ms_p99"],
+                "rows_out": r["rows_out"],
+            }
+            print(f"  mode sweep 1x local[{n_lo}] {m}: {modes[m]}", file=sys.stderr)
+            _shutil.rmtree(os.path.join(work, f"mode_{m}"), ignore_errors=True)
+
     med_lo = _median_by(lo_runs, "clips_per_sec")
     med_fleet = _median_by(fleet_runs, "clips_per_sec")
     t_lo, t_hi = med_lo["clips_per_sec"], med_fleet["clips_per_sec"]
@@ -540,6 +565,7 @@ def run_scaling(n_clips: int) -> dict:
         },
         "host_cpu_calibration": calib,
         "peak_fleet": peak,
+        "mode_sweep": modes or None,
     }
 
 
@@ -678,6 +704,16 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
                 f"{pk['clips_per_sec']} clips/sec whole-run,"
                 f" {pk['clips_per_sec_steady']} steady-state",
             ]
+        ms = scaling.get("mode_sweep")
+        if ms:
+            lines += [
+                "- stateful-mode sweep (one pinned 1x run each, same input):"
+                + "".join(
+                    f" {m}={v['clips_per_sec']} clips/sec"
+                    f" (p99 {v['batch_ms_p99']} ms, {v['rows_out']} rows);"
+                    for m, v in ms.items()
+                )
+            ]
         lat = scaling.get("latency_mode")
         if lat:
             lines += [
@@ -764,6 +800,7 @@ def main() -> None:
             scaling_reps={"lo": scaling.get("lo_runs"), "fleet": scaling.get("fleet_runs")},
             host_cpu_calibration=scaling.get("host_cpu_calibration"),
             peak_fleet=scaling.get("peak_fleet"),
+            mode_sweep=scaling.get("mode_sweep"),
         )
         if scaling.get("peak_fleet"):
             # absolute-throughput headline stays the whole-host number,
