@@ -186,7 +186,7 @@ import sys, time
 import numpy as np
 x = np.random.rand(8192).astype(np.float32)  # 64 KB working set: pure CPU
 t0 = time.time(); n = 0
-while time.time() - t0 < 10:
+while time.time() - t0 < 5:
     for _ in range(50):
         y = np.sin(x) * np.cos(x)
     n += 50
@@ -264,11 +264,21 @@ def host_cpu_calibration() -> dict:
     an engine scaling measurement that occupies 24+ cores measures the
     hypervisor, not the engine. This control pins the scaling footprint
     below that knee and is recorded in the artifact so the choice is
-    auditable."""
+    auditable.
+
+    The control must itself survive the host's minute-scale throttle
+    windows (a single 10 s sample can read 2x low and turn the ratios into
+    nonsense): levels are measured in 3 interleaved rounds
+    (2,8,12,24, 2,8,12,24, ...) and each level keeps its MAX round — the
+    least-throttled window is the best estimate of delivered CAPACITY,
+    which is what the footprint decision needs."""
     if not _shutil.which("taskset"):
         return {}
-    r2, r8 = _calib_level(2), _calib_level(8)
-    r12, r24 = _calib_level(12), _calib_level(24)
+    best = {2: 0.0, 8: 0.0, 12: 0.0, 24: 0.0}
+    for _ in range(3):
+        for lvl in best:
+            best[lvl] = max(best[lvl], _calib_level(lvl))
+    r2, r8, r12, r24 = best[2], best[8], best[12], best[24]
     return {
         "pure_cpu_rate_2": round(r2, 0),
         "pure_cpu_rate_8": round(r8, 0),
