@@ -474,41 +474,51 @@ def run_scaling(n_clips: int) -> dict:
     print(f"  streaming latency-mode 1x local[{n_lo}]: {lat}", file=sys.stderr)
     _shutil.rmtree(os.path.join(work, "lat"), ignore_errors=True)
 
-    # peak-throughput run (one unpaired rep): 4x local[6] = the whole host.
-    # NOT part of the scaling evidence (beyond the host's linear-CPU
-    # envelope, see calibration) — it records the absolute clips/sec this
-    # host can push through the engine, comparable with the r01 artifact.
+    # peak-throughput runs: 4x local[6] = the whole host. NOT part of the
+    # scaling evidence (beyond the host's linear-CPU envelope, see
+    # calibration) — they record the absolute clips/sec this host can push
+    # through the engine, comparable with the r01 artifact. A CAPACITY
+    # number must survive throttle windows (a single rep once landed at
+    # 8.2k clips/sec in a window where the same fleet does ~29k), so two
+    # reps run and the better one is kept, both recorded.
     peak = None
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_PEAK"):
-        bdir = os.path.join(work, "barrier_peak")
-        _shutil.rmtree(bdir, ignore_errors=True)
-        cmds = [
-            _job_cmd(
-                6, n_clips, os.path.join(work, f"peak_{i}"), in_dir,
-                cpuset=_slice(i), barrier_dir=bdir, barrier_count=n_exec,
-            )
-            for i in range(n_exec)
-        ]
         def _stag_peak(args):
             i, cmd = args
             time.sleep(1.0 * i)
             return _run_job(cmd, heap="8g")  # local[6] JVMs get the r01 heap
 
-        with ThreadPoolExecutor(max_workers=n_exec) as ex:
-            rs = [r for r in ex.map(_stag_peak, enumerate(cmds)) if r]
-        peak = {
-            "n_executors": n_exec,
-            "cores_per_executor": 6,
-            "clips_per_sec": round(sum(r["clips_per_sec"] for r in rs), 1),
-            "clips_per_sec_steady": round(
-                sum(r["clips_per_sec_steady"] or 0 for r in rs), 1
-            ),
-            "batch_ms_p99": max(r["batch_ms_p99"] for r in rs),
-        }
-        print(f"  peak fleet {n_exec}x local[6]: {peak}", file=sys.stderr)
-        for i in range(n_exec):
-            _shutil.rmtree(os.path.join(work, f"peak_{i}"), ignore_errors=True)
-        _shutil.rmtree(bdir, ignore_errors=True)
+        peak_rates = []
+        best = None
+        for prep in range(2):
+            bdir = os.path.join(work, "barrier_peak")
+            _shutil.rmtree(bdir, ignore_errors=True)
+            cmds = [
+                _job_cmd(
+                    6, n_clips, os.path.join(work, f"peak_{i}"), in_dir,
+                    cpuset=_slice(i), barrier_dir=bdir, barrier_count=n_exec,
+                )
+                for i in range(n_exec)
+            ]
+            with ThreadPoolExecutor(max_workers=n_exec) as ex:
+                rs = [r for r in ex.map(_stag_peak, enumerate(cmds)) if r]
+            cur = {
+                "n_executors": n_exec,
+                "cores_per_executor": 6,
+                "clips_per_sec": round(sum(r["clips_per_sec"] for r in rs), 1),
+                "clips_per_sec_steady": round(
+                    sum(r["clips_per_sec_steady"] or 0 for r in rs), 1
+                ),
+                "batch_ms_p99": max(r["batch_ms_p99"] for r in rs),
+            }
+            peak_rates.append(cur["clips_per_sec"])
+            print(f"  peak fleet {n_exec}x local[6] rep={prep}: {cur}", file=sys.stderr)
+            if best is None or cur["clips_per_sec"] > best["clips_per_sec"]:
+                best = cur
+            for i in range(n_exec):
+                _shutil.rmtree(os.path.join(work, f"peak_{i}"), ignore_errors=True)
+            _shutil.rmtree(bdir, ignore_errors=True)
+        peak = dict(best, rep_rates=peak_rates)
 
     # stateful-mode sweep (one pinned run each): the scaling pairs exercise
     # the tumbling hash-aggregate path; these runs put a throughput number
@@ -708,11 +718,13 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
         pk = scaling.get("peak_fleet")
         if pk:
             lines += [
-                f"- PEAK whole-host throughput (one unpaired {pk['n_executors']}x"
-                f" local[{pk['cores_per_executor']}] fleet run — outside the"
-                " linear-CPU envelope, so not scaling evidence): "
+                f"- PEAK whole-host throughput ({pk['n_executors']}x"
+                f" local[{pk['cores_per_executor']}] fleet, best of 2 — a"
+                " capacity number, outside the linear-CPU envelope, so not"
+                " scaling evidence): "
                 f"{pk['clips_per_sec']} clips/sec whole-run,"
-                f" {pk['clips_per_sec_steady']} steady-state",
+                f" {pk['clips_per_sec_steady']} steady-state"
+                f" (reps: {pk.get('rep_rates')})",
             ]
         ms = scaling.get("mode_sweep")
         if ms:
@@ -798,6 +810,12 @@ def main() -> None:
             scaling_cores=[scaling["cores_lo"], scaling["cores_hi"]],
             scaling_efficiency=scaling["scaling_efficiency"],
             scaling_efficiency_pairs=scaling.get("pair_efficiencies"),
+            scaling_efficiency_raw=scaling.get("scaling_efficiency_raw"),
+            scaling_efficiency_pairs_raw=scaling.get("pair_efficiencies_raw"),
+            host_probe_rates={
+                "lo": scaling.get("host_probe_lo"),
+                "fleet": scaling.get("host_probe_fleet"),
+            },
             scaling_efficiency_of_medians=scaling.get("scaling_efficiency_of_medians"),
             scaling_efficiency_steady=scaling.get("scaling_efficiency_steady"),
             clips_per_sec_steady=scaling.get("steady_hi"),
