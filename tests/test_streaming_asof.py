@@ -134,6 +134,102 @@ def test_asof_tie_inclusive_and_same_ts_max(spark, tmp_path):
     assert got.loc[3, "asof_ts"] == t(40)
 
 
+def _brute_force_asof(evs):
+    """Reference answer over surviving rows: for each left (t, eid), the
+    right with the greatest ts <= t; same-ts rights collapse to MAX(value)."""
+    rights = {}
+    for t, is_l, eid, v in evs:
+        if not is_l:
+            rights[t] = v if t not in rights else max(rights[t], v)
+    out = {}
+    for t, is_l, eid, v in evs:
+        if is_l:
+            cand = [rt for rt in rights if rt <= t]
+            out[eid] = (max(cand), rights[max(cand)]) if cand else None
+    return out
+
+
+def test_asof_fn_matches_brute_force_any_batching():
+    """Pure state-machine property check (no Spark query): the asof state
+    function must equal the brute-force as-of answer under ANY micro-batch
+    split, any intra-batch order, and bounded disorder, with the engine's
+    late-row drop mimicked exactly (rows at-or-behind the pre-batch
+    watermark never reach the operator)."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    from core_spark.streaming.asof import _make_asof_fn
+    from tests.helpers import MockGroupState
+
+    ev_strategy = st.lists(
+        st.tuples(
+            st.integers(0, 50_000),            # ts ms
+            st.booleans(),                     # is_l
+            st.floats(0, 100, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(ev_strategy, st.integers(1, 6), st.integers(0, 2**31 - 1))
+    def run(raw, n_batches, seed):
+        rng = random.Random(seed)
+        evs = [(t, is_l, i, round(v, 3)) for i, (t, is_l, v) in enumerate(raw)]
+        rng.shuffle(evs)  # arbitrary arrival order (disorder across batches)
+        delay = 5_000
+        fn = _make_asof_fn()
+        state = MockGroupState()
+        outs = []
+        wm = 0  # Spark semantics: watermark seen by batch k is pre-batch
+        size = max(1, len(evs) // n_batches)
+        survivors = []
+        for i in range(0, max(len(evs), 1), size):
+            chunk = [e for e in evs[i : i + size]]
+            live = [e for e in chunk if e[0] > wm]  # engine's late-row drop
+            survivors.extend(live)
+            if live:
+                pdf = pd.DataFrame(
+                    {
+                        "ts": pd.to_datetime([t * 10**6 for t, _, _, _ in live]),
+                        "is_l": [l for _, l, _, _ in live],
+                        "event_id": [e for _, _, e, _ in live],
+                        "value": [
+                            None if l else v for _, l, _, v in live
+                        ],
+                    }
+                )
+                state._wm = wm
+                state.hasTimedOut = False
+                outs.extend(list(fn((7,), iter([pdf]), state)))
+            # watermark advances to max-seen - delay, never backwards
+            wm = max(wm, max([t for t, _, _, _ in chunk] or [0]) - delay)
+        # end of stream: watermark sails past everything, timer fires
+        state._wm = 10**12
+        state.hasTimedOut = True
+        outs.extend(list(fn((7,), iter([]), state)))
+
+        got = (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=["event_id", "user_id", "ts", "asof_ts", "asof_value"])
+        )
+        want = _brute_force_asof(survivors)
+        got_map = {
+            int(r["event_id"]): (
+                None
+                if pd.isna(r["asof_ts"])
+                else (int(r["asof_ts"].value // 10**6), r["asof_value"])
+            )
+            for _, r in got.iterrows()
+        }
+        assert got_map == want
+        assert not got.duplicated(subset=["event_id"]).any()
+
+    run()
+
+
 def test_asof_carried_right_survives_pruning(spark, tmp_path):
     """After the watermark passes a right row, only the LATEST such row is
     carried; a much-later left must still read it (and not any older,
