@@ -49,6 +49,14 @@ def get_spark(
     for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
         os.environ.setdefault(var, "1073741824")
 
+    # transformWithStateInPandas needs google.protobuf in the worker env;
+    # when absent, an on-disk runtime is shimmed onto PYTHONPATH — which
+    # must happen BEFORE the JVM starts so forked workers inherit it
+    # (no-op on images with protobuf installed; see streaming/pbcompat.py)
+    from .streaming.pbcompat import ensure_protobuf
+
+    ensure_protobuf()
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -400,13 +400,11 @@ def funnel_stream_keyed(
 
 def tws_available() -> bool:
     """True when Spark 4's transformWithStateInPandas Python API can run
-    (its wire protocol needs google.protobuf in the worker env)."""
-    try:
-        import google.protobuf  # noqa: F401
+    (its wire protocol needs google.protobuf in the worker env — shimmed
+    from an on-disk runtime when no installed one exists, pbcompat.py)."""
+    from .pbcompat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 def tws_funnel(
@@ -415,16 +413,25 @@ def tws_funnel(
     within_sec: int = 60,
     watermark_sec: int = 30,
 ) -> DataFrame:
-    """Same funnel on Spark 4's transformWithStateInPandas (requires the
-    RocksDB provider, ``rocksdb_state_conf()``). Preferred at scale: pending
-    timestamps live in a ListState column family (no whole-value rewrite per
-    update) and timers are first-class. Gated: raises if the runtime lacks
-    google.protobuf (this container does — see module docstring)."""
+    """Same funnel on Spark 4's transformWithStateInPandas. Preferred at
+    scale: pending timestamps live in a ListState column family (no
+    whole-value rewrite per update) and timers are first-class. Requires
+    google.protobuf in the Python env (auto-shimmed from an on-disk runtime
+    where possible, pbcompat.py; raises when genuinely absent) and the
+    RocksDB state store (TWS state is multi-column-family, which
+    HDFSBackedStateStoreProvider cannot hold) — the provider confs are set
+    on the session here if not already RocksDB; stateful queries read them
+    at query start."""
     if not tws_available():
         raise NotImplementedError(
             "transformWithStateInPandas needs google.protobuf in the Python "
             "environment; use funnel_stream (applyInPandasWithState) instead"
         )
+    spark = clips.sparkSession
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    if "RocksDB" not in (spark.conf.get(prov, "") or ""):
+        for k, v in rocksdb_state_conf().items():
+            spark.conf.set(k, v)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

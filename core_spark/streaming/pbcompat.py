@@ -1,0 +1,83 @@
+"""google.protobuf discovery for Spark 4's transformWithStateInPandas.
+
+The transformWithStateInPandas wire protocol (driver worker <-> JVM state
+server) needs ``google.protobuf`` in the PYTHON environment. Cluster images
+ship it via pip; this sandbox has no pip and no site-packages protobuf — but
+a complete modern runtime (6.x) exists on disk inside the google-cloud-sdk
+bundle. ``ensure_protobuf()`` makes it importable without installing
+anything:
+
+- builds a shim directory containing ONLY a ``google/protobuf`` symlink to
+  the discovered runtime (never the whole SDK tree — its other top-level
+  modules must not leak into ``sys.path``);
+- prepends it to ``sys.path`` AND ``$PYTHONPATH`` so Python workers forked
+  by the JVM inherit it (call before the SparkSession starts —
+  ``session.get_spark`` does);
+- sets ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true``, protobuf's own
+  escape hatch, because pyspark 4.1.2's generated ``StateMessage_pb2`` is
+  protobuf-5.x gencode while the discovered runtime is 6.x. The message
+  schema involved is pyspark's own tiny state protocol, exercised
+  end-to-end by the tws parity tests, so the blanket version gate is safely
+  out of scope here. On an image with a pip-installed protobuf all of this
+  is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# Known on-disk protobuf runtimes, preferred order (each is the package dir
+# itself, i.e. .../google/protobuf).
+_CANDIDATES = [
+    "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf",
+    "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf",
+]
+
+_SHIM_DIR = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "core_spark_pbshim"
+)
+
+
+def _import_ok() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable (see module docstring).
+
+    Returns True when the import works (natively or via the shim). Safe to
+    call repeatedly; mutates ``sys.path`` / ``os.environ`` only when a shim
+    is actually needed AND available.
+    """
+    if _import_ok():
+        return True
+    src = next((c for c in _CANDIDATES if os.path.isdir(c)), None)
+    if src is None:
+        return False
+    link = os.path.join(_SHIM_DIR, "google", "protobuf")
+    try:
+        os.makedirs(os.path.dirname(link), exist_ok=True)
+        if not os.path.islink(link) or os.readlink(link) != src:
+            tmp = link + ".tmp"
+            if os.path.islink(tmp) or os.path.exists(tmp):
+                os.unlink(tmp)
+            os.symlink(src, tmp)
+            os.replace(tmp, link)
+    except OSError:
+        return False
+    if _SHIM_DIR not in sys.path:
+        sys.path.insert(0, _SHIM_DIR)
+    pp = os.environ.get("PYTHONPATH", "")
+    if _SHIM_DIR not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _SHIM_DIR + (os.pathsep + pp if pp else "")
+        )
+    # protobuf's own opt-out for the 5.x-gencode / 6.x-runtime pairing
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    return _import_ok()
