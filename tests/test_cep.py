@@ -249,8 +249,20 @@ def test_tws_gate(spark, cep_dirs):
             scep.tws_funnel(clips, corr)
         return
     # environment has protobuf: the TWS plan must at least construct
-    res = scep.tws_funnel(clips, corr)
-    assert res.isStreaming
+    # (tws_funnel sets the RocksDB provider session-wide; restore after)
+    old = {k: spark.conf.get(k, None) for k in scep.rocksdb_state_conf()}
+    try:
+        res = scep.tws_funnel(clips, corr)
+        assert res.isStreaming
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
 
 
 def test_tws_funnel_parity_with_apply_in_pandas(spark, cep_dirs):
