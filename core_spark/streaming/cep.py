@@ -44,10 +44,12 @@ Scale notes (10^12-clip posture):
 
 Spark 4's ``transformWithStateInPandas`` is the preferred production API
 for this operator (per-variable RocksDB column families, native timers,
-TTL): ``tws_funnel`` below implements it behind a capability gate — the
-Python side of that API needs ``google.protobuf``, which this container
-lacks, so the primary tested path is ``applyInPandasWithState`` with
-identical semantics.
+TTL): ``tws_funnel`` below implements it. The Python side of that API
+needs ``google.protobuf`` — absent from site-packages here, but
+``pbcompat.ensure_protobuf`` shims an on-disk runtime onto the worker
+path, so the path runs live in this container and
+``test_tws_funnel_parity_with_apply_in_pandas`` proves it emits rows
+identical to the primary ``applyInPandasWithState`` path.
 """
 
 from __future__ import annotations
