@@ -236,6 +236,13 @@ def _stop_host_probe(p) -> float | None:
     try:
         rates = [float(tok) for tok in p.stdout.read().split()]
     except Exception:
+        rates = []
+    finally:
+        try:
+            p.wait(timeout=10)  # reap — no zombie per measured run
+        except Exception:
+            pass
+    if not rates:
         return None
     # median over the run: startup windows (pre-barrier JVM spin-up) are a
     # minority of samples, so the median lands inside the data phase
@@ -243,7 +250,9 @@ def _stop_host_probe(p) -> float | None:
 
 
 def _calib_level(n_procs: int) -> float:
-    """Aggregate rate of n_procs pure-compute workers, one pinned per core."""
+    """Aggregate rate of n_procs pure-compute workers, one pinned per core.
+    Returns 0.0 when the level can't run (e.g. fewer cores than n_procs —
+    taskset fails and the child prints nothing); callers skip such levels."""
     procs = [
         subprocess.Popen(
             ["taskset", "-c", str(i), sys.executable, "-c", _CALIB_SRC],
@@ -251,7 +260,14 @@ def _calib_level(n_procs: int) -> float:
         )
         for i in range(n_procs)
     ]
-    return sum(float(p.communicate()[0]) for p in procs)
+    total = 0.0
+    for p in procs:
+        out = p.communicate()[0]
+        try:
+            total += float(out)
+        except (TypeError, ValueError):
+            return 0.0
+    return total
 
 
 def host_cpu_calibration() -> dict:
@@ -279,15 +295,19 @@ def host_cpu_calibration() -> dict:
         for lvl in best:
             best[lvl] = max(best[lvl], _calib_level(lvl))
     r2, r8, r12, r24 = best[2], best[8], best[12], best[24]
-    return {
+    out = {
         "pure_cpu_rate_2": round(r2, 0),
         "pure_cpu_rate_8": round(r8, 0),
         "pure_cpu_rate_12": round(r12, 0),
         "pure_cpu_rate_24": round(r24, 0),
-        "pure_cpu_eff_2_to_8": round(r8 / (4 * r2), 3),
-        "pure_cpu_eff_2_to_12": round(r12 / (6 * r2), 3),
-        "pure_cpu_eff_2_to_24": round(r24 / (12 * r2), 3),
     }
+    if r2 > 0:  # ratio only for levels the host could actually run
+        for lvl, r in (("8", r8), ("12", r12), ("24", r24)):
+            if r > 0:
+                out[f"pure_cpu_eff_2_to_{lvl}"] = round(
+                    r / (int(lvl) / 2 * r2), 3
+                )
+    return out
 
 
 def run_scaling(n_clips: int) -> dict:
@@ -500,8 +520,13 @@ def run_scaling(n_clips: int) -> dict:
                 )
                 for i in range(n_exec)
             ]
-            with ThreadPoolExecutor(max_workers=n_exec) as ex:
-                rs = [r for r in ex.map(_stag_peak, enumerate(cmds)) if r]
+            try:
+                with ThreadPoolExecutor(max_workers=n_exec) as ex:
+                    rs = list(ex.map(_stag_peak, enumerate(cmds)))
+            except Exception as exc:  # informational section: never let a
+                # failed peak rep destroy the scaling evidence already won
+                print(f"  peak fleet rep={prep} failed: {exc}", file=sys.stderr)
+                continue
             cur = {
                 "n_executors": n_exec,
                 "cores_per_executor": 6,
@@ -518,7 +543,7 @@ def run_scaling(n_clips: int) -> dict:
             for i in range(n_exec):
                 _shutil.rmtree(os.path.join(work, f"peak_{i}"), ignore_errors=True)
             _shutil.rmtree(bdir, ignore_errors=True)
-        peak = dict(best, rep_rates=peak_rates)
+        peak = dict(best, rep_rates=peak_rates) if best else None
 
     # stateful-mode sweep (one pinned run each): the scaling pairs exercise
     # the tumbling hash-aggregate path; these runs put a throughput number
@@ -528,13 +553,17 @@ def run_scaling(n_clips: int) -> dict:
     modes = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_MODES"):
         for m in ("sessions", "join"):
-            r = _run_job(
-                _job_cmd(
-                    n_lo, n_clips, os.path.join(work, f"mode_{m}"), in_dir,
-                    cpuset=_slice(0, 7), mode=m,
-                ),
-                heap=heap,
-            )
+            try:
+                r = _run_job(
+                    _job_cmd(
+                        n_lo, n_clips, os.path.join(work, f"mode_{m}"), in_dir,
+                        cpuset=_slice(0, 7), mode=m,
+                    ),
+                    heap=heap,
+                )
+            except Exception as exc:  # informational, like the peak runs
+                print(f"  mode sweep {m} failed: {exc}", file=sys.stderr)
+                continue
             modes[m] = {
                 "clips_per_sec": r["clips_per_sec"],
                 "clips_per_sec_steady": r["clips_per_sec_steady"],

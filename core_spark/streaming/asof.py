@@ -23,8 +23,8 @@ Semantics (exactly the batch rule, made incremental):
 
 State per key is bounded by the watermark delay, not the stream length:
 
-- pending left rows: only those with ts > watermark (older ones are
-  emitted and dropped immediately);
+- pending left rows: only those with ts >= watermark (strictly-older ones
+  are emitted and dropped immediately);
 - right buffer: rows with ts > watermark, PLUS exactly one "carried"
   row — the latest right at-or-below the watermark. Any older right row
   is dominated by the carried one for every still-possible left (whose
@@ -79,7 +79,12 @@ def _make_asof_fn():
                         pend_ts.append(t)
                         pend_id.append(int(eid))
                     else:
-                        # same-(key, ts) right rows collapse to MAX(value)
+                        # same-(key, ts) right rows collapse to MAX(value),
+                        # NULLs ignored like SQL MAX (pandas hands NULL over
+                        # as NaN — normalize it, or a NaN stored first would
+                        # block every later real value at that ts)
+                        if v is not None and v != v:  # NaN
+                            v = None
                         if t in r_ts:
                             j = r_ts.index(t)
                             if v is not None and (r_val[j] is None or v > r_val[j]):
@@ -88,13 +93,18 @@ def _make_asof_fn():
                             r_ts.append(t)
                             r_val.append(v)
 
-        # finalize every left at-or-behind the watermark (inline AND on
-        # timer — a key with continuous traffic never fires its timer)
+        # finalize every left STRICTLY behind the watermark (inline AND on
+        # timer — a key with continuous traffic never fires its timer).
+        # Strict, not <=: the engine's late filter is only guaranteed to
+        # drop rows strictly older than the watermark, so a right at
+        # exactly ts == wm could still be admitted in a later batch; a
+        # left at ts == wm therefore isn't final yet (it closes one
+        # watermark tick later via the wm+1 timer floor below).
         out = []
         if pend_ts:
             keep_ts, keep_id = [], []
             for t, eid in zip(pend_ts, pend_id):
-                if t <= wm:
+                if t < wm:
                     best = None
                     for rt, rv in zip(r_ts, r_val):
                         if rt <= t and (best is None or rt > best[0]):

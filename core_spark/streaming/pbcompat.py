@@ -34,8 +34,10 @@ _CANDIDATES = [
     "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf",
 ]
 
+# per-uid dir: a shared fixed /tmp name would let another local user
+# pre-own the path and re-point the symlink under us (PYTHONPATH injection)
 _SHIM_DIR = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), "core_spark_pbshim"
+    os.environ.get("TMPDIR", "/tmp"), f"core_spark_pbshim_{os.getuid()}"
 )
 
 
@@ -64,13 +66,19 @@ def ensure_protobuf() -> bool:
     try:
         os.makedirs(os.path.dirname(link), exist_ok=True)
         if not os.path.islink(link) or os.readlink(link) != src:
-            tmp = link + ".tmp"
+            # pid-unique staging name: concurrent first-time callers (e.g.
+            # a 4-job bench fleet starting together) must not race on one
+            # shared .tmp; os.replace onto the final name is atomic
+            tmp = f"{link}.{os.getpid()}.tmp"
             if os.path.islink(tmp) or os.path.exists(tmp):
                 os.unlink(tmp)
             os.symlink(src, tmp)
             os.replace(tmp, link)
     except OSError:
-        return False
+        # a concurrent winner may have installed the link; fall through to
+        # the import check rather than failing outright
+        if not (os.path.islink(link) and os.path.isdir(link)):
+            return False
     if _SHIM_DIR not in sys.path:
         sys.path.insert(0, _SHIM_DIR)
     pp = os.environ.get("PYTHONPATH", "")

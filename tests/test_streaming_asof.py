@@ -36,10 +36,8 @@ def _write(spark, path, rows):
     ).parquet(path)
 
 
-def _run(spark, path, name, one_file_batches=True):
-    s = spark.readStream.schema(SCHEMA).parquet(path)
-    if one_file_batches:
-        s = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
+def _run(spark, path, name):
+    s = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(path)
     res = sasof.asof_stream(
         s.where("event_type = 'l'"),
         s.where("event_type = 'r'"),
@@ -136,11 +134,15 @@ def test_asof_tie_inclusive_and_same_ts_max(spark, tmp_path):
 
 def _brute_force_asof(evs):
     """Reference answer over surviving rows: for each left (t, eid), the
-    right with the greatest ts <= t; same-ts rights collapse to MAX(value)."""
+    right with the greatest ts <= t; same-ts rights collapse to MAX(value)
+    with SQL NULL semantics (NULLs ignored; all-NULL ts -> NULL value)."""
     rights = {}
     for t, is_l, eid, v in evs:
         if not is_l:
-            rights[t] = v if t not in rights else max(rights[t], v)
+            if t not in rights:
+                rights[t] = v
+            elif v is not None and (rights[t] is None or v > rights[t]):
+                rights[t] = v
     out = {}
     for t, is_l, eid, v in evs:
         if is_l:
@@ -166,7 +168,8 @@ def test_asof_fn_matches_brute_force_any_batching():
         st.tuples(
             st.integers(0, 50_000),            # ts ms
             st.booleans(),                     # is_l
-            st.floats(0, 100, allow_nan=False),
+            # rights may carry SQL NULL (arrives in pandas as NaN)
+            st.one_of(st.none(), st.floats(0, 100, allow_nan=False)),
         ),
         min_size=0,
         max_size=40,
@@ -176,7 +179,10 @@ def test_asof_fn_matches_brute_force_any_batching():
     @given(ev_strategy, st.integers(1, 6), st.integers(0, 2**31 - 1))
     def run(raw, n_batches, seed):
         rng = random.Random(seed)
-        evs = [(t, is_l, i, round(v, 3)) for i, (t, is_l, v) in enumerate(raw)]
+        evs = [
+            (t, is_l, i, None if v is None else round(v, 3))
+            for i, (t, is_l, v) in enumerate(raw)
+        ]
         rng.shuffle(evs)  # arbitrary arrival order (disorder across batches)
         delay = 5_000
         fn = _make_asof_fn()
@@ -187,7 +193,9 @@ def test_asof_fn_matches_brute_force_any_batching():
         survivors = []
         for i in range(0, max(len(evs), 1), size):
             chunk = [e for e in evs[i : i + size]]
-            live = [e for e in chunk if e[0] > wm]  # engine's late-row drop
+            # engine's late filter drops only rows STRICTLY behind the
+            # watermark; a row at exactly ts == wm is still admitted
+            live = [e for e in chunk if e[0] >= wm]
             survivors.extend(live)
             if live:
                 pdf = pd.DataFrame(
@@ -220,7 +228,10 @@ def test_asof_fn_matches_brute_force_any_batching():
             int(r["event_id"]): (
                 None
                 if pd.isna(r["asof_ts"])
-                else (int(r["asof_ts"].value // 10**6), r["asof_value"])
+                else (
+                    int(r["asof_ts"].value // 10**6),
+                    None if pd.isna(r["asof_value"]) else r["asof_value"],
+                )
             )
             for _, r in got.iterrows()
         }
