@@ -310,7 +310,7 @@ def host_cpu_calibration() -> dict:
     return out
 
 
-def run_scaling(n_clips: int) -> dict:
+def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
     """North-rule scaling evidence: N vs 4N EXECUTORS, same job, same input.
 
     An executor is a JVM process, so the faithful single-host stand-in for
@@ -417,12 +417,24 @@ def run_scaling(n_clips: int) -> dict:
     calib = host_cpu_calibration()
     print(f"  host cpu calibration: {calib}", file=sys.stderr)
 
+    def _over_deadline(phase: str) -> bool:
+        """Soft wall-clock guard: on a throttled host the full plan can
+        outgrow the caller's patience; optional phases yield rather than
+        risk the whole artifact (the driver records rc!=0 on timeout)."""
+        if deadline is not None and time.time() > deadline:
+            print(f"  deadline reached — skipping {phase}", file=sys.stderr)
+            return True
+        return False
+
     lo_runs: list[dict] = []
     fleet_runs: list[dict] = []
     pair_eff: list[float] = []
     pair_eff_raw: list[float] = []
     # job slices are 7-wide (cores 0-27) so the probe core stays reserved
     for rep in range(repeats):
+        # 3 pairs are the evidence minimum; later ones tighten the median
+        if rep >= 3 and _over_deadline(f"pair {rep} (have {rep})"):
+            break
         # level N: single executor, pinned to slice 0, probe on core 31
         lo_dir = os.path.join(work, f"lo_{rep}")
         probe = _start_host_probe()
@@ -502,7 +514,9 @@ def run_scaling(n_clips: int) -> dict:
     # 8.2k clips/sec in a window where the same fleet does ~29k), so two
     # reps run and the better one is kept, both recorded.
     peak = None
-    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_PEAK"):
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_PEAK") and not _over_deadline(
+        "peak fleet"
+    ):
         def _stag_peak(args):
             i, cmd = args
             time.sleep(1.0 * i)
@@ -511,6 +525,8 @@ def run_scaling(n_clips: int) -> dict:
         peak_rates = []
         best = None
         for prep in range(2):
+            if prep > 0 and _over_deadline("second peak rep"):
+                break
             bdir = os.path.join(work, "barrier_peak")
             _shutil.rmtree(bdir, ignore_errors=True)
             cmds = [
@@ -553,6 +569,8 @@ def run_scaling(n_clips: int) -> dict:
     modes = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_MODES"):
         for m in ("sessions", "join"):
+            if _over_deadline(f"mode sweep {m}"):
+                break
             try:
                 r = _run_job(
                     _job_cmd(
@@ -820,7 +838,11 @@ def main() -> None:
     scaling = None
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"):
         n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "480000"))
-        scaling = run_scaling(n_clips)
+        # soft wall budget for the WHOLE invocation (batch suite included):
+        # on a throttled host the optional tail phases (pairs 4-5, second
+        # peak rep, mode sweep) yield rather than risk a caller timeout
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300"))
+        scaling = run_scaling(n_clips, deadline=t0 + budget)
     total = round(time.time() - t0, 2)
     write_bench_md(sf, times, scaling)
     out = {
