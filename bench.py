@@ -233,15 +233,23 @@ def _stop_host_probe(p) -> float | None:
     import statistics
 
     p.terminate()
+    # per-token parse: terminate() can truncate the final line mid-token,
+    # and one bad token must not discard the whole window's samples
+    rates = []
     try:
-        rates = [float(tok) for tok in p.stdout.read().split()]
+        out = p.stdout.read()
     except Exception:
-        rates = []
+        out = ""
     finally:
         try:
             p.wait(timeout=10)  # reap — no zombie per measured run
         except Exception:
             pass
+    for tok in (out or "").split():
+        try:
+            rates.append(float(tok))
+        except ValueError:
+            continue
     if not rates:
         return None
     # median over the run: startup windows (pre-barrier JVM spin-up) are a
@@ -356,10 +364,12 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
       probe's median rate is the host speed that window actually
       delivered — on this sandbox it swings +/-25% minute-to-minute with
       neighbor load, which is far larger than any engine effect at this
-      footprint. Each pair ratio is normalized by probe_lo/probe_fleet
-      (and the raw ratio reported alongside): a pair whose lo landed in a
-      fast window and whose fleet landed in a slow one no longer reads as
-      false sublinearity, and vice versa.
+      footprint. Each pair ratio is ALSO normalized by
+      probe_lo/probe_fleet as a drift diagnostic, but the headline gates
+      on the RAW paired median: the probe itself slows under the fleet's
+      own ~12-core occupancy (all-core turbo, hypervisor response to
+      self-load), so the correction partly cancels self-induced
+      contention and could hide a genuine scaling regression.
     - levels run sequentially, never overlapping; rep work dirs are
       removed after each rep so tmpfs usage stays bounded.
 
@@ -430,6 +440,7 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
     fleet_runs: list[dict] = []
     pair_eff: list[float] = []
     pair_eff_raw: list[float] = []
+    pair_probe_fallback: list[int] = []  # reps whose probe window was lost
     # job slices are 7-wide (cores 0-27) so the probe core stays reserved
     for rep in range(repeats):
         # 3 pairs are the evidence minimum; later ones tighten the median
@@ -481,11 +492,15 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
         raw = fleet["clips_per_sec"] / (4.0 * r_lo["clips_per_sec"])
         pair_eff_raw.append(round(raw, 3))
         # drift-corrected ratio: each level's throughput normalized by the
-        # host speed its own window actually delivered (see _start_host_probe)
+        # host speed its own window actually delivered (see _start_host_probe).
+        # DIAGNOSTIC only — the headline gates on the raw paired median,
+        # because the probe also slows under the fleet's own occupancy, so
+        # normalization partly cancels self-induced contention too.
         if r_lo.get("probe") and fprobe:
             pair_eff.append(round(raw * (r_lo["probe"] / fprobe), 3))
         else:
             pair_eff.append(round(raw, 3))
+            pair_probe_fallback.append(rep)
         for i in range(n_exec):
             _shutil.rmtree(os.path.join(work, f"fleet{rep}_{i}"), ignore_errors=True)
         _shutil.rmtree(bdir, ignore_errors=True)
@@ -596,7 +611,8 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
     t_lo, t_hi = med_lo["clips_per_sec"], med_fleet["clips_per_sec"]
     s_lo = med_lo.get("clips_per_sec_steady")
     s_hi = med_fleet.get("clips_per_sec_steady")
-    med_pair_eff = sorted(pair_eff)[len(pair_eff) // 2]
+    med_pair_eff_norm = sorted(pair_eff)[len(pair_eff) // 2]
+    med_pair_eff_raw = sorted(pair_eff_raw)[len(pair_eff_raw) // 2]
     return {
         "n_clips": n_clips,
         "cores_lo": n_lo,
@@ -606,12 +622,16 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
         "heap": heap,
         "clips_per_sec_lo": t_lo,
         "clips_per_sec_hi": t_hi,
-        # headline: median of paired same-rep ratios, each pair normalized
-        # by the host-probe speed of its own windows (drift-cancelling)
-        "scaling_efficiency": med_pair_eff,
-        "pair_efficiencies": pair_eff,
+        # headline: median of RAW paired same-rep ratios. The ≥0.8 target is
+        # gated on this; the probe-normalized median is a drift DIAGNOSTIC
+        # only (the reserved-core probe also slows under the fleet's own
+        # occupancy, so normalization could mask a genuine regression).
+        "scaling_efficiency": med_pair_eff_raw,
+        "pair_efficiencies_normalized": pair_eff,
         "pair_efficiencies_raw": pair_eff_raw,
-        "scaling_efficiency_raw": sorted(pair_eff_raw)[len(pair_eff_raw) // 2],
+        "scaling_efficiency_raw": med_pair_eff_raw,
+        "scaling_efficiency_normalized": med_pair_eff_norm,
+        "pair_probe_fallback_reps": pair_probe_fallback or None,
         "host_probe_lo": [r.get("probe") for r in lo_runs],
         "host_probe_fleet": [r.get("probe") for r in fleet_runs],
         "scaling_efficiency_of_medians": round(t_hi / (4.0 * t_lo), 3),
@@ -746,10 +766,11 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             f" whole-run, {scaling.get('steady_hi')} steady-state (summed)"
             f" (reps: {scaling.get('fleet_runs')})",
             f"- scaling efficiency T(4N)/(4*T(N)) = {scaling['scaling_efficiency']}"
-            f" (median of probe-normalized paired ratios"
-            f" {scaling.get('pair_efficiencies')}; raw paired ratios"
-            f" {scaling.get('pair_efficiencies_raw')} with median"
-            f" {scaling.get('scaling_efficiency_raw')}; host-probe rates"
+            f" (median of RAW paired ratios"
+            f" {scaling.get('pair_efficiencies_raw')}; probe-normalized"
+            f" paired ratios {scaling.get('pair_efficiencies_normalized')}"
+            f" with median {scaling.get('scaling_efficiency_normalized')}"
+            f" kept as a drift diagnostic only; host-probe rates"
             f" lo={scaling.get('host_probe_lo')} /"
             f" fleet={scaling.get('host_probe_fleet')};"
             f" ratio-of-medians {scaling.get('scaling_efficiency_of_medians')};"
@@ -860,9 +881,13 @@ def main() -> None:
             clips_per_sec_n=scaling["clips_per_sec_lo"],
             scaling_cores=[scaling["cores_lo"], scaling["cores_hi"]],
             scaling_efficiency=scaling["scaling_efficiency"],
-            scaling_efficiency_pairs=scaling.get("pair_efficiencies"),
+            scaling_efficiency_normalized=scaling.get("scaling_efficiency_normalized"),
+            scaling_efficiency_pairs_normalized=scaling.get(
+                "pair_efficiencies_normalized"
+            ),
             scaling_efficiency_raw=scaling.get("scaling_efficiency_raw"),
             scaling_efficiency_pairs_raw=scaling.get("pair_efficiencies_raw"),
+            pair_probe_fallback_reps=scaling.get("pair_probe_fallback_reps"),
             host_probe_rates={
                 "lo": scaling.get("host_probe_lo"),
                 "fleet": scaling.get("host_probe_fleet"),

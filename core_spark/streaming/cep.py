@@ -54,6 +54,7 @@ identical to the primary ``applyInPandasWithState`` path.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Iterator, Tuple
 
 import numpy as np
@@ -92,6 +93,33 @@ def rocksdb_state_conf(changelog: bool = True) -> dict[str, str]:
         ),
     }
     return conf
+
+
+@contextmanager
+def scoped_rocksdb_state(spark, changelog: bool = True):
+    """Set the RocksDB state-store provider confs for the duration of the
+    ``with`` block, restoring the prior values (or unsetting) on exit.
+
+    Stateful queries read the provider conf at query START, so the scope
+    must cover both plan construction and ``writeStream...start()``;
+    already-started queries keep their provider when the scope exits.
+    This is the supported way to run ``tws_funnel`` without leaking the
+    provider switch into later unrelated streaming queries on the session.
+    """
+    old = {k: spark.conf.get(k, None) for k in rocksdb_state_conf()}
+    for k, v in rocksdb_state_conf(changelog).items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
 
 
 def clip_correction_events(clips: DataFrame, corrections: DataFrame) -> DataFrame:
@@ -421,9 +449,15 @@ def tws_funnel(
     google.protobuf in the Python env (auto-shimmed from an on-disk runtime
     where possible, pbcompat.py; raises when genuinely absent) and the
     RocksDB state store (TWS state is multi-column-family, which
-    HDFSBackedStateStoreProvider cannot hold) — the provider confs are set
-    on the session here if not already RocksDB; stateful queries read them
-    at query start."""
+    HDFSBackedStateStoreProvider cannot hold).
+
+    SIDE EFFECT: if the session's provider is not already RocksDB, this
+    sets the provider confs SESSION-WIDE (stateful queries read them at
+    query start, which happens in the caller after this returns — so they
+    cannot be restored here). Later unrelated streaming queries on the
+    same session would inherit RocksDB. Callers who need the prior
+    provider afterwards should wrap construction + query start in
+    ``scoped_rocksdb_state(spark)``, which restores the confs on exit."""
     if not tws_available():
         raise NotImplementedError(
             "transformWithStateInPandas needs google.protobuf in the Python "

@@ -50,6 +50,26 @@ def _import_ok() -> bool:
         return False
 
 
+def _dir_trusted(path: str) -> bool:
+    """True iff *path* is a real directory we own that nobody else can
+    write. The per-uid name under /tmp is predictable, so another local
+    user could pre-create it (makedirs exist_ok=True would accept that
+    silently) and re-point the protobuf symlink at attacker code that
+    every forked Spark worker imports. Ownership + no group/other write
+    bits closes that: an attacker-owned or world-writable dir is refused."""
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    import stat as _stat
+
+    return (
+        _stat.S_ISDIR(st.st_mode)
+        and st.st_uid == os.getuid()
+        and not (st.st_mode & 0o022)
+    )
+
+
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable (see module docstring).
 
@@ -64,7 +84,11 @@ def ensure_protobuf() -> bool:
         return False
     link = os.path.join(_SHIM_DIR, "google", "protobuf")
     try:
-        os.makedirs(os.path.dirname(link), exist_ok=True)
+        # mode=0o700 on create; exist_ok then re-checked by _dir_trusted so
+        # a pre-planted dir (predictable name) can't smuggle a hostile shim
+        os.makedirs(os.path.dirname(link), mode=0o700, exist_ok=True)
+        if not (_dir_trusted(_SHIM_DIR) and _dir_trusted(os.path.dirname(link))):
+            return False
         if not os.path.islink(link) or os.readlink(link) != src:
             # pid-unique staging name: concurrent first-time callers (e.g.
             # a 4-job bench fleet starting together) must not race on one

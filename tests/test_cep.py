@@ -216,18 +216,8 @@ def test_funnel_absence_rows_emitted_on_watermark(spark, tmp_path):
 
 def test_funnel_stream_under_rocksdb(spark, cep_dirs):
     clips_dir, corr_dir = cep_dirs
-    conf = scep.rocksdb_state_conf()
-    old = {k: spark.conf.get(k, None) for k in conf}
-    for k, v in conf.items():
-        spark.conf.set(k, v)
-    try:
+    with scep.scoped_rocksdb_state(spark):
         got = _run_funnel(spark, clips_dir, corr_dir, "t_cep_rocks")
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     ref = scep.funnel_stream(
         src.clips_batch(spark, clips_dir),
         spark.read.schema(synth.CORRECTIONS_SCHEMA).parquet(corr_dir),
@@ -249,20 +239,9 @@ def test_tws_gate(spark, cep_dirs):
             scep.tws_funnel(clips, corr)
         return
     # environment has protobuf: the TWS plan must at least construct
-    # (tws_funnel sets the RocksDB provider session-wide; restore after)
-    old = {k: spark.conf.get(k, None) for k in scep.rocksdb_state_conf()}
-    try:
+    with scep.scoped_rocksdb_state(spark):
         res = scep.tws_funnel(clips, corr)
         assert res.isStreaming
-    finally:
-        for k, v in old.items():
-            if v is None:
-                try:
-                    spark.conf.unset(k)
-                except Exception:
-                    pass
-            else:
-                spark.conf.set(k, v)
 
 
 def test_tws_funnel_parity_with_apply_in_pandas(spark, cep_dirs):
@@ -273,10 +252,7 @@ def test_tws_funnel_parity_with_apply_in_pandas(spark, cep_dirs):
     if not scep.tws_available():
         pytest.skip("google.protobuf unavailable and no on-disk shim")
     clips_dir, corr_dir = cep_dirs
-    old = {
-        k: spark.conf.get(k, None) for k in scep.rocksdb_state_conf()
-    }
-    try:
+    with scep.scoped_rocksdb_state(spark):
         res = scep.tws_funnel(
             src.clips_stream(spark, clips_dir),
             src.corrections_stream(spark, corr_dir),
@@ -292,15 +268,6 @@ def test_tws_funnel_parity_with_apply_in_pandas(spark, cep_dirs):
         )
         q.awaitTermination()
         got = spark.table("t_tws_parity").toPandas()
-    finally:
-        for k, v in old.items():
-            if v is None:
-                try:
-                    spark.conf.unset(k)
-                except Exception:
-                    pass
-            else:
-                spark.conf.set(k, v)
     ref = _run_funnel(spark, clips_dir, corr_dir, "t_tws_parity_ref")
     key = ["clip_id", "a_ts"]
     cols = key + ["b_ts", "lag_sec", "matched"]
