@@ -169,6 +169,7 @@ def interval_filtering(
     df: DataFrame,
     spec: TSSpec,
     min_interval_seconds: float,
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Thin each tag's series to rows >= min_interval apart.
 
@@ -178,20 +179,24 @@ def interval_filtering(
     sequential pass per tag via applyInPandas (parallel across tags,
     the natural unit of this operator).
 
-    Bound (documented, unlike its chunkable siblings gaussian_smooth /
-    impute_missing): the keep-chain is inherently sequential — every kept
-    row depends on the previous kept row, so a chunk cannot start without
-    its predecessor chunk's final state — and one tag's history must fit a
-    single pandas frame (~16 B/row -> a 100M-row tag is ~1.6 GB). Hot tags
-    beyond that should be pre-split by a coarse time range whose boundaries
-    the caller accepts as filter restarts.
+    Default path bound: one tag's history must fit a single pandas frame
+    (~16 B/row -> a 100M-row tag is ~1.6 GB). For hotter tags pass
+    ``chunk_rows``: the series is time-sliced into per-tag chunks of that
+    many rows and processed in ceil(max_tag_rows / chunk_rows) fully
+    distributed rounds, each chunk receiving the previous round's
+    last-KEPT timestamp as carry-in — bit-identical to the single pass
+    (the keep-chain state is exactly that one timestamp), with per-task
+    memory bounded by chunk_rows regardless of tag skew
+    (tests/test_dq_chunking.py::test_interval_filtering_chunked_exact).
+    Per round the driver holds one (tag, carry_ts) pair per distinct tag —
+    bounded metadata, same budget class as the normalization stats.
     """
     base = scan(df, spec)
+    out_schema = f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string"
 
-    def thin(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _thin(pdf: pd.DataFrame, last_kept=None) -> pd.DataFrame:
         pdf = pdf.sort_values(TS)
         keep = []
-        last_kept = None
         for t in pdf[TS]:
             if last_kept is None or (t - last_kept).total_seconds() >= min_interval_seconds:
                 keep.append(True)
@@ -200,9 +205,51 @@ def interval_filtering(
                 keep.append(False)
         return pdf[pd.Series(keep, index=pdf.index)]
 
-    return base.groupBy(TAG).applyInPandas(
-        thin, schema=f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string"
-    )
+    if chunk_rows is None:
+        # 1-arg wrapper: applyInPandas dispatches on arity, and _thin's
+        # optional carry param would make it look like a (key, pdf) fn
+        return base.groupBy(TAG).applyInPandas(
+            lambda pdf: _thin(pdf), schema=out_schema
+        )
+
+    w = Window.partitionBy(TAG).orderBy(TS)
+    chunked = base.withColumn(
+        "__chunk",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_rows)).cast("long"),
+    ).persist()
+    try:
+        last = chunked.agg(F.max("__chunk")).collect()[0][0]
+        if last is None:
+            return base.limit(0).select(TAG, TS, VAL, ST)
+        carry: dict = {}  # tag -> last kept ts of all previous chunks
+        parts = []
+        def _make_thin(c: dict):
+            def thin_k(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                return _thin(pdf, c.get(key[0]))
+
+            return thin_k
+
+        for k in range(int(last) + 1):
+            thin_k = _make_thin(dict(carry))  # freeze this round's carry
+
+            kept = (
+                chunked.filter(F.col("__chunk") == k)
+                .drop("__chunk")
+                .groupBy(TAG)
+                .applyInPandas(thin_k, schema=out_schema)
+                .localCheckpoint(eager=True)  # pin before carry mutates
+            )
+            for r in kept.groupBy(TAG).agg(F.max(TS).alias("__m")).collect():
+                ts = pd.Timestamp(r["__m"])
+                if r[TAG] not in carry or ts > carry[r[TAG]]:
+                    carry[r[TAG]] = ts
+            parts.append(kept)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        chunked.unpersist()
 
 
 def moving_average(

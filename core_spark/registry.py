@@ -3738,9 +3738,20 @@ def q_sim_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table (operators/similarity.
     semantic_dedup) — rows-only check: the cluster step (driver-trained
     spherical k-means) is not SQL-expressible; tests/test_sampling.py
-    asserts group recovery + determinism."""
+    asserts group recovery + determinism.
+
+    The raw sf0.01 slice has no cosine>=0.95 pairs, so a 0-row result would
+    prove only absence-of-crash; plant exact clones of every 25th vector
+    (vec_id + 10^6, same embedding -> same cluster, cosine 1.0) so the entry
+    returns a known >=2-per-group population whose size a test pins
+    (tests/test_dedup_sim.py::test_semantic_dedup_registry_has_signal)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup(emb, threshold=0.95, n_lists=8)
+    clones = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    return sim.semantic_dedup(emb.unionByName(clones), threshold=0.95, n_lists=8)
 
 
 def q_audio_segment_clips(spark, sf_dir):

@@ -28,9 +28,41 @@ Delta `txnAppId/txnVersion` convention.
 
 from __future__ import annotations
 
+import glob
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def find_iceberg_jar() -> str | None:
+    """Locate an `iceberg-spark-runtime` jar without network access.
+
+    Search order (first hit wins): the `ICEBERG_JAR` env var, a repo-local
+    `jars/` directory, `~/.ivy2/jars` and the ivy cache, then the Spark
+    dist's own jars dir. Lets an offline image (or a user who drops the jar
+    into `jars/`) run the live MERGE INTO suite with zero config; when
+    nothing is found, callers fall back to the capability skip."""
+    env = os.environ.get("ICEBERG_JAR")
+    if env and os.path.isfile(env):
+        return env
+    spark_home = os.environ.get("SPARK_HOME", "/opt/spark")
+    roots = [
+        os.path.join(_REPO_ROOT, "jars"),
+        os.path.expanduser("~/.ivy2/jars"),
+        os.path.expanduser("~/.ivy2/cache/org.apache.iceberg"),
+        os.path.join(spark_home, "jars"),
+    ]
+    for root in roots:
+        hits = sorted(
+            glob.glob(os.path.join(root, "**", "iceberg-spark-runtime*.jar"),
+                      recursive=True)
+        )
+        if hits:
+            return hits[-1]  # highest-sorting = newest version string
+    return None
 
 
 def iceberg_available(spark: SparkSession) -> bool:

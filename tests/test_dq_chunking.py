@@ -78,3 +78,34 @@ def test_impute_missing_modal_path_unchanged(skewed):
     out = dq.impute_missing(skewed, SPEC).toPandas()
     hot = out[out["tagname"] == "hot"]
     assert (hot["imputed"]).sum() > 0
+
+
+def test_interval_filtering_chunked_exact(skewed):
+    # 25 s thinning on a 10/20 s-cadence hot tag: the keep-chain never
+    # resets (no raw gap >= 25 s), so every chunk's decisions depend on the
+    # carried last-kept ts — the worst case for chunked exactness
+    ref = _sorted(dq.interval_filtering(skewed, SPEC, 25.0, chunk_rows=None), [])
+    got = _sorted(dq.interval_filtering(skewed, SPEC, 25.0, chunk_rows=500), [])
+    assert len(ref) > 0
+    pd.testing.assert_frame_equal(got, ref, check_exact=True)
+
+
+def test_interval_filtering_chunked_carry_skips_whole_chunks(spark):
+    # min_interval larger than a whole chunk's span: interior chunks keep
+    # ZERO rows and must pass the carry through unchanged
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "tag": ["t"] * 200,
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(200)],
+            "value": [float(i) for i in range(200)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    ref = _sorted(dq.interval_filtering(df, SPEC, 90.0, chunk_rows=None), [])
+    got = _sorted(dq.interval_filtering(df, SPEC, 90.0, chunk_rows=40), [])
+    # keeps rows at t=0, 90, 180 only
+    assert list(got["event_time"]) == [
+        base, base + pd.Timedelta(seconds=90), base + pd.Timedelta(seconds=180)
+    ]
+    pd.testing.assert_frame_equal(got, ref, check_exact=True)

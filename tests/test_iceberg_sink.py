@@ -19,7 +19,11 @@ import tempfile
 import pytest
 from pyspark.sql import SparkSession
 
-from core_spark.streaming.iceberg import IcebergMergeSink, iceberg_available
+from core_spark.streaming.iceberg import (
+    IcebergMergeSink,
+    find_iceberg_jar,
+    iceberg_available,
+)
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +34,7 @@ def ice_spark():
     # the hadoop catalog on whatever session we get, then probe. The
     # extensions conf only applies to a fresh session — on modern
     # Iceberg/Spark, MERGE INTO works through DSv2 without it.
-    spark = (
+    builder = (
         SparkSession.builder.master("local[4]")
         .appName("iceberg-sink-test")
         .config(
@@ -39,8 +43,15 @@ def ice_spark():
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # offline bootstrap: a jar dropped into repo jars/ (or ~/.ivy2, or
+    # $ICEBERG_JAR) is picked up with zero config — only effective when this
+    # builder creates the JVM (i.e. this module runs standalone); on a
+    # shared session the classpath probe below decides
+    jar = find_iceberg_jar()
+    if jar:
+        builder = builder.config("spark.jars", jar)
+    spark = builder.getOrCreate()
     if not iceberg_available(spark):
         shutil.rmtree(wh, ignore_errors=True)
         pytest.skip("iceberg-spark-runtime jar not on the classpath")

@@ -148,6 +148,23 @@ def test_semantic_dedup_recovers_planted_groups(spark):
         assert i not in got
 
 
+def test_semantic_dedup_registry_has_signal(spark):
+    """The registry entry plants exact clones of every 25th embedding
+    (20 clones on the 500-row table), so the rows-only driver check carries
+    signal: exactly 20 groups of size 2, keeper = the original vec_id."""
+    from core_spark import registry
+
+    out = registry.q_sim_semantic_dedup(spark, SF_DIR).collect()
+    assert len(out) == 40
+    groups = {}
+    for r in out:
+        groups.setdefault(r["keeper_id"], []).append(r["vec_id"])
+        assert r["group_size"] == 2
+    assert len(groups) == 20
+    for keeper, members in groups.items():
+        assert keeper % 25 == 0 and sorted(members) == [keeper, keeper + 1_000_000]
+
+
 def test_semantic_dedup_deterministic_across_runs(spark):
     from core_spark.operators.similarity import semantic_dedup
 
