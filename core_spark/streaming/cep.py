@@ -437,37 +437,13 @@ def tws_available() -> bool:
     return ensure_protobuf()
 
 
-def tws_funnel(
-    clips: DataFrame,
-    corrections: DataFrame,
-    within_sec: int = 60,
-    watermark_sec: int = 30,
-) -> DataFrame:
-    """Same funnel on Spark 4's transformWithStateInPandas. Preferred at
-    scale: pending timestamps live in a ListState column family (no
-    whole-value rewrite per update) and timers are first-class. Requires
-    google.protobuf in the Python env (auto-shimmed from an on-disk runtime
-    where possible, pbcompat.py; raises when genuinely absent) and the
-    RocksDB state store (TWS state is multi-column-family, which
-    HDFSBackedStateStoreProvider cannot hold).
-
-    SIDE EFFECT: if the session's provider is not already RocksDB, this
-    sets the provider confs SESSION-WIDE (stateful queries read them at
-    query start, which happens in the caller after this returns — so they
-    cannot be restored here). Later unrelated streaming queries on the
-    same session would inherit RocksDB. Callers who need the prior
-    provider afterwards should wrap construction + query start in
-    ``scoped_rocksdb_state(spark)``, which restores the confs on exit."""
-    if not tws_available():
-        raise NotImplementedError(
-            "transformWithStateInPandas needs google.protobuf in the Python "
-            "environment; use funnel_stream (applyInPandasWithState) instead"
-        )
-    spark = clips.sparkSession
-    prov = "spark.sql.streaming.stateStore.providerClass"
-    if "RocksDB" not in (spark.conf.get(prov, "") or ""):
-        for k, v in rocksdb_state_conf().items():
-            spark.conf.set(k, v)
+def _make_funnel_processor(within_sec: int):
+    """Build the transformWithStateInPandas FunnelProcessor class for a
+    given horizon. Module-level factory so the arbitrary-batching property
+    harness (tests/test_property.py) can drive the processor directly with
+    mock handle/ListState/timer objects — the same generator that covers
+    _make_funnel_fn then covers the Spark-4 substrate's logic too.
+    Returns (FunnelProcessor, out_schema)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -582,6 +558,42 @@ def tws_funnel(
 
         def close(self) -> None:
             pass
+
+    return FunnelProcessor, out_schema
+
+
+def tws_funnel(
+    clips: DataFrame,
+    corrections: DataFrame,
+    within_sec: int = 60,
+    watermark_sec: int = 30,
+) -> DataFrame:
+    """Same funnel on Spark 4's transformWithStateInPandas. Preferred at
+    scale: pending timestamps live in a ListState column family (no
+    whole-value rewrite per update) and timers are first-class. Requires
+    google.protobuf in the Python env (auto-shimmed from an on-disk runtime
+    where possible, pbcompat.py; raises when genuinely absent) and the
+    RocksDB state store (TWS state is multi-column-family, which
+    HDFSBackedStateStoreProvider cannot hold).
+
+    SIDE EFFECT: if the session's provider is not already RocksDB, this
+    sets the provider confs SESSION-WIDE (stateful queries read them at
+    query start, which happens in the caller after this returns — so they
+    cannot be restored here). Later unrelated streaming queries on the
+    same session would inherit RocksDB. Callers who need the prior
+    provider afterwards should wrap construction + query start in
+    ``scoped_rocksdb_state(spark)``, which restores the confs on exit."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf in the Python "
+            "environment; use funnel_stream (applyInPandasWithState) instead"
+        )
+    spark = clips.sparkSession
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    if "RocksDB" not in (spark.conf.get(prov, "") or ""):
+        for k, v in rocksdb_state_conf().items():
+            spark.conf.set(k, v)
+    FunnelProcessor, out_schema = _make_funnel_processor(within_sec)
 
     events = clip_correction_events(clips, corrections).withWatermark(
         "ts", f"{watermark_sec} seconds"
