@@ -442,10 +442,7 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
     pair_eff_raw: list[float] = []
     pair_probe_fallback: list[int] = []  # reps whose probe window was lost
     # job slices are 7-wide (cores 0-27) so the probe core stays reserved
-    for rep in range(repeats):
-        # 3 pairs are the evidence minimum; later ones tighten the median
-        if rep >= 3 and _over_deadline(f"pair {rep} (have {rep})"):
-            break
+    def _run_pair(rep: int) -> None:
         # level N: single executor, pinned to slice 0, probe on core 31
         lo_dir = os.path.join(work, f"lo_{rep}")
         probe = _start_host_probe()
@@ -505,76 +502,47 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
             _shutil.rmtree(os.path.join(work, f"fleet{rep}_{i}"), ignore_errors=True)
         _shutil.rmtree(bdir, ignore_errors=True)
 
-    # latency mode (one run): same job + input, 28-file micro-batches
-    # (~120k clips each). The availableNow drain's batch duration is the
-    # window-close latency proxy, so the trigger size IS the latency knob;
-    # this run shows where the engine sits when tuned for latency instead
-    # of throughput (production equivalent: maxFilesPerTrigger / a
-    # processingTime trigger sized to the ingest rate).
-    lat = _run_job(
-        _job_cmd(
-            n_lo, n_clips, os.path.join(work, "lat"), in_dir,
-            files_per_trigger=28, cpuset=_slice(0),
-        ),
-        heap=heap,
-    )
-    print(f"  streaming latency-mode 1x local[{n_lo}]: {lat}", file=sys.stderr)
-    _shutil.rmtree(os.path.join(work, "lat"), ignore_errors=True)
+    # 3 pairs are the evidence minimum and run unconditionally; extra
+    # pairs (which only tighten the median) run LAST, after the mode sweep
+    # and the spec-form local[6] pair, so the soft deadline can no longer
+    # starve those phases out of the artifact (the r02 miss).
+    for rep in range(min(3, repeats)):
+        _run_pair(rep)
 
-    # peak-throughput runs: 4x local[6] = the whole host. NOT part of the
-    # scaling evidence (beyond the host's linear-CPU envelope, see
-    # calibration) — they record the absolute clips/sec this host can push
-    # through the engine, comparable with the r01 artifact. A CAPACITY
-    # number must survive throttle windows (a single rep once landed at
-    # 8.2k clips/sec in a window where the same fleet does ~29k), so two
-    # reps run and the better one is kept, both recorded.
-    peak = None
-    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_PEAK") and not _over_deadline(
-        "peak fleet"
-    ):
-        def _stag_peak(args):
-            i, cmd = args
-            time.sleep(1.0 * i)
-            return _run_job(cmd, heap="8g")  # local[6] JVMs get the r01 heap
-
-        peak_rates = []
-        best = None
-        for prep in range(2):
-            if prep > 0 and _over_deadline("second peak rep"):
-                break
-            bdir = os.path.join(work, "barrier_peak")
-            _shutil.rmtree(bdir, ignore_errors=True)
-            cmds = [
-                _job_cmd(
-                    6, n_clips, os.path.join(work, f"peak_{i}"), in_dir,
-                    cpuset=_slice(i), barrier_dir=bdir, barrier_count=n_exec,
-                )
-                for i in range(n_exec)
-            ]
-            try:
-                with ThreadPoolExecutor(max_workers=n_exec) as ex:
-                    rs = list(ex.map(_stag_peak, enumerate(cmds)))
-            except Exception as exc:  # informational section: never let a
-                # failed peak rep destroy the scaling evidence already won
-                print(f"  peak fleet rep={prep} failed: {exc}", file=sys.stderr)
-                continue
-            cur = {
-                "n_executors": n_exec,
-                "cores_per_executor": 6,
-                "clips_per_sec": round(sum(r["clips_per_sec"] for r in rs), 1),
-                "clips_per_sec_steady": round(
-                    sum(r["clips_per_sec_steady"] or 0 for r in rs), 1
-                ),
-                "batch_ms_p99": max(r["batch_ms_p99"] for r in rs),
-            }
-            peak_rates.append(cur["clips_per_sec"])
-            print(f"  peak fleet {n_exec}x local[6] rep={prep}: {cur}", file=sys.stderr)
-            if best is None or cur["clips_per_sec"] > best["clips_per_sec"]:
-                best = cur
-            for i in range(n_exec):
-                _shutil.rmtree(os.path.join(work, f"peak_{i}"), ignore_errors=True)
-            _shutil.rmtree(bdir, ignore_errors=True)
-        peak = dict(best, rep_rates=peak_rates) if best else None
+    # latency mode: same job + input, small micro-batches. The availableNow
+    # drain's batch duration is the window-close latency proxy, so the
+    # trigger size IS the latency knob (production equivalent:
+    # maxFilesPerTrigger / a processingTime trigger sized to the ingest
+    # rate). The reference's only cadence point is the 10 s processingTime
+    # default (delta.py:103-104), so the sweep descends 28 -> 14 -> 7 files
+    # per trigger until p99 < 10 s or the knee is found (smaller batches
+    # trade throughput for latency; every point is recorded so the
+    # latency/throughput knee is auditable either way).
+    lat = None
+    lat_sweep = []
+    for fpt in (28, 14, 7):
+        r = _run_job(
+            _job_cmd(
+                n_lo, n_clips, os.path.join(work, "lat"), in_dir,
+                files_per_trigger=fpt, cpuset=_slice(0),
+            ),
+            heap=heap,
+        )
+        r["files_per_trigger"] = fpt
+        lat_sweep.append(r)
+        print(
+            f"  streaming latency-mode 1x local[{n_lo}] fpt={fpt}: {r}",
+            file=sys.stderr,
+        )
+        _shutil.rmtree(os.path.join(work, "lat"), ignore_errors=True)
+        # headline = first (largest-batch, highest-throughput) point that
+        # meets the reference cadence; else the lowest-p99 point tried
+        if lat is None or (r["batch_ms_p99"] or 1e12) < (lat["batch_ms_p99"] or 1e12):
+            lat = r
+        if r["batch_ms_p99"] and r["batch_ms_p99"] < 10_000:
+            break
+        if _over_deadline("latency sweep"):
+            break
 
     # stateful-mode sweep (one pinned run each): the scaling pairs exercise
     # the tumbling hash-aggregate path; these runs put a throughput number
@@ -605,6 +573,121 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
             }
             print(f"  mode sweep 1x local[{n_lo}] {m}: {modes[m]}", file=sys.stderr)
             _shutil.rmtree(os.path.join(work, f"mode_{m}"), ignore_errors=True)
+
+    # peak-throughput runs: 4x local[6] = the whole host. NOT part of the
+    # scaling evidence (beyond the host's linear-CPU envelope, see
+    # calibration) — they record the absolute clips/sec this host can push
+    # through the engine, comparable with the r01 artifact. A CAPACITY
+    # number must survive throttle windows (a single rep once landed at
+    # 8.2k clips/sec in a window where the same fleet does ~29k), so two
+    # reps run and the better one is kept, both recorded.
+    peak = None
+    specform_pair = None
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_PEAK") and not _over_deadline(
+        "peak fleet"
+    ):
+        def _stag_peak(args):
+            i, cmd = args
+            time.sleep(1.0 * i)
+            return _run_job(cmd, heap="8g")  # local[6] JVMs get the r01 heap
+
+        # spec-form pair, lo side: ONE pinned 1x local[6] on slice 0 (same
+        # 8-wide slice each fleet member gets), probe on core 31, measured
+        # immediately before the first fleet rep so the pair is interleaved.
+        # BASELINE.json frames N vs 4N as local[6] JVMs; this documents the
+        # raw + probe-normalized ratio AT THAT FOOTPRINT each round even
+        # when it lands below 0.8 (the host's pure-CPU calibration shows
+        # the 24-busy-core envelope is hypervisor-throttled — recording the
+        # paired number plus calibration is the honest spec-form evidence).
+        sf_lo = None
+        probe = _start_host_probe()
+        try:
+            sf_lo = _run_job(
+                _job_cmd(6, n_clips, os.path.join(work, "sf_lo"), in_dir,
+                         cpuset=_slice(0)),
+                heap="8g",
+            )
+        except Exception as exc:
+            print(f"  spec-form lo run failed: {exc}", file=sys.stderr)
+        finally:
+            sf_lo_probe = _stop_host_probe(probe)
+        _shutil.rmtree(os.path.join(work, "sf_lo"), ignore_errors=True)
+        if sf_lo:
+            print(
+                f"  spec-form 1x local[6] pinned: {sf_lo} probe={sf_lo_probe}",
+                file=sys.stderr,
+            )
+
+        peak_rates = []
+        peak_probes = []
+        best = None
+        for prep in range(2):
+            if prep > 0 and _over_deadline("second peak rep"):
+                break
+            bdir = os.path.join(work, "barrier_peak")
+            _shutil.rmtree(bdir, ignore_errors=True)
+            cmds = [
+                _job_cmd(
+                    6, n_clips, os.path.join(work, f"peak_{i}"), in_dir,
+                    cpuset=_slice(i), barrier_dir=bdir, barrier_count=n_exec,
+                )
+                for i in range(n_exec)
+            ]
+            # probe shares core 31 with fleet slice 3 here (whole-host
+            # footprint has no reserved core): its rate reflects delivered
+            # speed UNDER the fleet's own load, so the normalized spec-form
+            # ratio is diagnostic-grade only, like the headline pairs'
+            probe = _start_host_probe()
+            try:
+                with ThreadPoolExecutor(max_workers=n_exec) as ex:
+                    rs = list(ex.map(_stag_peak, enumerate(cmds)))
+            except Exception as exc:  # informational section: never let a
+                # failed peak rep destroy the scaling evidence already won
+                print(f"  peak fleet rep={prep} failed: {exc}", file=sys.stderr)
+                continue
+            finally:
+                peak_probes.append(_stop_host_probe(probe))
+            cur = {
+                "n_executors": n_exec,
+                "cores_per_executor": 6,
+                "clips_per_sec": round(sum(r["clips_per_sec"] for r in rs), 1),
+                "clips_per_sec_steady": round(
+                    sum(r["clips_per_sec_steady"] or 0 for r in rs), 1
+                ),
+                "batch_ms_p99": max(r["batch_ms_p99"] for r in rs),
+            }
+            peak_rates.append(cur["clips_per_sec"])
+            print(f"  peak fleet {n_exec}x local[6] rep={prep}: {cur}", file=sys.stderr)
+            if best is None or cur["clips_per_sec"] > best["clips_per_sec"]:
+                best = cur
+            for i in range(n_exec):
+                _shutil.rmtree(os.path.join(work, f"peak_{i}"), ignore_errors=True)
+            _shutil.rmtree(bdir, ignore_errors=True)
+        peak = dict(best, rep_rates=peak_rates) if best else None
+        # spec-form paired ratio: lo = the single local[6] run, fleet = the
+        # FIRST peak rep (the one measured right after it — interleaved)
+        if sf_lo and peak_rates:
+            sf_raw = peak_rates[0] / (4.0 * sf_lo["clips_per_sec"])
+            sf_norm = None
+            if sf_lo_probe and peak_probes and peak_probes[0]:
+                sf_norm = round(sf_raw * (sf_lo_probe / peak_probes[0]), 3)
+            specform_pair = {
+                "cores_lo": 6,
+                "cores_hi": 24,
+                "clips_per_sec_lo": sf_lo["clips_per_sec"],
+                "clips_per_sec_fleet": peak_rates[0],
+                "efficiency_raw": round(sf_raw, 3),
+                "efficiency_normalized": sf_norm,
+                "probe_lo": sf_lo_probe,
+                "probe_fleet": peak_probes[0] if peak_probes else None,
+            }
+            print(f"  spec-form pair: {specform_pair}", file=sys.stderr)
+
+    # extra scaling pairs (median tighteners) — last, fully optional
+    for rep in range(3, repeats):
+        if _over_deadline(f"pair {rep} (have {len(pair_eff_raw)})"):
+            break
+        _run_pair(rep)
 
     med_lo = _median_by(lo_runs, "clips_per_sec")
     med_fleet = _median_by(fleet_runs, "clips_per_sec")
@@ -649,9 +732,20 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
             "n_batches": lat["n_batches"],
             "batch_ms_p50": lat["batch_ms_p50"],
             "batch_ms_p99": lat["batch_ms_p99"],
+            "files_per_trigger": lat.get("files_per_trigger"),
+            "sweep": [
+                {
+                    "files_per_trigger": r.get("files_per_trigger"),
+                    "clips_per_sec": r.get("clips_per_sec"),
+                    "batch_ms_p50": r.get("batch_ms_p50"),
+                    "batch_ms_p99": r.get("batch_ms_p99"),
+                }
+                for r in lat_sweep
+            ],
         },
         "host_cpu_calibration": calib,
         "peak_fleet": peak,
+        "specform_pair": specform_pair,
         "mode_sweep": modes or None,
     }
 
@@ -794,6 +888,21 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
                 f" {pk['clips_per_sec_steady']} steady-state"
                 f" (reps: {pk.get('rep_rates')})",
             ]
+        sf = scaling.get("specform_pair")
+        if sf:
+            lines += [
+                f"- SPEC-FORM paired 1x local[{sf['cores_lo']}] vs 4x"
+                f" local[{sf['cores_lo']}] (the BASELINE.json footprint,"
+                " interleaved, whole host at the 4x level):"
+                f" {sf['clips_per_sec_lo']} vs {sf['clips_per_sec_fleet']}"
+                f" clips/sec, efficiency raw {sf['efficiency_raw']}"
+                f" / probe-normalized {sf['efficiency_normalized']}"
+                f" (probes {sf['probe_lo']} / {sf['probe_fleet']}). At 24"
+                " busy cores the host's own pure-CPU control scales ~0.9"
+                " (see calibration) — read this number against that"
+                " envelope; the calibrated local[2] pairs above are the"
+                " headline evidence.",
+            ]
         ms = scaling.get("mode_sweep")
         if ms:
             lines += [
@@ -806,19 +915,28 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             ]
         lat = scaling.get("latency_mode")
         if lat:
+            sweep_txt = "; ".join(
+                f"fpt={r['files_per_trigger']}: {r['clips_per_sec']} clips/sec,"
+                f" p50/p99 {r['batch_ms_p50']}/{r['batch_ms_p99']} ms"
+                for r in (lat.get("sweep") or [])
+            )
             lines += [
                 "",
                 "Window-close latency (HEADLINE, latency mode): same job +"
-                " input with 28-file ~120k-clip micro-batches — the trigger"
-                " size is the latency knob; production equivalent is"
-                " maxFilesPerTrigger / a processingTime trigger sized to the"
-                f" ingest rate. 1x local[{lo}] sustains"
+                " input, trigger-size sweep descending 28 -> 14 -> 7 files"
+                " per micro-batch until p99 beats the reference's 10 s"
+                " processingTime cadence (delta.py:103-104) or the knee is"
+                " found; production equivalent is maxFilesPerTrigger / a"
+                " processingTime trigger sized to the ingest rate."
+                f" Headline point (fpt={lat.get('files_per_trigger')}):"
+                f" 1x local[{lo}] sustains"
                 f" {lat['clips_per_sec']} clips/sec across"
                 f" {lat['n_batches']} micro-batches with window-close"
                 f" p50/p99 ms = {lat['batch_ms_p50']} / {lat['batch_ms_p99']}."
                 " A window's rows commit with the micro-batch that closes it,"
                 " so batch duration bounds window-close latency; the JSON"
-                " line's window_close_p99_ms carries THIS number.",
+                " line's window_close_p99_ms carries THIS number."
+                + (f" Sweep: {sweep_txt}." if sweep_txt else ""),
             ]
     if kept_scaling_md:
         lines += ["", kept_scaling_md]
@@ -860,8 +978,10 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING"):
         n_clips = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "480000"))
         # soft wall budget for the WHOLE invocation (batch suite included):
-        # on a throttled host the optional tail phases (pairs 4-5, second
-        # peak rep, mode sweep) yield rather than risk a caller timeout
+        # on a throttled host the optional tail phases (second peak rep,
+        # extra pairs 4-5) yield rather than risk a caller timeout; the
+        # mode sweep + spec-form pair run BEFORE them so the artifact
+        # always carries those numbers (the r02 miss)
         budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300"))
         scaling = run_scaling(n_clips, deadline=t0 + budget)
     total = round(time.time() - t0, 2)
@@ -900,11 +1020,14 @@ def main() -> None:
             # as a separate field for transparency
             window_close_p99_ms=lat.get("batch_ms_p99") or scaling["batch_ms_p99_hi"],
             window_close_p50_ms=lat.get("batch_ms_p50"),
+            latency_files_per_trigger=lat.get("files_per_trigger"),
+            latency_sweep=lat.get("sweep"),
             throughput_mode_fleet_p99_ms=scaling["batch_ms_p99_hi"],
             scaling_reps={"lo": scaling.get("lo_runs"), "fleet": scaling.get("fleet_runs")},
             host_cpu_calibration=scaling.get("host_cpu_calibration"),
             peak_fleet=scaling.get("peak_fleet"),
             mode_sweep=scaling.get("mode_sweep"),
+            specform_pair=scaling.get("specform_pair"),
         )
         if scaling.get("peak_fleet"):
             # absolute-throughput headline stays the whole-host number,
