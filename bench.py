@@ -839,9 +839,12 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             "identical CPU resources at both levels and JVM GC/JIT ergonomics",
             f"size to the slice; both levels run identical {scaling.get('heap')}",
             "heaps. A 1-core pure-CPU probe on the reserved core (31) runs",
-            "inside every measured window; each pair's ratio is normalized by",
-            "probe_lo/probe_fleet, cancelling the sandbox's +/-25%",
-            "minute-scale host-speed drift (raw ratios reported alongside).",
+            "inside every measured window; each pair's",
+            "probe_lo/probe_fleet-corrected ratio is recorded as a drift",
+            "diagnostic for the sandbox's +/-25% minute-scale host-speed",
+            "swings, but the HEADLINE gates on the raw paired median (the",
+            "probe also slows under the fleet's own occupancy, so the",
+            "correction could mask a real regression).",
             "Work dirs (checkpoints, state stores, sink) are on tmpfs —",
             "a cluster gives each executor its own local disks, so four JVMs",
             "fsync-contending on this host's one real disk would measure the",
@@ -849,8 +852,8 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             "after their untimed warm-up, so every measured phase runs under",
             f"full {ne}-way contention. The {reps} reps are INTERLEAVED",
             "(lo, fleet, lo, fleet, ...) and the headline efficiency is the",
-            "median of per-pair ratios fleet_i/(4*lo_i), so slow host drift",
-            "cancels within each pair. All measured inside one bench.py",
+            "median of RAW per-pair ratios fleet_i/(4*lo_i), so slow host",
+            "drift cancels within each pair. All measured inside one bench.py",
             "invocation — no best-of merging across invocations.",
             "",
             f"- 1x local[{lo}]:  {scaling['clips_per_sec_lo']} clips/sec"
