@@ -1,0 +1,371 @@
+# Copyright 2025 Project Team
+#
+# Licensed under the Apache License, Version 2.0 (the "License");
+# you may not use this file except in compliance with the License.
+# You may obtain a copy of the License at
+#
+#      http://www.apache.org/licenses/LICENSE-2.0
+#
+# Unless required by applicable law or agreed to in writing, software
+# distributed under the License is distributed on an "AS IS" BASIS,
+# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or implied.
+# See the License for the specific language governing permissions and
+# limitations under the License.
+
+"""Native data-quality expectations engine (Great Expectations semantics,
+zero external dependency).
+
+The reference wraps the great_expectations package behind a thin
+suite-management class (data_quality/monitoring/spark/
+great_expectations_data_quality.py:32-236: build_expectations /
+add_expectations / remove_expectations / display_expectations / check).
+This module re-implements that capability Spark-first instead of shelling
+out to the GE runtime:
+
+- the same suite surface (``ExpectationSuite`` + ``build_expectation`` +
+  add/remove/show), with GE's (expectation_type, kwargs, meta) config
+  triple and GE's ``mostly`` threshold semantics;
+- validation compiles EVERY row-level and table-aggregate expectation in
+  the suite into ONE ``agg()`` over one scan — N expectations cost one
+  Spark job, not N (GE's Spark backend issues one job per expectation);
+  only uniqueness expectations need a second, grouped pass, and all
+  uniqueness expectations over the same column set share one groupBy;
+- results come back in GE's checkpoint shape (``success`` / ``results``
+  [{expectation_config, success, result{element_count, unexpected_count,
+  unexpected_percent}}] / ``statistics``), plus a DataFrame form
+  (``validate_df``) so the check composes into pipelines and is
+  oracle-checkable row-for-row against plain SQL.
+
+Scale posture: one scan + map-side partial aggregation for the whole
+suite; unexpected counts are conditional sums (no shuffle of data rows,
+only the 1-row agg). Uniqueness = groupBy(cols).count() filtered to >1 —
+ids-only shuffle on the expectation's key columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# expectation types whose unexpected-condition is row-level (compiled into
+# one shared agg pass)
+_ROW_LEVEL = {
+    "expect_column_values_to_not_be_null",
+    "expect_column_values_to_be_null",
+    "expect_column_values_to_be_between",
+    "expect_column_values_to_be_in_set",
+    "expect_column_values_to_not_be_in_set",
+    "expect_column_values_to_match_regex",
+    "expect_column_values_to_not_match_regex",
+    "expect_column_value_lengths_to_be_between",
+    "expect_column_pair_values_a_to_be_greater_than_b",
+}
+# table/column aggregates: one scalar in the same shared agg pass
+_AGGREGATE = {
+    "expect_table_row_count_to_be_between",
+    "expect_column_mean_to_be_between",
+    "expect_column_min_to_be_between",
+    "expect_column_max_to_be_between",
+    "expect_column_sum_to_be_between",
+    "expect_column_stdev_to_be_between",
+}
+# schema checks: resolved from df.schema, no job at all
+_SCHEMA = {
+    "expect_column_to_exist",
+    "expect_column_values_to_be_of_type",
+    "expect_table_column_count_to_equal",
+}
+_UNIQUE = {
+    "expect_column_values_to_be_unique",
+    "expect_compound_columns_to_be_unique",
+}
+
+SUPPORTED_EXPECTATIONS = sorted(_ROW_LEVEL | _AGGREGATE | _SCHEMA | _UNIQUE)
+
+
+@dataclass
+class ExpectationConfiguration:
+    """GE's config triple (expectation_type, kwargs, meta)."""
+
+    expectation_type: str
+    kwargs: dict[str, Any]
+    meta: dict[str, Any] | None = None
+
+    def domain(self) -> tuple:
+        """GE 'domain' identity: type + column(s) — used by remove()."""
+        k = self.kwargs
+        col = k.get("column") or k.get("column_list") or (
+            (k.get("column_A"), k.get("column_B"))
+            if "column_A" in k
+            else None
+        )
+        return (self.expectation_type, str(col))
+
+
+@dataclass
+class ExpectationSuite:
+    """In-memory expectation suite with the reference's management verbs
+    (great_expectations_data_quality.py:183-212)."""
+
+    name: str
+    expectations: list[ExpectationConfiguration] = field(default_factory=list)
+
+    def add_expectation(self, cfg: ExpectationConfiguration) -> None:
+        if cfg.expectation_type not in set(SUPPORTED_EXPECTATIONS):
+            raise ValueError(
+                f"unsupported expectation_type: {cfg.expectation_type}"
+            )
+        self.expectations.append(cfg)
+
+    def remove_expectation(
+        self, cfg: ExpectationConfiguration, remove_multiple_matches: bool = True
+    ) -> None:
+        dom = cfg.domain()
+        hits = [e for e in self.expectations if e.domain() == dom]
+        if not hits:
+            raise ValueError(f"no expectation matching domain {dom}")
+        if len(hits) > 1 and not remove_multiple_matches:
+            raise ValueError(f"multiple expectations match domain {dom}")
+        self.expectations = [e for e in self.expectations if e.domain() != dom]
+
+    def show_expectations_by_expectation_type(self) -> list[dict]:
+        return sorted(
+            (
+                {
+                    "expectation_type": e.expectation_type,
+                    "kwargs": e.kwargs,
+                    **({"meta": e.meta} if e.meta else {}),
+                }
+                for e in self.expectations
+            ),
+            key=lambda d: d["expectation_type"],
+        )
+
+
+def build_expectation(
+    expectation_type: str, kwargs: dict, meta: dict | None = None
+) -> ExpectationConfiguration:
+    """Reference parity: GreatExpectationsDataQuality.build_expectations."""
+    return ExpectationConfiguration(expectation_type, kwargs, meta)
+
+
+def _between(col: Column, k: dict) -> Column:
+    """GE between semantics: missing bound = unbounded; strict_min/max flip
+    the comparison to strict inequality."""
+    cond = F.lit(True)
+    if k.get("min_value") is not None:
+        op = Column.__gt__ if k.get("strict_min") else Column.__ge__
+        cond = cond & op(col, F.lit(k["min_value"]))
+    if k.get("max_value") is not None:
+        op = Column.__lt__ if k.get("strict_max") else Column.__le__
+        cond = cond & op(col, F.lit(k["max_value"]))
+    return cond
+
+
+def _row_ok(cfg: ExpectationConfiguration) -> Column:
+    """The row-level 'meets expectation' condition. GE convention: NULLs
+    are not counted as unexpected for value expectations (they have their
+    own null expectations) — encoded here as NULL -> ok except for the two
+    null checks themselves."""
+    t, k = cfg.expectation_type, cfg.kwargs
+    c = F.col(k["column"]) if "column" in k else None
+    if t == "expect_column_values_to_not_be_null":
+        return c.isNotNull()
+    if t == "expect_column_values_to_be_null":
+        return c.isNull()
+    if t == "expect_column_values_to_be_between":
+        return c.isNull() | _between(c, k)
+    if t == "expect_column_values_to_be_in_set":
+        return c.isNull() | c.isin(list(k["value_set"]))
+    if t == "expect_column_values_to_not_be_in_set":
+        return c.isNull() | ~c.isin(list(k["value_set"]))
+    if t == "expect_column_values_to_match_regex":
+        return c.isNull() | c.rlike(k["regex"])
+    if t == "expect_column_values_to_not_match_regex":
+        return c.isNull() | ~c.rlike(k["regex"])
+    if t == "expect_column_value_lengths_to_be_between":
+        return c.isNull() | _between(F.length(c), k)
+    if t == "expect_column_pair_values_a_to_be_greater_than_b":
+        a, b = F.col(k["column_A"]), F.col(k["column_B"])
+        cmp = (a >= b) if k.get("or_equal") else (a > b)
+        return a.isNull() | b.isNull() | cmp
+    raise ValueError(t)
+
+
+def _agg_expr(cfg: ExpectationConfiguration) -> Column:
+    t, k = cfg.expectation_type, cfg.kwargs
+    if t == "expect_table_row_count_to_be_between":
+        return F.count(F.lit(1))
+    c = F.col(k["column"])
+    return {
+        "expect_column_mean_to_be_between": F.avg(c),
+        "expect_column_min_to_be_between": F.min(c),
+        "expect_column_max_to_be_between": F.max(c),
+        "expect_column_sum_to_be_between": F.sum(c),
+        "expect_column_stdev_to_be_between": F.stddev(c),
+    }[t]
+
+
+def _scalar_ok(value, k: dict) -> bool:
+    if value is None:
+        return False
+    if k.get("min_value") is not None:
+        if k.get("strict_min"):
+            if not value > k["min_value"]:
+                return False
+        elif not value >= k["min_value"]:
+            return False
+    if k.get("max_value") is not None:
+        if k.get("strict_max"):
+            if not value < k["max_value"]:
+                return False
+        elif not value <= k["max_value"]:
+            return False
+    return True
+
+
+def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
+    """Validate *df* against every expectation in *suite*; GE checkpoint
+    result shape. One shared agg job for all row-level + aggregate
+    expectations; one grouped job per distinct uniqueness column-set;
+    schema expectations cost nothing."""
+    row_cfgs = [e for e in suite.expectations if e.expectation_type in _ROW_LEVEL]
+    agg_cfgs = [e for e in suite.expectations if e.expectation_type in _AGGREGATE]
+    uniq_cfgs = [e for e in suite.expectations if e.expectation_type in _UNIQUE]
+    schema_cfgs = [e for e in suite.expectations if e.expectation_type in _SCHEMA]
+
+    # ---- one scan: total count + per-expectation unexpected counts + scalars
+    exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, cfg in enumerate(row_cfgs):
+        exprs.append(
+            F.sum(F.when(~_row_ok(cfg), 1).otherwise(0)).alias(f"__u{i}")
+        )
+    for i, cfg in enumerate(agg_cfgs):
+        exprs.append(_agg_expr(cfg).alias(f"__a{i}"))
+    row = df.agg(*exprs).collect()[0] if (row_cfgs or agg_cfgs or uniq_cfgs) else None
+    n = int(row["__n"]) if row is not None else df.count()
+
+    results: list[dict] = []
+
+    def emit(cfg, success, result):
+        results.append(
+            {
+                "expectation_config": {
+                    "expectation_type": cfg.expectation_type,
+                    "kwargs": cfg.kwargs,
+                    **({"meta": cfg.meta} if cfg.meta else {}),
+                },
+                "success": bool(success),
+                "result": result,
+            }
+        )
+
+    def emit_rowlevel(cfg, unexpected):
+        mostly = cfg.kwargs.get("mostly", 1.0)
+        pct = (unexpected / n * 100.0) if n else 0.0
+        emit(
+            cfg,
+            (1.0 - (unexpected / n if n else 0.0)) >= mostly,
+            {
+                "element_count": n,
+                "unexpected_count": int(unexpected),
+                "unexpected_percent": round(pct, 6),
+            },
+        )
+
+    row_idx = {id(cfg): i for i, cfg in enumerate(row_cfgs)}
+    agg_idx = {id(cfg): i for i, cfg in enumerate(agg_cfgs)}
+
+    # uniqueness: one grouped job per distinct column set (GE counts EVERY
+    # occurrence of a >1-multiplicity key as unexpected)
+    by_cols: dict[tuple, int] = {}
+    for cfg in uniq_cfgs:
+        cols = (
+            (cfg.kwargs["column"],)
+            if cfg.expectation_type == "expect_column_values_to_be_unique"
+            else tuple(cfg.kwargs["column_list"])
+        )
+        if cols not in by_cols:
+            dup = (
+                df.groupBy(*cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("u"))
+                .collect()[0]["u"]
+            )
+            by_cols[cols] = int(dup)
+
+    dtypes = dict(df.dtypes)
+    # emit in SUITE order so validate_df rows line up with the suite
+    for cfg in suite.expectations:
+        t, k = cfg.expectation_type, cfg.kwargs
+        if t in _ROW_LEVEL:
+            emit_rowlevel(cfg, int(row[f"__u{row_idx[id(cfg)]}"] or 0))
+        elif t in _AGGREGATE:
+            v = row[f"__a{agg_idx[id(cfg)]}"]
+            if t == "expect_table_row_count_to_be_between":
+                v = int(v)
+            emit(cfg, _scalar_ok(v, k), {"observed_value": v})
+        elif t in _UNIQUE:
+            cols = (
+                (k["column"],)
+                if t == "expect_column_values_to_be_unique"
+                else tuple(k["column_list"])
+            )
+            emit_rowlevel(cfg, by_cols[cols])
+        elif t == "expect_column_to_exist":
+            emit(cfg, k["column"] in dtypes, {"observed_value": list(dtypes)})
+        elif t == "expect_table_column_count_to_equal":
+            emit(cfg, len(dtypes) == k["value"], {"observed_value": len(dtypes)})
+        else:  # expect_column_values_to_be_of_type
+            obs = dtypes.get(k["column"])
+            emit(cfg, obs == k["type_"], {"observed_value": obs})
+
+    ok = sum(1 for r in results if r["success"])
+    return {
+        "success": ok == len(results),
+        "results": results,
+        "statistics": {
+            "evaluated_expectations": len(results),
+            "successful_expectations": ok,
+            "unsuccessful_expectations": len(results) - ok,
+            "success_percent": round(ok / len(results) * 100.0, 6)
+            if results
+            else None,
+        },
+    }
+
+
+def validate_df(df: DataFrame, suite: ExpectationSuite) -> DataFrame:
+    """DataFrame form of ``validate`` (one row per expectation, in suite
+    order) so the check composes into pipelines and oracles can replay it
+    as plain SQL. Columns: idx, expectation_type, column, success,
+    element_count, unexpected_count, observed_value (double-cast scalar
+    for aggregate expectations, NULL otherwise)."""
+    res = validate(df, suite)
+    rows = []
+    for i, (cfg, r) in enumerate(zip(suite.expectations, res["results"])):
+        k = cfg.kwargs
+        col = k.get("column") or ",".join(k.get("column_list", [])) or (
+            f"{k['column_A']},{k['column_B']}" if "column_A" in k else None
+        )
+        obs = r["result"].get("observed_value")
+        rows.append(
+            (
+                i,
+                cfg.expectation_type,
+                col,
+                r["success"],
+                r["result"].get("element_count"),
+                r["result"].get("unexpected_count"),
+                float(obs) if isinstance(obs, (int, float)) else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "idx int, expectation_type string, column string, success boolean,"
+        " element_count long, unexpected_count long, observed_value double",
+    )

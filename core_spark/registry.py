@@ -3790,6 +3790,83 @@ def q_audio_quality_gate(spark, sf_dir):
     )
 
 
+SQL_DQ_EXPECTATIONS = """
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT 0 AS idx, 'expect_column_values_to_not_be_null' AS expectation_type,
+       'value' AS "column",
+       u = 0 AS success, n.c AS element_count, u AS unexpected_count,
+       CAST(NULL AS DOUBLE) AS observed_value
+FROM n, (SELECT count(*) AS u FROM events WHERE value IS NULL)
+UNION ALL
+SELECT 1, 'expect_column_values_to_be_between', 'value',
+       (1.0 - u / CAST(n.c AS DOUBLE)) >= 0.6, n.c, u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM events
+         WHERE value IS NOT NULL AND NOT (value >= 0 AND value <= 50))
+UNION ALL
+SELECT 2, 'expect_column_values_to_be_in_set', 'event_type',
+       u = 0, n.c, u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM events WHERE event_type IS NOT NULL
+         AND event_type NOT IN ('click', 'view', 'purchase', 'signup'))
+UNION ALL
+SELECT 3, 'expect_column_values_to_match_regex', 'event_type',
+       u = 0, n.c, u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM events WHERE event_type IS NOT NULL
+         AND NOT regexp_matches(event_type, '^[a-z]+$'))
+UNION ALL
+SELECT 4, 'expect_table_row_count_to_be_between', CAST(NULL AS VARCHAR),
+       n.c >= 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(n.c AS DOUBLE)
+FROM n
+UNION ALL
+SELECT 5, 'expect_column_mean_to_be_between', 'value',
+       m >= 0 AND m <= 1000, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       round(m, 6)
+FROM (SELECT avg(value) AS m FROM events)
+UNION ALL
+SELECT 6, 'expect_column_values_to_be_unique', 'event_id',
+       u = 0, n.c, u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS u
+         FROM (SELECT count(*) AS cnt FROM events GROUP BY event_id
+               HAVING count(*) > 1))
+UNION ALL
+SELECT 7, 'expect_column_max_to_be_between', 'value',
+       mx >= 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), round(mx, 6)
+FROM (SELECT max(value) AS mx FROM events)
+"""
+
+
+def q_dq_expectations(spark, sf_dir):
+    """Native expectations-suite validation over the events table
+    (operators/expectations.py — the Spark-first replacement for the
+    reference's great_expectations_data_quality.py:183-236 wrapper): one
+    shared agg pass covers every row-level + aggregate expectation, one
+    grouped pass covers uniqueness. Output = one row per expectation in
+    suite order; the oracle replays each expectation as plain SQL."""
+    from .operators import expectations as ex
+
+    events = _load(spark, sf_dir, "events")
+    s = ex.ExpectationSuite("events_quality")
+    for t, k in [
+        ("expect_column_values_to_not_be_null", {"column": "value"}),
+        ("expect_column_values_to_be_between",
+         {"column": "value", "min_value": 0, "max_value": 50, "mostly": 0.6}),
+        ("expect_column_values_to_be_in_set",
+         {"column": "event_type",
+          "value_set": ["click", "view", "purchase", "signup"]}),
+        ("expect_column_values_to_match_regex",
+         {"column": "event_type", "regex": "^[a-z]+$"}),
+        ("expect_table_row_count_to_be_between", {"min_value": 1}),
+        ("expect_column_mean_to_be_between",
+         {"column": "value", "min_value": 0, "max_value": 1000}),
+        ("expect_column_values_to_be_unique", {"column": "event_id"}),
+        ("expect_column_max_to_be_between", {"column": "value", "min_value": 0}),
+    ]:
+        s.add_expectation(ex.build_expectation(t, k))
+    return ex.validate_df(events, s).withColumn(
+        "observed_value", F.round("observed_value", 6)
+    )
+
+
 def q_audio_transcript_rate(spark, sf_dir):
     """Text x audio consistency check: transcript tokens per second of
     detected speech (operators/audio_prep.transcript_rate_check).
@@ -3933,6 +4010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_segment_clips": q_audio_segment_clips,
     "audio_quality_gate": q_audio_quality_gate,
     "audio_transcript_rate": q_audio_transcript_rate,
+    "dq_expectations": q_dq_expectations,
 }
 
 ORACLES: dict[str, str] = {
@@ -4036,4 +4114,5 @@ ORACLES: dict[str, str] = {
 
 # clip-stream queries over the synthetic table: oracled via the SQL twin of
 # the generator (synth.clips_meta_sql / corrections_meta_sql)
+ORACLES["dq_expectations"] = SQL_DQ_EXPECTATIONS
 ORACLES.update(_synth_meta_oracles())

@@ -1,0 +1,191 @@
+"""Native expectations engine: GE semantics without the GE runtime.
+
+Reference surface being replaced: data_quality/monitoring/spark/
+great_expectations_data_quality.py:183-236 (build/add/remove/display +
+checkpoint validation). Semantics pinned here against hand-computed truths,
+including GE's NULL convention (value expectations skip NULLs), `mostly`
+thresholds, strict bounds, and all-occurrences uniqueness counting.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from core_spark.operators import expectations as ex
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    pdf = pd.DataFrame(
+        {
+            "tag": ["a", "a", "b", "b", "c", None],
+            "v": [1.0, 2.0, 2.0, 10.0, None, 5.0],
+            "lo": [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _suite(*cfgs):
+    s = ex.ExpectationSuite("t")
+    for t, k in cfgs:
+        s.add_expectation(ex.build_expectation(t, k))
+    return s
+
+
+def _one(df, t, k):
+    res = ex.validate(df, _suite((t, k)))
+    return res["results"][0]
+
+
+def test_not_null_and_null(df):
+    r = _one(df, "expect_column_values_to_not_be_null", {"column": "tag"})
+    assert not r["success"] and r["result"]["unexpected_count"] == 1
+    r = _one(
+        df, "expect_column_values_to_not_be_null", {"column": "tag", "mostly": 0.8}
+    )
+    assert r["success"]  # 5/6 ≈ 0.833 ≥ 0.8
+    r = _one(df, "expect_column_values_to_be_null", {"column": "v"})
+    assert r["result"]["unexpected_count"] == 5
+
+
+def test_between_null_skip_and_strict(df):
+    # NULL v is skipped (GE convention): unexpected = only 10.0
+    r = _one(
+        df,
+        "expect_column_values_to_be_between",
+        {"column": "v", "min_value": 0, "max_value": 5},
+    )
+    assert r["result"]["unexpected_count"] == 1 and not r["success"]
+    # strict_max flips 5.0 to unexpected too
+    r = _one(
+        df,
+        "expect_column_values_to_be_between",
+        {"column": "v", "min_value": 0, "max_value": 5, "strict_max": True},
+    )
+    assert r["result"]["unexpected_count"] == 2
+    # unbounded max
+    r = _one(df, "expect_column_values_to_be_between", {"column": "v", "min_value": 0})
+    assert r["success"]
+
+
+def test_sets_regex_lengths(df):
+    r = _one(
+        df, "expect_column_values_to_be_in_set", {"column": "tag", "value_set": ["a", "b"]}
+    )
+    assert r["result"]["unexpected_count"] == 1  # 'c'; NULL skipped
+    r = _one(
+        df, "expect_column_values_to_not_be_in_set", {"column": "tag", "value_set": ["c"]}
+    )
+    assert r["result"]["unexpected_count"] == 1
+    r = _one(df, "expect_column_values_to_match_regex", {"column": "tag", "regex": "^[ab]$"})
+    assert r["result"]["unexpected_count"] == 1
+    r = _one(
+        df,
+        "expect_column_value_lengths_to_be_between",
+        {"column": "tag", "min_value": 1, "max_value": 1},
+    )
+    assert r["success"]
+
+
+def test_pair_greater_than(df):
+    r = _one(
+        df,
+        "expect_column_pair_values_a_to_be_greater_than_b",
+        {"column_A": "v", "column_B": "lo"},
+    )
+    assert r["success"]  # NULL v row skipped, all others > 0
+
+
+def test_aggregates_and_rowcount(df):
+    r = _one(
+        df,
+        "expect_column_mean_to_be_between",
+        {"column": "v", "min_value": 3.9, "max_value": 4.1},
+    )
+    assert r["success"] and r["result"]["observed_value"] == 4.0
+    r = _one(
+        df,
+        "expect_table_row_count_to_be_between",
+        {"min_value": 6, "max_value": 6},
+    )
+    assert r["success"] and r["result"]["observed_value"] == 6
+    r = _one(df, "expect_column_sum_to_be_between", {"column": "v", "min_value": 21})
+    assert not r["success"]  # sum = 20
+
+
+def test_uniqueness_counts_all_occurrences(df):
+    # tag 'a' x2 and 'b' x2 -> 4 unexpected rows (every occurrence counts)
+    r = _one(df, "expect_column_values_to_be_unique", {"column": "tag"})
+    assert r["result"]["unexpected_count"] == 4 and not r["success"]
+    r = _one(
+        df,
+        "expect_compound_columns_to_be_unique",
+        {"column_list": ["tag", "v"]},
+    )
+    assert r["success"]  # (a,1),(a,2),(b,2),(b,10),(c,NULL),(NULL,5) distinct
+
+
+def test_schema_checks(df):
+    r = _one(df, "expect_column_to_exist", {"column": "v"})
+    assert r["success"]
+    r = _one(df, "expect_column_to_exist", {"column": "nope"})
+    assert not r["success"]
+    r = _one(df, "expect_column_values_to_be_of_type", {"column": "v", "type_": "double"})
+    assert r["success"]
+    r = _one(df, "expect_table_column_count_to_equal", {"value": 3})
+    assert r["success"]
+
+
+def test_suite_management_verbs(df):
+    s = _suite(
+        ("expect_column_values_to_not_be_null", {"column": "tag"}),
+        ("expect_column_values_to_be_between", {"column": "v", "min_value": 0}),
+    )
+    shown = s.show_expectations_by_expectation_type()
+    assert [d["expectation_type"] for d in shown] == sorted(
+        d["expectation_type"] for d in shown
+    )
+    s.remove_expectation(
+        ex.build_expectation("expect_column_values_to_not_be_null", {"column": "tag"})
+    )
+    assert len(s.expectations) == 1
+    with pytest.raises(ValueError):
+        s.remove_expectation(
+            ex.build_expectation("expect_column_values_to_not_be_null", {"column": "x"})
+        )
+    with pytest.raises(ValueError):
+        s.add_expectation(ex.build_expectation("expect_bogus", {}))
+
+
+def test_checkpoint_shape_and_single_pass(df):
+    s = _suite(
+        ("expect_column_values_to_not_be_null", {"column": "v"}),
+        ("expect_column_values_to_be_between", {"column": "v", "min_value": 0}),
+        ("expect_column_mean_to_be_between", {"column": "v", "min_value": 0}),
+        ("expect_table_row_count_to_be_between", {"min_value": 1}),
+    )
+    res = ex.validate(df, s)
+    assert set(res) == {"success", "results", "statistics"}
+    st = res["statistics"]
+    assert st["evaluated_expectations"] == 4
+    assert st["successful_expectations"] + st["unsuccessful_expectations"] == 4
+    assert len(res["results"]) == 4
+    for r in res["results"]:
+        assert set(r) == {"expectation_config", "success", "result"}
+
+
+def test_validate_df_matches_dict(df):
+    s = _suite(
+        ("expect_column_values_to_not_be_null", {"column": "tag"}),
+        ("expect_column_values_to_be_unique", {"column": "tag"}),
+        ("expect_column_max_to_be_between", {"column": "v", "max_value": 10}),
+    )
+    out = ex.validate_df(df, s).orderBy("idx").collect()
+    res = ex.validate(df, s)
+    assert len(out) == 3
+    assert [r["success"] for r in out] == [r["success"] for r in res["results"]]
+    assert out[0]["unexpected_count"] == 1
+    assert out[1]["unexpected_count"] == 4
+    assert out[2]["observed_value"] == 10.0
