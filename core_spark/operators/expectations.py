@@ -339,6 +339,44 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     }
 
 
+def quarantine_split(
+    df: DataFrame, suite: ExpectationSuite
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level gate built from the suite's compiled conditions: returns
+    (good, bad) where *bad* is every row violating ANY row-level
+    expectation, tagged with a ``failed_expectations`` array naming the
+    violated checks. Aggregate / schema / uniqueness expectations don't
+    define a per-row verdict and are ignored here (run ``validate`` for
+    those).
+
+    This is the training-data quality-gate form: wire ``good`` to the main
+    sink and ``bad`` to a quarantine sink inside foreachBatch and the whole
+    check stays one narrow JVM-side projection — no UDF, no extra scan, no
+    shuffle; works identically on batch and streaming frames.
+    """
+    row_cfgs = [e for e in suite.expectations if e.expectation_type in _ROW_LEVEL]
+    if not row_cfgs:
+        return df, df.limit(0).withColumn(
+            "failed_expectations", F.array().cast("array<string>")
+        )
+    tags = [
+        F.when(
+            ~_row_ok(cfg),
+            F.lit(f"{cfg.expectation_type}:{cfg.kwargs.get('column', '')}"),
+        )
+        for cfg in row_cfgs
+    ]
+    tagged = df.withColumn(
+        "failed_expectations",
+        F.filter(F.array(*tags), lambda x: x.isNotNull()),
+    )
+    good = tagged.filter(F.size("failed_expectations") == 0).drop(
+        "failed_expectations"
+    )
+    bad = tagged.filter(F.size("failed_expectations") > 0)
+    return good, bad
+
+
 def validate_df(df: DataFrame, suite: ExpectationSuite) -> DataFrame:
     """DataFrame form of ``validate`` (one row per expectation, in suite
     order) so the check composes into pipelines and oracles can replay it

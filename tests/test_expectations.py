@@ -189,3 +189,61 @@ def test_validate_df_matches_dict(df):
     assert out[0]["unexpected_count"] == 1
     assert out[1]["unexpected_count"] == 4
     assert out[2]["observed_value"] == 10.0
+
+
+def test_quarantine_split_tags_and_partitions(df):
+    s = _suite(
+        ("expect_column_values_to_not_be_null", {"column": "tag"}),
+        ("expect_column_values_to_be_between", {"column": "v", "max_value": 5}),
+        # aggregate expectations don't gate rows
+        ("expect_column_mean_to_be_between", {"column": "v", "min_value": 0}),
+    )
+    good, bad = ex.quarantine_split(df, s)
+    g, b = good.toPandas(), bad.toPandas()
+    assert len(g) + len(b) == 6
+    # bad rows: tag NULL (one) and v=10 (one)
+    assert len(b) == 2
+    fails = {
+        tuple(sorted(r)) for r in b["failed_expectations"]
+    }
+    assert ("expect_column_values_to_not_be_null:tag",) in fails
+    assert ("expect_column_values_to_be_between:v",) in fails
+    assert "failed_expectations" not in g.columns
+    # no row-level expectations -> everything passes, bad is empty w/ column
+    g2, b2 = ex.quarantine_split(
+        df, _suite(("expect_column_mean_to_be_between", {"column": "v", "min_value": 0}))
+    )
+    assert b2.count() == 0 and "failed_expectations" in b2.columns
+    assert g2.count() == 6
+
+
+def test_quarantine_split_is_narrow_plan(df):
+    # the gate must be a pure projection+filter: no Exchange, no UDF eval
+    s = _suite(("expect_column_values_to_be_between", {"column": "v", "max_value": 5}))
+    good, bad = ex.quarantine_split(df, s)
+    for side in (good, bad):
+        plan = side._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_quarantine_split_on_stream(spark, tmp_path, df):
+    # identical gate compiles on a streaming frame (no batch-only ops)
+    p = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(p)
+    sdf = spark.readStream.schema(df.schema).parquet(p)
+    s = _suite(("expect_column_values_to_not_be_null", {"column": "tag"}))
+    good, bad = ex.quarantine_split(sdf, s)
+    assert good.isStreaming and bad.isStreaming
+    q = (
+        bad.writeStream.format("memory")
+        .queryName("t_exp_quarantine")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_exp_quarantine").toPandas()
+    assert len(got) == 1 and got.iloc[0]["failed_expectations"] == [
+        "expect_column_values_to_not_be_null:tag"
+    ]
