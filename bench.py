@@ -620,6 +620,7 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
 
         peak_rates = []
         peak_probes = []
+        first_peak_rep = None
         best = None
         for prep in range(2):
             if prep > 0 and _over_deadline("second peak rep"):
@@ -643,10 +644,13 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
                     rs = list(ex.map(_stag_peak, enumerate(cmds)))
             except Exception as exc:  # informational section: never let a
                 # failed peak rep destroy the scaling evidence already won
+                _stop_host_probe(probe)  # reap only — a failed rep must not
+                # enter peak_probes, or the spec-form pair would normalize
+                # rep 1's rate by rep 0's dead window
                 print(f"  peak fleet rep={prep} failed: {exc}", file=sys.stderr)
                 continue
-            finally:
-                peak_probes.append(_stop_host_probe(probe))
+            # success path: probes stay index-aligned with peak_rates
+            peak_probes.append(_stop_host_probe(probe))
             cur = {
                 "n_executors": n_exec,
                 "cores_per_executor": 6,
@@ -656,6 +660,8 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
                 ),
                 "batch_ms_p99": max(r["batch_ms_p99"] for r in rs),
             }
+            if not peak_rates:
+                first_peak_rep = prep  # spec-form pair provenance
             peak_rates.append(cur["clips_per_sec"])
             print(f"  peak fleet {n_exec}x local[6] rep={prep}: {cur}", file=sys.stderr)
             if best is None or cur["clips_per_sec"] > best["clips_per_sec"]:
@@ -680,6 +686,9 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
                 "efficiency_normalized": sf_norm,
                 "probe_lo": sf_lo_probe,
                 "probe_fleet": peak_probes[0] if peak_probes else None,
+                # 0 = truly interleaved with the lo run; 1 = rep 0 failed
+                # and the pair spans the intervening failed attempt
+                "fleet_rep": first_peak_rep,
             }
             print(f"  spec-form pair: {specform_pair}", file=sys.stderr)
 

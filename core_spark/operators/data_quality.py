@@ -213,43 +213,61 @@ def interval_filtering(
         )
 
     w = Window.partitionBy(TAG).orderBy(TS)
+    # localCheckpoint (not persist): the chunk assignment must be computed
+    # exactly once — a persisted block evicted between rounds would be
+    # recomputed, and row_number over tied timestamps could renumber,
+    # moving a tie-row across a __chunk boundary (duplicated or dropped)
     chunked = base.withColumn(
         "__chunk",
         ((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_rows)).cast("long"),
-    ).persist()
-    try:
-        last = chunked.agg(F.max("__chunk")).collect()[0][0]
-        if last is None:
-            return base.limit(0).select(TAG, TS, VAL, ST)
-        carry: dict = {}  # tag -> last kept ts of all previous chunks
-        parts = []
-        def _make_thin(c: dict):
-            def thin_k(key, pdf: pd.DataFrame) -> pd.DataFrame:
-                return _thin(pdf, c.get(key[0]))
+    ).localCheckpoint(eager=True)
+    last = chunked.agg(F.max("__chunk")).collect()[0][0]
+    if last is None:
+        return base.limit(0).select(TAG, TS, VAL, ST)
+    # carry crosses the driver as epoch-MICROS longs, never datetimes:
+    # collect() renders TimestampType in the DRIVER's local timezone while
+    # Arrow renders worker frames in the SESSION timezone — on a non-UTC
+    # driver host a datetime carry would be offset by hours. The epoch long
+    # is unambiguous; the closure renders it back to the session-tz naive
+    # wall clock (the exact Arrow domain _thin compares in).
+    sess_tz = df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    carry: dict = {}  # tag -> last kept ts (epoch micros) of prior chunks
+    parts = []
 
-            return thin_k
-
-        for k in range(int(last) + 1):
-            thin_k = _make_thin(dict(carry))  # freeze this round's carry
-
-            kept = (
-                chunked.filter(F.col("__chunk") == k)
-                .drop("__chunk")
-                .groupBy(TAG)
-                .applyInPandas(thin_k, schema=out_schema)
-                .localCheckpoint(eager=True)  # pin before carry mutates
+    def _make_thin(c: dict):
+        def thin_k(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            us = c.get(key[0])
+            lk = (
+                pd.Timestamp(us, unit="us", tz="UTC")
+                .tz_convert(sess_tz)
+                .tz_localize(None)
+                if us is not None
+                else None
             )
-            for r in kept.groupBy(TAG).agg(F.max(TS).alias("__m")).collect():
-                ts = pd.Timestamp(r["__m"])
-                if r[TAG] not in carry or ts > carry[r[TAG]]:
-                    carry[r[TAG]] = ts
-            parts.append(kept)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-    finally:
-        chunked.unpersist()
+            return _thin(pdf, lk)
+
+        return thin_k
+
+    for k in range(int(last) + 1):
+        thin_k = _make_thin(dict(carry))  # freeze this round's carry
+        kept = (
+            chunked.filter(F.col("__chunk") == k)
+            .drop("__chunk")
+            .groupBy(TAG)
+            .applyInPandas(thin_k, schema=out_schema)
+            .localCheckpoint(eager=True)  # pin before carry mutates
+        )
+        for r in kept.groupBy(TAG).agg(
+            F.max(F.unix_micros(F.col(TS))).alias("__m")
+        ).collect():
+            us = r["__m"]
+            if r[TAG] not in carry or us > carry[r[TAG]]:
+                carry[r[TAG]] = us
+        parts.append(kept)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def moving_average(

@@ -123,6 +123,9 @@ class ExpectationSuite:
     def remove_expectation(
         self, cfg: ExpectationConfiguration, remove_multiple_matches: bool = True
     ) -> None:
+        # default True mirrors the REFERENCE wrapper's signature
+        # (great_expectations_data_quality.py:195-203), which itself
+        # flips GE core's False default — parity is with the reference
         dom = cfg.domain()
         hits = [e for e in self.expectations if e.domain() == dom]
         if not hits:
@@ -150,6 +153,13 @@ def build_expectation(
 ) -> ExpectationConfiguration:
     """Reference parity: GreatExpectationsDataQuality.build_expectations."""
     return ExpectationConfiguration(expectation_type, kwargs, meta)
+
+
+def _all_null(cols: list[Column]) -> Column:
+    cond = cols[0].isNull()
+    for c in cols[1:]:
+        cond = cond & c.isNull()
+    return cond
 
 
 def _between(col: Column, k: dict) -> Column:
@@ -246,7 +256,9 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     for i, cfg in enumerate(agg_cfgs):
         exprs.append(_agg_expr(cfg).alias(f"__a{i}"))
     row = df.agg(*exprs).collect()[0] if (row_cfgs or agg_cfgs or uniq_cfgs) else None
-    n = int(row["__n"]) if row is not None else df.count()
+    # schema-only (or empty) suites run ZERO jobs: n is only used by
+    # row-level/uniqueness emits, which imply row is not None
+    n = int(row["__n"]) if row is not None else 0
 
     results: list[dict] = []
 
@@ -289,8 +301,19 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             else tuple(cfg.kwargs["column_list"])
         )
         if cols not in by_cols:
+            # GE NULL convention for uniqueness too: a NULL key is skipped,
+            # not treated as a duplicate of other NULLs (single column:
+            # NULL rows skip; compound: GE's default ignore_row_if =
+            # all_values_are_missing)
+            scoped = (
+                df.filter(F.col(cols[0]).isNotNull())
+                if len(cols) == 1
+                else df.filter(
+                    ~_all_null([F.col(c) for c in cols])
+                )
+            )
             dup = (
-                df.groupBy(*cols)
+                scoped.groupBy(*cols)
                 .count()
                 .filter(F.col("count") > 1)
                 .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("u"))

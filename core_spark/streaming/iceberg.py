@@ -55,13 +55,20 @@ def find_iceberg_jar() -> str | None:
         os.path.expanduser("~/.ivy2/cache/org.apache.iceberg"),
         os.path.join(spark_home, "jars"),
     ]
+    def _version_key(path: str) -> tuple:
+        # numeric-aware ordering: 1.10.0 > 1.9.1 (plain string sort gets
+        # this backwards) — compare the numeric runs of the basename
+        import re
+
+        return tuple(int(x) for x in re.findall(r"\d+", os.path.basename(path)))
+
     for root in roots:
-        hits = sorted(
-            glob.glob(os.path.join(root, "**", "iceberg-spark-runtime*.jar"),
-                      recursive=True)
+        hits = glob.glob(
+            os.path.join(root, "**", "iceberg-spark-runtime*.jar"),
+            recursive=True,
         )
         if hits:
-            return hits[-1]  # highest-sorting = newest version string
+            return max(hits, key=_version_key)
     return None
 
 

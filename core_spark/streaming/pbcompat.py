@@ -84,10 +84,38 @@ def ensure_protobuf() -> bool:
         return False
     link = os.path.join(_SHIM_DIR, "google", "protobuf")
     try:
-        # mode=0o700 on create; exist_ok then re-checked by _dir_trusted so
-        # a pre-planted dir (predictable name) can't smuggle a hostile shim
-        os.makedirs(os.path.dirname(link), mode=0o700, exist_ok=True)
-        if not (_dir_trusted(_SHIM_DIR) and _dir_trusted(os.path.dirname(link))):
+        # Create each level explicitly with mode=0o700 (makedirs applies
+        # mode to the LEAF only; under a permissive umask the intermediate
+        # _SHIM_DIR would come out group/other-writable and fail its own
+        # trust check). exist_ok dirs are then re-checked by _dir_trusted
+        # so a pre-planted dir (predictable name) can't smuggle a hostile
+        # shim; a dir WE own that merely has loose bits (e.g. created by an
+        # older build under umask 002) is healed with chmod, while a
+        # foreign-owned dir is refused outright.
+        for d in (_SHIM_DIR, os.path.dirname(link)):
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            if not _dir_trusted(d):
+                st = os.lstat(d)
+                if not (os.path.isdir(d) and not os.path.islink(d)
+                        and st.st_uid == os.getuid()):
+                    return False
+                os.chmod(d, 0o700)
+                if not _dir_trusted(d):
+                    return False
+        # a dir that was ever loose may carry planted entries chmod can't
+        # undo (google/__init__.py would execute from sys.path); allow only
+        # the exact tree this module builds, refuse anything else
+        if set(os.listdir(_SHIM_DIR)) - {"google"}:
+            return False
+        gdir = os.path.dirname(link)
+        # concurrent first-time callers stage as protobuf.<pid>.tmp (see
+        # below) — those are ours and transient, everything else is refused
+        extras = {
+            e for e in os.listdir(gdir)
+            if e != "protobuf"
+            and not (e.startswith("protobuf.") and e.endswith(".tmp"))
+        }
+        if extras:
             return False
         if not os.path.islink(link) or os.readlink(link) != src:
             # pid-unique staging name: concurrent first-time callers (e.g.

@@ -247,3 +247,51 @@ def test_quarantine_split_on_stream(spark, tmp_path, df):
     assert len(got) == 1 and got.iloc[0]["failed_expectations"] == [
         "expect_column_values_to_not_be_null:tag"
     ]
+
+
+def test_uniqueness_skips_null_keys(spark):
+    # GE convention: NULL keys are skipped, not duplicates of each other
+    pdf = pd.DataFrame({"k": [None, None, "x", "y"], "v": [1.0, 2.0, 3.0, 3.0]})
+    df2 = spark.createDataFrame(pdf)
+    r = _one(df2, "expect_column_values_to_be_unique", {"column": "k"})
+    assert r["success"] and r["result"]["unexpected_count"] == 0
+    # compound: only all-NULL tuples are skipped (GE default ignore_row_if)
+    r = _one(df2, "expect_compound_columns_to_be_unique", {"column_list": ["k", "v"]})
+    assert r["success"]
+    pdf3 = pd.DataFrame({"k": [None, None], "v": [1.0, 1.0]})
+    r = _one(
+        spark.createDataFrame(pdf3),
+        "expect_compound_columns_to_be_unique",
+        {"column_list": ["k", "v"]},
+    )
+    # (NULL, 1.0) twice: not all-missing -> counted as duplicates
+    assert not r["success"] and r["result"]["unexpected_count"] == 2
+
+
+def test_schema_only_suite_runs_no_job(spark, df):
+    from pyspark.sql import functions as F
+
+    # a df whose evaluation would throw: schema checks must not trigger it
+    bomb = df.withColumn("boom", F.assert_true(F.lit(False)))
+    s = _suite(
+        ("expect_column_to_exist", {"column": "boom"}),
+        ("expect_table_column_count_to_equal", {"value": 4}),
+    )
+    res = ex.validate(bomb, s)  # would raise if any job ran
+    assert res["success"]
+
+
+def test_find_iceberg_jar_version_order(tmp_path, monkeypatch):
+    from core_spark.streaming import iceberg as ice
+
+    jars = tmp_path / "jars"
+    jars.mkdir()
+    for name in (
+        "iceberg-spark-runtime-3.5_2.12-1.9.1.jar",
+        "iceberg-spark-runtime-3.5_2.12-1.10.0.jar",
+    ):
+        (jars / name).write_bytes(b"jar")
+    monkeypatch.setattr(ice, "_REPO_ROOT", str(tmp_path))
+    monkeypatch.delenv("ICEBERG_JAR", raising=False)
+    got = ice.find_iceberg_jar()
+    assert got is not None and got.endswith("1.10.0.jar")

@@ -39,17 +39,7 @@ def test_dir_trusted_rejects_missing_and_symlink(tmp_path):
     assert not pbcompat._dir_trusted(str(link))
 
 
-def test_ensure_protobuf_refuses_pre_owned_shim(tmp_path):
-    """A pre-planted world-writable shim dir must make ensure_protobuf
-    return False instead of silently adopting it. Runs in a subprocess so
-    the check happens before google.protobuf is importable natively."""
-    if pbcompat._import_ok() and "core_spark_pbshim" not in (
-        getattr(__import__("google.protobuf", fromlist=["_"]), "__file__", "") or ""
-    ):
-        pytest.skip("native protobuf install present; shim path never taken")
-    shim = tmp_path / f"core_spark_pbshim_{os.getuid()}"
-    shim.mkdir(mode=0o777)
-    os.chmod(shim, 0o777)  # defeat umask
+def _run_shim_subprocess(tmp_path):
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "from core_spark.streaming.pbcompat import ensure_protobuf\n"
@@ -61,4 +51,44 @@ def test_ensure_protobuf_refuses_pre_owned_shim(tmp_path):
         [sys.executable, "-c", code], capture_output=True, text=True, env=env
     )
     assert out.returncode == 0, out.stderr
-    assert out.stdout.strip() == "False"
+    return out.stdout.strip()
+
+
+def _needs_shim():
+    return pbcompat._import_ok() and "core_spark_pbshim" not in (
+        getattr(__import__("google.protobuf", fromlist=["_"]), "__file__", "") or ""
+    )
+
+
+def test_ensure_protobuf_heals_empty_loose_dir_we_own(tmp_path):
+    """An EMPTY world-writable shim dir owned by us (e.g. created by an
+    older build under a permissive umask) is healed: chmod'd to 0700 and
+    used. Runs in a subprocess so the check happens before google.protobuf
+    is importable natively."""
+    if _needs_shim():
+        pytest.skip("native protobuf install present; shim path never taken")
+    shim = tmp_path / f"core_spark_pbshim_{os.getuid()}"
+    shim.mkdir(mode=0o777)
+    os.chmod(shim, 0o777)  # defeat umask
+    assert _run_shim_subprocess(tmp_path) == "True"
+    assert (os.stat(shim).st_mode & 0o777) == 0o700  # healed, not adopted
+
+
+def test_ensure_protobuf_refuses_planted_content(tmp_path):
+    """A shim dir carrying anything beyond the expected google/protobuf
+    tree (e.g. a planted google/__init__.py that would execute from
+    sys.path in every forked worker) is refused outright — chmod can't
+    undo files written while the dir was loose."""
+    if _needs_shim():
+        pytest.skip("native protobuf install present; shim path never taken")
+    shim = tmp_path / f"core_spark_pbshim_{os.getuid()}"
+    (shim / "google").mkdir(parents=True)
+    (shim / "google" / "__init__.py").write_text("PLANTED = 1\n")
+    assert _run_shim_subprocess(tmp_path) == "False"
+    # same for an unexpected entry at the shim root
+    import shutil
+
+    shutil.rmtree(shim)
+    (shim / "google").mkdir(parents=True)
+    (shim / "evil.pth").write_text("x\n")
+    assert _run_shim_subprocess(tmp_path) == "False"
