@@ -82,8 +82,14 @@ _UNIQUE = {
     "expect_column_values_to_be_unique",
     "expect_compound_columns_to_be_unique",
 }
+# quantiles: an array-valued scalar in the same shared agg pass (exact
+# linear-interpolation percentile, not a sketch — matches SQL
+# percentile_cont / DuckDB quantile_cont bit-for-bit)
+_QUANTILE = {"expect_column_quantile_values_to_be_between"}
 
-SUPPORTED_EXPECTATIONS = sorted(_ROW_LEVEL | _AGGREGATE | _SCHEMA | _UNIQUE)
+SUPPORTED_EXPECTATIONS = sorted(
+    _ROW_LEVEL | _AGGREGATE | _SCHEMA | _UNIQUE | _QUANTILE
+)
 
 
 @dataclass
@@ -246,6 +252,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     agg_cfgs = [e for e in suite.expectations if e.expectation_type in _AGGREGATE]
     uniq_cfgs = [e for e in suite.expectations if e.expectation_type in _UNIQUE]
     schema_cfgs = [e for e in suite.expectations if e.expectation_type in _SCHEMA]
+    quant_cfgs = [e for e in suite.expectations if e.expectation_type in _QUANTILE]
 
     # ---- one scan: total count + per-expectation unexpected counts + scalars
     exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
@@ -255,7 +262,17 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
         )
     for i, cfg in enumerate(agg_cfgs):
         exprs.append(_agg_expr(cfg).alias(f"__a{i}"))
-    row = df.agg(*exprs).collect()[0] if (row_cfgs or agg_cfgs or uniq_cfgs) else None
+    for i, cfg in enumerate(quant_cfgs):
+        qs = [float(q) for q in cfg.kwargs["quantile_ranges"]["quantiles"]]
+        exprs.append(
+            F.percentile(F.col(cfg.kwargs["column"]), F.array(*[F.lit(q) for q in qs]))
+            .alias(f"__q{i}")
+        )
+    row = (
+        df.agg(*exprs).collect()[0]
+        if (row_cfgs or agg_cfgs or uniq_cfgs or quant_cfgs)
+        else None
+    )
     # schema-only (or empty) suites run ZERO jobs: n is only used by
     # row-level/uniqueness emits, which imply row is not None
     n = int(row["__n"]) if row is not None else 0
@@ -290,6 +307,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
 
     row_idx = {id(cfg): i for i, cfg in enumerate(row_cfgs)}
     agg_idx = {id(cfg): i for i, cfg in enumerate(agg_cfgs)}
+    quant_idx = {id(cfg): i for i, cfg in enumerate(quant_cfgs)}
 
     # uniqueness: one grouped job per distinct column set (GE counts EVERY
     # occurrence of a >1-multiplicity key as unexpected)
@@ -332,6 +350,14 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             if t == "expect_table_row_count_to_be_between":
                 v = int(v)
             emit(cfg, _scalar_ok(v, k), {"observed_value": v})
+        elif t in _QUANTILE:
+            obs = list(row[f"__q{quant_idx[id(cfg)]}"] or [])
+            ranges = k["quantile_ranges"]["value_ranges"]
+            ok_all = len(obs) == len(ranges) and all(
+                (lo is None or v >= lo) and (hi is None or v <= hi)
+                for v, (lo, hi) in zip(obs, ranges)
+            )
+            emit(cfg, ok_all, {"observed_value": obs})
         elif t in _UNIQUE:
             cols = (
                 (k["column"],)

@@ -3832,6 +3832,11 @@ UNION ALL
 SELECT 7, 'expect_column_max_to_be_between', 'value',
        mx >= 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), round(mx, 6)
 FROM (SELECT max(value) AS mx FROM events)
+UNION ALL
+SELECT 8, 'expect_column_quantile_values_to_be_between', 'value',
+       q >= 0 AND q <= 1000, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+FROM (SELECT quantile_cont(value, 0.5) AS q FROM events)
 """
 
 
@@ -3860,6 +3865,10 @@ def q_dq_expectations(spark, sf_dir):
          {"column": "value", "min_value": 0, "max_value": 1000}),
         ("expect_column_values_to_be_unique", {"column": "event_id"}),
         ("expect_column_max_to_be_between", {"column": "value", "min_value": 0}),
+        ("expect_column_quantile_values_to_be_between",
+         {"column": "value",
+          "quantile_ranges": {"quantiles": [0.5],
+                              "value_ranges": [[0, 1000]]}}),
     ]:
         s.add_expectation(ex.build_expectation(t, k))
     return ex.validate_df(events, s).withColumn(

@@ -295,3 +295,32 @@ def test_find_iceberg_jar_version_order(tmp_path, monkeypatch):
     monkeypatch.delenv("ICEBERG_JAR", raising=False)
     got = ice.find_iceberg_jar()
     assert got is not None and got.endswith("1.10.0.jar")
+
+
+def test_quantile_expectation(df):
+    r = _one(
+        df,
+        "expect_column_quantile_values_to_be_between",
+        {
+            "column": "v",
+            "quantile_ranges": {
+                "quantiles": [0.0, 0.5, 1.0],
+                "value_ranges": [[1.0, 1.0], [2.0, 2.0], [None, 10.0]],
+            },
+        },
+    )
+    # v (nulls skipped by percentile) = [1,2,2,5,10]: q0=1, q.5=2, q1=10
+    assert r["success"]
+    assert r["result"]["observed_value"] == [1.0, 2.0, 10.0]
+    r = _one(
+        df,
+        "expect_column_quantile_values_to_be_between",
+        {
+            "column": "v",
+            "quantile_ranges": {
+                "quantiles": [1.0],
+                "value_ranges": [[None, 9.0]],
+            },
+        },
+    )
+    assert not r["success"]
