@@ -62,6 +62,8 @@ BATCH_QUERIES = [
     # stateful streaming verb end-to-end (readStream -> applyInPandasWithState
     # -> watermark-closed emission) over the sf events table
     "stream_twa",
+    # whole-suite single-pass expectations validation over the events table
+    "dq_expectations",
 ]
 
 

@@ -3887,6 +3887,56 @@ def q_audio_transcript_rate(spark, sf_dir):
     return ap.transcript_rate_check(clips)
 
 
+def q_stream_quality_gate(spark, sf_dir):
+    """Streaming expectations gate end-to-end (streaming/quality.
+    QualityGateSink): the events table replayed as a file stream through a
+    row-level suite in front of a MergeSink; returns the per-batch metrics
+    lineage (batch_id-keyed, replay-overwritten). Rows-only: sink side
+    effects + metrics are not a single SQL expression; replay idempotency
+    is pinned in tests/test_streaming_quality.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import expectations as ex
+    from .streaming.quality import QualityGateSink
+    from .streaming.sink import MergeSink
+
+    events = _load(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q_gate_")
+    try:
+        in_dir = os.path.join(work, "in")
+        events.coalesce(4).write.parquet(in_dir)
+        s = ex.ExpectationSuite("events_gate")
+        s.add_expectation(ex.build_expectation(
+            "expect_column_values_to_be_between",
+            {"column": "value", "min_value": 0, "max_value": 50}))
+        s.add_expectation(ex.build_expectation(
+            "expect_column_values_to_not_be_null", {"column": "event_type"}))
+        gate = QualityGateSink(
+            MergeSink(os.path.join(work, "table"), ["ts", "event_id"]),
+            s,
+            quarantine_dir=os.path.join(work, "quarantine"),
+            metrics_dir=os.path.join(work, "metrics"),
+        )
+        q = (
+            spark.readStream.schema(events.schema).parquet(in_dir)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .foreachBatch(gate.write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(os.path.join(work, "metrics")).select(
+            "src_batch_id", "rows_in", "rows_good", "rows_quarantined"
+        )
+        # materialize before the workdir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver gate window (first 50 keys): round-3 rotation ----
     # Slots 1-50 are the 49 oracle-backed entries the driver has never
@@ -4020,6 +4070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_quality_gate": q_audio_quality_gate,
     "audio_transcript_rate": q_audio_transcript_rate,
     "dq_expectations": q_dq_expectations,
+    "stream_quality_gate": q_stream_quality_gate,
 }
 
 ORACLES: dict[str, str] = {
