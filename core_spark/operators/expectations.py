@@ -388,6 +388,101 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     }
 
 
+_NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+
+
+def profile_suite(
+    df: DataFrame,
+    name: str = "profiled",
+    columns: list[str] | None = None,
+    set_cardinality_max: int = 20,
+) -> ExpectationSuite:
+    """Auto-generate an expectation suite from observed data (the data-
+    contract bootstrap GE's profiler provides): validate(df, profile_suite
+    (df)) passes by construction, and future batches that drift — new NULLs,
+    out-of-range values, unseen categories, schema changes — fail it.
+
+    Exactly two bounded jobs regardless of column count: one shared agg for
+    (null count, min, max, approx distinct) of every profiled column, then
+    one collect_set agg restricted to the string columns whose approx
+    cardinality cleared ``set_cardinality_max`` (value sets are therefore
+    bounded metadata). Emits per column: existence + type pins, a not-null
+    expectation when no NULLs were observed, [min, max] bounds for
+    numerics, and an in-set expectation for low-cardinality strings;
+    plus a table row-count floor of 1.
+    """
+    dtypes = dict(df.dtypes)
+    cols = [c for c in (columns or df.columns) if c in dtypes]
+    exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null{i}"))
+        exprs.append(F.approx_count_distinct(c).alias(f"__card{i}"))
+        if dtypes[c] in _NUMERIC_TYPES:
+            exprs.append(F.min(c).alias(f"__min{i}"))
+            exprs.append(F.max(c).alias(f"__max{i}"))
+    row = df.agg(*exprs).collect()[0]
+
+    set_cols = [
+        (i, c)
+        for i, c in enumerate(cols)
+        if dtypes[c] == "string"
+        # approx_count_distinct err ~2%: pad the probe so a true-cardinality
+        # set near the cap is not missed, then enforce the cap exactly
+        and (row[f"__card{i}"] or 0) <= set_cardinality_max * 1.1 + 5
+    ]
+    sets: dict[str, list] = {}
+    if set_cols:
+        srow = df.agg(
+            *[F.collect_set(c).alias(f"__s{i}") for i, c in set_cols]
+        ).collect()[0]
+        for i, c in set_cols:
+            vals = sorted(srow[f"__s{i}"])
+            if len(vals) <= set_cardinality_max:
+                sets[c] = vals
+
+    suite = ExpectationSuite(name)
+    suite.add_expectation(
+        build_expectation("expect_table_row_count_to_be_between", {"min_value": 1})
+    )
+    suite.add_expectation(
+        build_expectation("expect_table_column_count_to_equal", {"value": len(dtypes)})
+    )
+    for i, c in enumerate(cols):
+        suite.add_expectation(
+            build_expectation("expect_column_to_exist", {"column": c})
+        )
+        suite.add_expectation(
+            build_expectation(
+                "expect_column_values_to_be_of_type", {"column": c, "type_": dtypes[c]}
+            )
+        )
+        if int(row[f"__null{i}"] or 0) == 0:
+            suite.add_expectation(
+                build_expectation(
+                    "expect_column_values_to_not_be_null", {"column": c}
+                )
+            )
+        if dtypes[c] in _NUMERIC_TYPES and row[f"__min{i}"] is not None:
+            suite.add_expectation(
+                build_expectation(
+                    "expect_column_values_to_be_between",
+                    {
+                        "column": c,
+                        "min_value": row[f"__min{i}"],
+                        "max_value": row[f"__max{i}"],
+                    },
+                )
+            )
+        if c in sets:
+            suite.add_expectation(
+                build_expectation(
+                    "expect_column_values_to_be_in_set",
+                    {"column": c, "value_set": sets[c]},
+                )
+            )
+    return suite
+
+
 def quarantine_split(
     df: DataFrame, suite: ExpectationSuite
 ) -> tuple[DataFrame, DataFrame]:

@@ -324,3 +324,51 @@ def test_quantile_expectation(df):
         },
     )
     assert not r["success"]
+
+
+def test_profile_suite_self_validates_and_detects_drift(spark):
+    pdf = pd.DataFrame(
+        {
+            "cat": ["a", "b", "a", "c"] * 5,
+            "num": [float(i) for i in range(20)],
+            "free": [f"text-{i}" for i in range(20)],  # high cardinality
+        }
+    )
+    df2 = spark.createDataFrame(pdf)
+    s = ex.profile_suite(df2, set_cardinality_max=5)
+    # self-validation passes by construction
+    res = ex.validate(df2, s)
+    assert res["success"], [r for r in res["results"] if not r["success"]]
+    types = [e.expectation_type for e in s.expectations]
+    assert "expect_column_values_to_be_in_set" in types  # cat profiled
+    # free-text column must NOT get an in-set pin
+    in_set_cols = {
+        e.kwargs["column"]
+        for e in s.expectations
+        if e.expectation_type == "expect_column_values_to_be_in_set"
+    }
+    assert in_set_cols == {"cat"}
+    # drifted batch: unseen category, out-of-range numeric, new NULL
+    drift = pd.DataFrame(
+        {"cat": ["zzz"], "num": [999.0], "free": [None]}
+    )
+    res2 = ex.validate(spark.createDataFrame(drift, df2.schema), s)
+    failed = {
+        (r["expectation_config"]["expectation_type"],
+         r["expectation_config"]["kwargs"].get("column"))
+        for r in res2["results"]
+        if not r["success"]
+    }
+    assert ("expect_column_values_to_be_in_set", "cat") in failed
+    assert ("expect_column_values_to_be_between", "num") in failed
+    assert ("expect_column_values_to_not_be_null", "free") in failed
+
+
+def test_profile_suite_respects_column_subset(spark, df):
+    s = ex.profile_suite(df, columns=["v"])
+    cols = {e.kwargs.get("column") for e in s.expectations} - {None}
+    assert cols == {"v"}
+    # v has NULLs -> no not-null pin; numeric -> between pin present
+    types = [e.expectation_type for e in s.expectations]
+    assert "expect_column_values_to_not_be_null" not in types
+    assert "expect_column_values_to_be_between" in types
