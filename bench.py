@@ -429,11 +429,16 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
     calib = host_cpu_calibration()
     print(f"  host cpu calibration: {calib}", file=sys.stderr)
 
-    def _over_deadline(phase: str) -> bool:
+    def _over_deadline(phase: str, margin: float = 0.0) -> bool:
         """Soft wall-clock guard: on a throttled host the full plan can
         outgrow the caller's patience; optional phases yield rather than
-        risk the whole artifact (the driver records rc!=0 on timeout)."""
-        if deadline is not None and time.time() > deadline:
+        risk the whole artifact (the JSON line prints at the very END, so
+        a caller-side kill loses everything — the driver records rc!=0).
+        ``margin`` = the phase's expected duration: a phase that would
+        START before the deadline but FINISH after it must not start
+        (a ~330 s scaling pair starting at budget-10 s overshoots the
+        whole invocation past any caller timeout near the budget)."""
+        if deadline is not None and time.time() + margin > deadline:
             print(f"  deadline reached — skipping {phase}", file=sys.stderr)
             return True
         return False
@@ -543,7 +548,7 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
             lat = r
         if r["batch_ms_p99"] and r["batch_ms_p99"] < 10_000:
             break
-        if _over_deadline("latency sweep"):
+        if _over_deadline("latency sweep", margin=240):
             break
 
     # stateful-mode sweep (one pinned run each): the scaling pairs exercise
@@ -554,7 +559,7 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
     modes = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_MODES"):
         for m in ("sessions", "join"):
-            if _over_deadline(f"mode sweep {m}"):
+            if _over_deadline(f"mode sweep {m}", margin=120):
                 break
             try:
                 r = _run_job(
@@ -586,7 +591,7 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
     peak = None
     specform_pair = None
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_PEAK") and not _over_deadline(
-        "peak fleet"
+        "peak fleet", margin=260
     ):
         def _stag_peak(args):
             i, cmd = args
@@ -625,7 +630,7 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
         first_peak_rep = None
         best = None
         for prep in range(2):
-            if prep > 0 and _over_deadline("second peak rep"):
+            if prep > 0 and _over_deadline("second peak rep", margin=200):
                 break
             bdir = os.path.join(work, "barrier_peak")
             _shutil.rmtree(bdir, ignore_errors=True)
@@ -696,7 +701,7 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
 
     # extra scaling pairs (median tighteners) — last, fully optional
     for rep in range(3, repeats):
-        if _over_deadline(f"pair {rep} (have {len(pair_eff_raw)})"):
+        if _over_deadline(f"pair {rep} (have {len(pair_eff_raw)})", margin=360):
             break
         _run_pair(rep)
 
