@@ -181,6 +181,23 @@ def _between(col: Column, k: dict) -> Column:
     return cond
 
 
+def _row_skip(cfg: ExpectationConfiguration) -> Column:
+    """GE's 'missing' condition: rows the expectation does not apply to.
+    Value expectations skip NULLs (GE counts them as ``missing_count`` and
+    excludes them from the success denominator); the two null checks
+    themselves apply to every row; pair expectations skip when either side
+    is NULL (mirroring _row_ok's applicability)."""
+    t, k = cfg.expectation_type, cfg.kwargs
+    if t in (
+        "expect_column_values_to_not_be_null",
+        "expect_column_values_to_be_null",
+    ):
+        return F.lit(False)
+    if t == "expect_column_pair_values_a_to_be_greater_than_b":
+        return F.col(k["column_A"]).isNull() | F.col(k["column_B"]).isNull()
+    return F.col(k["column"]).isNull()
+
+
 def _row_ok(cfg: ExpectationConfiguration) -> Column:
     """The row-level 'meets expectation' condition. GE convention: NULLs
     are not counted as unexpected for value expectations (they have their
@@ -260,6 +277,32 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
         exprs.append(
             F.sum(F.when(~_row_ok(cfg), 1).otherwise(0)).alias(f"__u{i}")
         )
+        # per-expectation missing count, same shared pass: GE's success and
+        # unexpected_percent denominators are (element_count - missing)
+        exprs.append(
+            F.sum(F.when(_row_skip(cfg), 1).otherwise(0)).alias(f"__m{i}")
+        )
+    # uniqueness missing counts ride the same shared pass (the grouped job
+    # below already excludes NULL keys; GE reports them as missing)
+    uniq_sets: list[tuple] = []
+    for cfg in uniq_cfgs:
+        cols = (
+            (cfg.kwargs["column"],)
+            if cfg.expectation_type == "expect_column_values_to_be_unique"
+            else tuple(cfg.kwargs["column_list"])
+        )
+        if cols not in uniq_sets:
+            uniq_sets.append(cols)
+            skip = (
+                F.col(cols[0]).isNull()
+                if len(cols) == 1
+                else _all_null([F.col(c) for c in cols])
+            )
+            exprs.append(
+                F.sum(F.when(skip, 1).otherwise(0)).alias(
+                    f"__un{len(uniq_sets) - 1}"
+                )
+            )
     for i, cfg in enumerate(agg_cfgs):
         exprs.append(_agg_expr(cfg).alias(f"__a{i}"))
     for i, cfg in enumerate(quant_cfgs):
@@ -292,14 +335,22 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             }
         )
 
-    def emit_rowlevel(cfg, unexpected):
+    def emit_rowlevel(cfg, unexpected, missing=0):
+        # GE convention: element_count is ALL rows, missing (NULL-skipped)
+        # rows are reported separately, and success / unexpected_percent
+        # are computed over the NON-missing count — a half-NULL column must
+        # not dilute the unexpected fraction. Zero applicable rows is
+        # vacuously successful (GE's behavior for all-NULL columns).
         mostly = cfg.kwargs.get("mostly", 1.0)
-        pct = (unexpected / n * 100.0) if n else 0.0
+        nonnull = n - int(missing)
+        pct = (unexpected / nonnull * 100.0) if nonnull else 0.0
         emit(
             cfg,
-            (1.0 - (unexpected / n if n else 0.0)) >= mostly,
+            (1.0 - (unexpected / nonnull if nonnull else 0.0)) >= mostly,
             {
                 "element_count": n,
+                "missing_count": int(missing),
+                "missing_percent": round(missing / n * 100.0, 6) if n else 0.0,
                 "unexpected_count": int(unexpected),
                 "unexpected_percent": round(pct, 6),
             },
@@ -344,7 +395,10 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     for cfg in suite.expectations:
         t, k = cfg.expectation_type, cfg.kwargs
         if t in _ROW_LEVEL:
-            emit_rowlevel(cfg, int(row[f"__u{row_idx[id(cfg)]}"] or 0))
+            i = row_idx[id(cfg)]
+            emit_rowlevel(
+                cfg, int(row[f"__u{i}"] or 0), int(row[f"__m{i}"] or 0)
+            )
         elif t in _AGGREGATE:
             v = row[f"__a{agg_idx[id(cfg)]}"]
             if t == "expect_table_row_count_to_be_between":
@@ -364,7 +418,11 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                 if t == "expect_column_values_to_be_unique"
                 else tuple(k["column_list"])
             )
-            emit_rowlevel(cfg, by_cols[cols])
+            emit_rowlevel(
+                cfg,
+                by_cols[cols],
+                int(row[f"__un{uniq_sets.index(cols)}"] or 0),
+            )
         elif t == "expect_column_to_exist":
             emit(cfg, k["column"] in dtypes, {"observed_value": list(dtypes)})
         elif t == "expect_table_column_count_to_equal":
@@ -525,8 +583,10 @@ def validate_df(df: DataFrame, suite: ExpectationSuite) -> DataFrame:
     """DataFrame form of ``validate`` (one row per expectation, in suite
     order) so the check composes into pipelines and oracles can replay it
     as plain SQL. Columns: idx, expectation_type, column, success,
-    element_count, unexpected_count, observed_value (double-cast scalar
-    for aggregate expectations, NULL otherwise)."""
+    element_count, missing_count (GE's NULL-skipped rows — the success
+    denominator is element_count - missing_count), unexpected_count,
+    observed_value (double-cast scalar for aggregate expectations, NULL
+    otherwise)."""
     res = validate(df, suite)
     rows = []
     for i, (cfg, r) in enumerate(zip(suite.expectations, res["results"])):
@@ -542,6 +602,7 @@ def validate_df(df: DataFrame, suite: ExpectationSuite) -> DataFrame:
                 col,
                 r["success"],
                 r["result"].get("element_count"),
+                r["result"].get("missing_count"),
                 r["result"].get("unexpected_count"),
                 float(obs) if isinstance(obs, (int, float)) else None,
             )
@@ -549,5 +610,6 @@ def validate_df(df: DataFrame, suite: ExpectationSuite) -> DataFrame:
     return df.sparkSession.createDataFrame(
         rows,
         "idx int, expectation_type string, column string, success boolean,"
-        " element_count long, unexpected_count long, observed_value double",
+        " element_count long, missing_count long, unexpected_count long,"
+        " observed_value double",
     )

@@ -3791,52 +3791,64 @@ def q_audio_quality_gate(spark, sf_dir):
 
 
 SQL_DQ_EXPECTATIONS = """
-WITH n AS (SELECT count(*) AS c FROM events)
+WITH ev AS (SELECT event_id, event_type,
+                   CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value
+            FROM events),
+     n AS (SELECT count(*) AS c FROM ev)
 SELECT 0 AS idx, 'expect_column_values_to_not_be_null' AS expectation_type,
        'value' AS "column",
-       u = 0 AS success, n.c AS element_count, u AS unexpected_count,
+       u = 0 AS success, n.c AS element_count,
+       CAST(0 AS BIGINT) AS missing_count, u AS unexpected_count,
        CAST(NULL AS DOUBLE) AS observed_value
-FROM n, (SELECT count(*) AS u FROM events WHERE value IS NULL)
+FROM n, (SELECT count(*) AS u FROM ev WHERE value IS NULL)
 UNION ALL
+-- GE convention: success / unexpected_percent over the NON-NULL count;
+-- NULL rows are reported as missing_count, never diluting the fraction
 SELECT 1, 'expect_column_values_to_be_between', 'value',
-       (1.0 - u / CAST(n.c AS DOUBLE)) >= 0.6, n.c, u, CAST(NULL AS DOUBLE)
-FROM n, (SELECT count(*) AS u FROM events
-         WHERE value IS NOT NULL AND NOT (value >= 0 AND value <= 50))
+       (1.0 - u / CAST(n.c - miss AS DOUBLE)) >= 0.6, n.c, miss, u,
+       CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM ev
+         WHERE value IS NOT NULL AND NOT (value >= 0 AND value <= 50)),
+     (SELECT count(*) AS miss FROM ev WHERE value IS NULL)
 UNION ALL
 SELECT 2, 'expect_column_values_to_be_in_set', 'event_type',
-       u = 0, n.c, u, CAST(NULL AS DOUBLE)
-FROM n, (SELECT count(*) AS u FROM events WHERE event_type IS NOT NULL
-         AND event_type NOT IN ('click', 'view', 'purchase', 'signup'))
+       u = 0, n.c, miss, u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM ev WHERE event_type IS NOT NULL
+         AND event_type NOT IN ('click', 'view', 'purchase', 'signup')),
+     (SELECT count(*) AS miss FROM ev WHERE event_type IS NULL)
 UNION ALL
 SELECT 3, 'expect_column_values_to_match_regex', 'event_type',
-       u = 0, n.c, u, CAST(NULL AS DOUBLE)
-FROM n, (SELECT count(*) AS u FROM events WHERE event_type IS NOT NULL
-         AND NOT regexp_matches(event_type, '^[a-z]+$'))
+       u = 0, n.c, miss, u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM ev WHERE event_type IS NOT NULL
+         AND NOT regexp_matches(event_type, '^[a-z]+$')),
+     (SELECT count(*) AS miss FROM ev WHERE event_type IS NULL)
 UNION ALL
 SELECT 4, 'expect_table_row_count_to_be_between', CAST(NULL AS VARCHAR),
        n.c >= 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       CAST(n.c AS DOUBLE)
+       CAST(NULL AS BIGINT), CAST(n.c AS DOUBLE)
 FROM n
 UNION ALL
 SELECT 5, 'expect_column_mean_to_be_between', 'value',
        m >= 0 AND m <= 1000, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       round(m, 6)
-FROM (SELECT avg(value) AS m FROM events)
+       CAST(NULL AS BIGINT), round(m, 6)
+FROM (SELECT avg(value) AS m FROM ev)
 UNION ALL
 SELECT 6, 'expect_column_values_to_be_unique', 'event_id',
-       u = 0, n.c, u, CAST(NULL AS DOUBLE)
+       u = 0, n.c, miss, u, CAST(NULL AS DOUBLE)
 FROM n, (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS u
-         FROM (SELECT count(*) AS cnt FROM events GROUP BY event_id
-               HAVING count(*) > 1))
+         FROM (SELECT count(*) AS cnt FROM ev WHERE event_id IS NOT NULL
+               GROUP BY event_id HAVING count(*) > 1)),
+     (SELECT count(*) AS miss FROM ev WHERE event_id IS NULL)
 UNION ALL
 SELECT 7, 'expect_column_max_to_be_between', 'value',
-       mx >= 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), round(mx, 6)
-FROM (SELECT max(value) AS mx FROM events)
+       mx >= 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), round(mx, 6)
+FROM (SELECT max(value) AS mx FROM ev)
 UNION ALL
 SELECT 8, 'expect_column_quantile_values_to_be_between', 'value',
        q >= 0 AND q <= 1000, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       CAST(NULL AS DOUBLE)
-FROM (SELECT quantile_cont(value, 0.5) AS q FROM events)
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM (SELECT quantile_cont(value, 0.5) AS q FROM ev)
 """
 
 
@@ -3846,10 +3858,21 @@ def q_dq_expectations(spark, sf_dir):
     reference's great_expectations_data_quality.py:183-236 wrapper): one
     shared agg pass covers every row-level + aggregate expectation, one
     grouped pass covers uniqueness. Output = one row per expectation in
-    suite order; the oracle replays each expectation as plain SQL."""
+    suite order; the oracle replays each expectation as plain SQL.
+
+    The validated frame nullifies ``value`` on every 10th event_id so the
+    GE NULL convention is exercised end-to-end: NULLs land in
+    missing_count and the ``mostly`` denominator is the NON-null count
+    (a NULL-diluted denominator would hash-mismatch the oracle)."""
     from .operators import expectations as ex
 
-    events = _load(spark, sf_dir, "events")
+    events = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
     s = ex.ExpectationSuite("events_quality")
     for t, k in [
         ("expect_column_values_to_not_be_null", {"column": "value"}),

@@ -326,6 +326,54 @@ def test_quantile_expectation(df):
     assert not r["success"]
 
 
+def test_mostly_denominator_is_nonnull_count(spark):
+    # GE convention: success and unexpected_percent are computed over the
+    # NON-null element count. 20 rows, 10 NULL, 2 bad of 10 non-null with
+    # mostly=0.9: a total-count denominator reads 2/20 = 10% bad and PASSES;
+    # GE reads 2/10 = 20% bad and FAILS — the r03 divergence, pinned here.
+    pdf = pd.DataFrame({"x": [0.0] * 8 + [99.0] * 2 + [None] * 10})
+    df2 = spark.createDataFrame(pdf)
+    r = _one(
+        df2,
+        "expect_column_values_to_be_between",
+        {"column": "x", "max_value": 1, "mostly": 0.9},
+    )
+    assert not r["success"]
+    assert r["result"]["element_count"] == 20
+    assert r["result"]["missing_count"] == 10
+    assert r["result"]["missing_percent"] == 50.0
+    assert r["result"]["unexpected_count"] == 2
+    assert r["result"]["unexpected_percent"] == 20.0
+    # all-NULL column is vacuously successful (GE behavior)
+    allnull = spark.createDataFrame(
+        pd.DataFrame({"x": [None, None]}), "x double"
+    )
+    r = _one(
+        allnull, "expect_column_values_to_be_between", {"column": "x", "max_value": 1}
+    )
+    assert r["success"] and r["result"]["missing_count"] == 2
+    # null checks themselves never skip: denominator stays element_count
+    r = _one(
+        df2, "expect_column_values_to_not_be_null", {"column": "x", "mostly": 0.5}
+    )
+    assert r["success"] and r["result"]["missing_count"] == 0
+    assert r["result"]["unexpected_percent"] == 50.0
+
+
+def test_uniqueness_reports_null_keys_as_missing(spark):
+    pdf = pd.DataFrame({"k": [None, None, "x", "x", "y"], "v": range(5)})
+    df2 = spark.createDataFrame(pdf)
+    r = _one(df2, "expect_column_values_to_be_unique", {"column": "k"})
+    assert r["result"]["element_count"] == 5
+    assert r["result"]["missing_count"] == 2
+    assert r["result"]["unexpected_count"] == 2  # both 'x' occurrences
+    # mostly over non-null: 1 - 2/3 < 0.9 fails; 2/5 would pass 0.6
+    r = _one(
+        df2, "expect_column_values_to_be_unique", {"column": "k", "mostly": 0.6}
+    )
+    assert not r["success"]
+
+
 def test_profile_suite_self_validates_and_detects_drift(spark):
     pdf = pd.DataFrame(
         {
