@@ -47,6 +47,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +72,17 @@ _AGGREGATE = {
     "expect_column_max_to_be_between",
     "expect_column_sum_to_be_between",
     "expect_column_stdev_to_be_between",
+    # exact linear-interpolation median (percentile_cont 0.5), same pass
+    "expect_column_median_to_be_between",
+}
+# distinct/non-null ratio: two scalars in the same shared agg pass
+_PROPORTION = {"expect_column_proportion_of_unique_values_to_be_between"}
+# mode(s): one grouped ids-only job per column (like uniqueness)
+_MODE = {"expect_column_most_common_value_to_be_in_set"}
+# order-dependent checks: one range-partitioned sorted pass per expectation
+_MONOTONIC = {
+    "expect_column_values_to_be_increasing",
+    "expect_column_values_to_be_decreasing",
 }
 # schema checks: resolved from df.schema, no job at all
 _SCHEMA = {
@@ -88,7 +100,14 @@ _UNIQUE = {
 _QUANTILE = {"expect_column_quantile_values_to_be_between"}
 
 SUPPORTED_EXPECTATIONS = sorted(
-    _ROW_LEVEL | _AGGREGATE | _SCHEMA | _UNIQUE | _QUANTILE
+    _ROW_LEVEL
+    | _AGGREGATE
+    | _SCHEMA
+    | _UNIQUE
+    | _QUANTILE
+    | _PROPORTION
+    | _MODE
+    | _MONOTONIC
 )
 
 
@@ -239,7 +258,87 @@ def _agg_expr(cfg: ExpectationConfiguration) -> Column:
         "expect_column_max_to_be_between": F.max(c),
         "expect_column_sum_to_be_between": F.sum(c),
         "expect_column_stdev_to_be_between": F.stddev(c),
+        # exact interpolated median, matching SQL percentile_cont /
+        # DuckDB quantile_cont(0.5) bit-for-bit
+        "expect_column_median_to_be_between": F.percentile(c, F.lit(0.5)),
     }[t]
+
+
+def _monotonic_counts(
+    df: DataFrame, cfg: ExpectationConfiguration
+) -> int:
+    """Adjacent-pair violation count for increasing/decreasing checks.
+
+    GE evaluates monotonicity in the dataframe's own row order; a
+    distributed DataFrame has none, so this engine REQUIRES an
+    ``order_by`` kwarg naming the ordering column (documented divergence —
+    a total order is the only well-defined semantics at scale).
+
+    Scale shape: NULL values are dropped (they are `missing`, counted in
+    the shared agg pass), the (order, value) projection is
+    repartitionByRange'd on the order column and sorted WITHIN partitions,
+    and one mapInPandas pass emits per-partition (violations, first, last)
+    summaries. Range partition ids are ascending in key order, so the
+    driver only compares the <=P partition-boundary pairs — bounded
+    metadata, no global single-partition window anywhere."""
+    k = cfg.kwargs
+    order_by = k.get("order_by")
+    if not order_by:
+        raise ValueError(
+            f"{cfg.expectation_type} requires an 'order_by' kwarg: Spark "
+            "DataFrames have no intrinsic row order"
+        )
+    strictly = bool(k.get("strictly"))
+    decreasing = cfg.expectation_type == "expect_column_values_to_be_decreasing"
+    vt = df.schema[k["column"]].dataType.simpleString()
+    sub = (
+        df.select(F.col(order_by).alias("__o"), F.col(k["column"]).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .repartitionByRange(F.col("__o"))
+        .sortWithinPartitions("__o")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    def _bad(prev, cur) -> bool:
+        if decreasing:
+            return cur >= prev if strictly else cur > prev
+        return cur <= prev if strictly else cur < prev
+
+    def summarize(batches):
+        pid, first, last, viol = None, None, None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            v = pdf["__v"].to_numpy()
+            if last is not None and _bad(last, v[0]):
+                viol += 1
+            if first is None:
+                first = v[0]
+            prev, cur = v[:-1], v[1:]
+            if decreasing:
+                bad = (cur >= prev) if strictly else (cur > prev)
+            else:
+                bad = (cur <= prev) if strictly else (cur < prev)
+            viol += int(bad.sum())
+            last = v[-1]
+        if pid is not None:
+            yield pd.DataFrame(
+                {"pid": [pid], "first": [first], "last": [last], "viol": [viol]}
+            )
+
+    summaries = sorted(
+        sub.mapInPandas(
+            summarize, schema=f"pid int, first {vt}, last {vt}, viol long"
+        ).collect(),
+        key=lambda r: r["pid"],
+    )
+    viol = sum(r["viol"] for r in summaries)
+    for a, b in zip(summaries, summaries[1:]):
+        if _bad(a["last"], b["first"]):
+            viol += 1
+    return int(viol)
 
 
 def _scalar_ok(value, k: dict) -> bool:
@@ -270,6 +369,9 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     uniq_cfgs = [e for e in suite.expectations if e.expectation_type in _UNIQUE]
     schema_cfgs = [e for e in suite.expectations if e.expectation_type in _SCHEMA]
     quant_cfgs = [e for e in suite.expectations if e.expectation_type in _QUANTILE]
+    prop_cfgs = [e for e in suite.expectations if e.expectation_type in _PROPORTION]
+    mode_cfgs = [e for e in suite.expectations if e.expectation_type in _MODE]
+    mono_cfgs = [e for e in suite.expectations if e.expectation_type in _MONOTONIC]
 
     # ---- one scan: total count + per-expectation unexpected counts + scalars
     exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
@@ -305,6 +407,17 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             )
     for i, cfg in enumerate(agg_cfgs):
         exprs.append(_agg_expr(cfg).alias(f"__a{i}"))
+    for i, cfg in enumerate(prop_cfgs):
+        c = F.col(cfg.kwargs["column"])
+        exprs.append(F.countDistinct(c).alias(f"__pd{i}"))
+        exprs.append(F.sum(c.isNotNull().cast("long")).alias(f"__pn{i}"))
+    for i, cfg in enumerate(mono_cfgs):
+        # missing count rides the shared pass; violations need the sorted job
+        exprs.append(
+            F.sum(F.col(cfg.kwargs["column"]).isNull().cast("long")).alias(
+                f"__mm{i}"
+            )
+        )
     for i, cfg in enumerate(quant_cfgs):
         qs = [float(q) for q in cfg.kwargs["quantile_ranges"]["quantiles"]]
         exprs.append(
@@ -313,7 +426,14 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
         )
     row = (
         df.agg(*exprs).collect()[0]
-        if (row_cfgs or agg_cfgs or uniq_cfgs or quant_cfgs)
+        if (
+            row_cfgs
+            or agg_cfgs
+            or uniq_cfgs
+            or quant_cfgs
+            or prop_cfgs
+            or mono_cfgs
+        )
         else None
     )
     # schema-only (or empty) suites run ZERO jobs: n is only used by
@@ -359,6 +479,39 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     row_idx = {id(cfg): i for i, cfg in enumerate(row_cfgs)}
     agg_idx = {id(cfg): i for i, cfg in enumerate(agg_cfgs)}
     quant_idx = {id(cfg): i for i, cfg in enumerate(quant_cfgs)}
+    prop_idx = {id(cfg): i for i, cfg in enumerate(prop_cfgs)}
+    mono_idx = {id(cfg): i for i, cfg in enumerate(mono_cfgs)}
+
+    # mode(s): one grouped ids-only job per column; the grouped frame is
+    # persisted so the max-count and tie-collection jobs scan it, not df
+    mode_obs: dict[str, list] = {}
+    for cfg in mode_cfgs:
+        col = cfg.kwargs["column"]
+        if col in mode_obs:
+            continue
+        cnt = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .persist()
+        )
+        try:
+            mx = cnt.agg(F.max("__c")).collect()[0][0]
+            mode_obs[col] = (
+                sorted(
+                    r[col]
+                    for r in cnt.filter(F.col("__c") == mx).collect()
+                )
+                if mx is not None
+                else []
+            )
+        finally:
+            cnt.unpersist()
+
+    # monotonic checks: one range-partitioned sorted pass each
+    mono_viol = {
+        id(cfg): _monotonic_counts(df, cfg) for cfg in mono_cfgs
+    }
 
     # uniqueness: one grouped job per distinct column set (GE counts EVERY
     # occurrence of a >1-multiplicity key as unexpected)
@@ -422,6 +575,29 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                 cfg,
                 by_cols[cols],
                 int(row[f"__un{uniq_sets.index(cols)}"] or 0),
+            )
+        elif t in _PROPORTION:
+            i = prop_idx[id(cfg)]
+            nonnull = int(row[f"__pn{i}"] or 0)
+            distinct = int(row[f"__pd{i}"] or 0)
+            obs = (distinct / nonnull) if nonnull else None
+            emit(cfg, _scalar_ok(obs, k), {"observed_value": obs})
+        elif t in _MODE:
+            modes = mode_obs[k["column"]]
+            vset = set(k["value_set"])
+            # GE: observed_value is the list of most-common values; with
+            # ties_okay any mode in the set succeeds, else all must be
+            ok = (
+                any(m in vset for m in modes)
+                if k.get("ties_okay")
+                else bool(modes) and all(m in vset for m in modes)
+            )
+            emit(cfg, ok, {"observed_value": modes})
+        elif t in _MONOTONIC:
+            emit_rowlevel(
+                cfg,
+                mono_viol[id(cfg)],
+                int(row[f"__mm{mono_idx[id(cfg)]}"] or 0),
             )
         elif t == "expect_column_to_exist":
             emit(cfg, k["column"] in dtypes, {"observed_value": list(dtypes)})

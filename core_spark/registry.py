@@ -3899,6 +3899,80 @@ def q_dq_expectations(spark, sf_dir):
     )
 
 
+SQL_DQ_EXPECTATIONS_EXT = """
+WITH n AS (SELECT count(*) AS c FROM events),
+nn AS (SELECT count(value) AS c FROM events),
+seq AS (SELECT value AS v, lag(value) OVER (ORDER BY event_id) AS pv
+        FROM events WHERE value IS NOT NULL),
+inc AS (SELECT count(*) AS u FROM seq WHERE pv IS NOT NULL AND v < pv),
+dec AS (SELECT count(*) AS u FROM seq WHERE pv IS NOT NULL AND v > pv),
+cnts AS (SELECT event_type AS v, count(*) AS c FROM events
+         WHERE event_type IS NOT NULL GROUP BY 1),
+modes AS (SELECT v FROM cnts WHERE c = (SELECT max(c) FROM cnts))
+SELECT 0 AS idx, 'expect_column_median_to_be_between' AS expectation_type,
+       'value' AS "column", m >= 0 AND m <= 1000 AS success,
+       CAST(NULL AS BIGINT) AS element_count,
+       CAST(NULL AS BIGINT) AS missing_count,
+       CAST(NULL AS BIGINT) AS unexpected_count,
+       round(m, 6) AS observed_value
+FROM (SELECT quantile_cont(value, 0.5) AS m FROM events)
+UNION ALL
+SELECT 1, 'expect_column_proportion_of_unique_values_to_be_between',
+       'event_type', p >= 0.0 AND p <= 0.01, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), round(p, 6)
+FROM (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) / count(event_type)
+      AS p FROM events)
+UNION ALL
+SELECT 2, 'expect_column_most_common_value_to_be_in_set', 'event_type',
+       (SELECT count(*) FROM modes
+        WHERE v NOT IN ('click', 'view', 'purchase', 'signup')) = 0
+       AND (SELECT count(*) FROM modes) > 0,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE)
+UNION ALL
+SELECT 3, 'expect_column_values_to_be_increasing', 'value',
+       inc.u = 0, n.c, n.c - nn.c, inc.u, CAST(NULL AS DOUBLE)
+FROM n, nn, inc
+UNION ALL
+SELECT 4, 'expect_column_values_to_be_decreasing', 'value',
+       dec.u = 0, n.c, n.c - nn.c, dec.u, CAST(NULL AS DOUBLE)
+FROM n, nn, dec
+"""
+
+
+def q_dq_expectations_extended(spark, sf_dir):
+    """Round-4 expectation types over the events table: exact interpolated
+    median, distinct/non-null unique-value proportion (both riding the ONE
+    shared agg pass), most-common-value mode set (one grouped ids-only
+    job), and increasing/decreasing monotonicity ordered by event_id (one
+    range-partitioned sorted pass each, partition-boundary pairs combined
+    driver-side — no global window). Reference surface: the GE wrapper
+    (great_expectations_data_quality.py:32-236) passes these types through
+    to the GE runtime; here they are native. Oracle replays each as plain
+    SQL, including the lag-based adjacency counts."""
+    from .operators import expectations as ex
+
+    events = _load(spark, sf_dir, "events")
+    s = ex.ExpectationSuite("events_extended")
+    for t, k in [
+        ("expect_column_median_to_be_between",
+         {"column": "value", "min_value": 0, "max_value": 1000}),
+        ("expect_column_proportion_of_unique_values_to_be_between",
+         {"column": "event_type", "min_value": 0.0, "max_value": 0.01}),
+        ("expect_column_most_common_value_to_be_in_set",
+         {"column": "event_type",
+          "value_set": ["click", "view", "purchase", "signup"]}),
+        ("expect_column_values_to_be_increasing",
+         {"column": "value", "order_by": "event_id"}),
+        ("expect_column_values_to_be_decreasing",
+         {"column": "value", "order_by": "event_id"}),
+    ]:
+        s.add_expectation(ex.build_expectation(t, k))
+    return ex.validate_df(events, s).withColumn(
+        "observed_value", F.round("observed_value", 6)
+    )
+
+
 def q_audio_transcript_rate(spark, sf_dir):
     """Text x audio consistency check: transcript tokens per second of
     detected speech (operators/audio_prep.transcript_rate_check).
@@ -4093,6 +4167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_quality_gate": q_audio_quality_gate,
     "audio_transcript_rate": q_audio_transcript_rate,
     "dq_expectations": q_dq_expectations,
+    "dq_expectations_extended": q_dq_expectations_extended,
     "stream_quality_gate": q_stream_quality_gate,
 }
 
@@ -4198,4 +4273,5 @@ ORACLES: dict[str, str] = {
 # clip-stream queries over the synthetic table: oracled via the SQL twin of
 # the generator (synth.clips_meta_sql / corrections_meta_sql)
 ORACLES["dq_expectations"] = SQL_DQ_EXPECTATIONS
+ORACLES["dq_expectations_extended"] = SQL_DQ_EXPECTATIONS_EXT
 ORACLES.update(_synth_meta_oracles())

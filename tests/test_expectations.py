@@ -326,6 +326,124 @@ def test_quantile_expectation(df):
     assert not r["success"]
 
 
+def test_median_and_proportion_of_unique(df):
+    # v non-null sorted = [1,2,2,5,10] -> interpolated median 2.0
+    r = _one(
+        df,
+        "expect_column_median_to_be_between",
+        {"column": "v", "min_value": 2, "max_value": 2},
+    )
+    assert r["success"] and r["result"]["observed_value"] == 2.0
+    # distinct {1,2,5,10} = 4 over 5 non-null -> 0.8
+    r = _one(
+        df,
+        "expect_column_proportion_of_unique_values_to_be_between",
+        {"column": "v", "min_value": 0.79, "max_value": 0.81},
+    )
+    assert r["success"] and abs(r["result"]["observed_value"] - 0.8) < 1e-12
+    r = _one(
+        df,
+        "expect_column_proportion_of_unique_values_to_be_between",
+        {"column": "v", "min_value": 0.9},
+    )
+    assert not r["success"]
+
+
+def test_most_common_value_in_set(df):
+    # tag counts: a=2, b=2, c=1 -> modes [a, b] (ties sorted)
+    r = _one(
+        df,
+        "expect_column_most_common_value_to_be_in_set",
+        {"column": "tag", "value_set": ["a", "b"]},
+    )
+    assert r["success"] and r["result"]["observed_value"] == ["a", "b"]
+    # default: ALL modes must be in the set
+    r = _one(
+        df,
+        "expect_column_most_common_value_to_be_in_set",
+        {"column": "tag", "value_set": ["a"]},
+    )
+    assert not r["success"]
+    # ties_okay: ANY mode in the set suffices
+    r = _one(
+        df,
+        "expect_column_most_common_value_to_be_in_set",
+        {"column": "tag", "value_set": ["a"], "ties_okay": True},
+    )
+    assert r["success"]
+
+
+def test_monotonic_increasing_decreasing(spark):
+    pdf = pd.DataFrame(
+        {
+            "o": list(range(8)),
+            "x": [1.0, 2.0, 2.0, None, 3.0, 2.5, 4.0, 5.0],
+        }
+    )
+    df2 = spark.createDataFrame(pdf)
+    # non-null seq 1,2,2,3,2.5,4,5: one non-strict violation (2.5 < 3)
+    r = _one(
+        df2,
+        "expect_column_values_to_be_increasing",
+        {"column": "x", "order_by": "o"},
+    )
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 1
+    assert r["result"]["missing_count"] == 1
+    # strictly adds the 2 == 2 pair
+    r = _one(
+        df2,
+        "expect_column_values_to_be_increasing",
+        {"column": "x", "order_by": "o", "strictly": True},
+    )
+    assert r["result"]["unexpected_count"] == 2
+    # mostly over the 7 non-null rows: 1 - 1/7 = 0.857 >= 0.8
+    r = _one(
+        df2,
+        "expect_column_values_to_be_increasing",
+        {"column": "x", "order_by": "o", "mostly": 0.8},
+    )
+    assert r["success"]
+    pdf2 = pd.DataFrame({"o": range(4), "x": [5.0, 4.0, 4.0, 1.0]})
+    df3 = spark.createDataFrame(pdf2)
+    r = _one(
+        df3,
+        "expect_column_values_to_be_decreasing",
+        {"column": "x", "order_by": "o"},
+    )
+    assert r["success"]
+    r = _one(
+        df3,
+        "expect_column_values_to_be_decreasing",
+        {"column": "x", "order_by": "o", "strictly": True},
+    )
+    assert not r["success"] and r["result"]["unexpected_count"] == 1
+    # a distributed frame has no intrinsic order: order_by is required
+    with pytest.raises(ValueError, match="order_by"):
+        _one(df3, "expect_column_values_to_be_increasing", {"column": "x"})
+
+
+def test_monotonic_counts_partition_boundaries_exactly_once(spark):
+    # scattered input, many range partitions: a perfectly sorted sequence
+    # must report ZERO violations (each boundary pair counted 0 times) and
+    # a single planted dip exactly one
+    n = 5000
+    pdf = pd.DataFrame({"o": range(n), "x": [float(i) for i in range(n)]})
+    r = _one(
+        spark.createDataFrame(pdf).repartition(16),
+        "expect_column_values_to_be_increasing",
+        {"column": "x", "order_by": "o"},
+    )
+    assert r["success"] and r["result"]["unexpected_count"] == 0
+    pdf.loc[2500, "x"] = -1.0
+    r = _one(
+        spark.createDataFrame(pdf).repartition(16),
+        "expect_column_values_to_be_increasing",
+        {"column": "x", "order_by": "o"},
+    )
+    assert r["result"]["unexpected_count"] == 1
+
+
 def test_mostly_denominator_is_nonnull_count(spark):
     # GE convention: success and unexpected_percent are computed over the
     # NON-null element count. 20 rows, 10 NULL, 2 bad of 10 non-null with
