@@ -4010,6 +4010,13 @@ def q_stream_quality_gate(spark, sf_dir):
             {"column": "value", "min_value": 0, "max_value": 50}))
         s.add_expectation(ex.build_expectation(
             "expect_column_values_to_not_be_null", {"column": "event_type"}))
+        # batch-level drift checks ride the same gate (round 4): recorded
+        # per micro-batch in the metrics lineage
+        s.add_expectation(ex.build_expectation(
+            "expect_table_row_count_to_be_between", {"min_value": 1}))
+        s.add_expectation(ex.build_expectation(
+            "expect_column_mean_to_be_between",
+            {"column": "value", "min_value": 0, "max_value": 1000}))
         gate = QualityGateSink(
             MergeSink(os.path.join(work, "table"), ["ts", "event_id"]),
             s,
@@ -4026,7 +4033,8 @@ def q_stream_quality_gate(spark, sf_dir):
         )
         q.awaitTermination()
         out = spark.read.parquet(os.path.join(work, "metrics")).select(
-            "src_batch_id", "rows_in", "rows_good", "rows_quarantined"
+            "src_batch_id", "rows_in", "rows_good", "rows_quarantined",
+            "agg_success",
         )
         # materialize before the workdir vanishes
         return spark.createDataFrame(out.collect(), out.schema)

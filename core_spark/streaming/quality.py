@@ -18,7 +18,12 @@ Composes the native expectations engine (operators/expectations.py — the
 reference's GE integration re-expressed Spark-first) with the streaming
 sink: every micro-batch is split by the suite's row-level expectations
 into a good stream (delivered to the wrapped sink) and a quarantine
-stream (appended with lineage), plus one metrics row per batch.
+stream (appended with lineage), plus one metrics row per batch. The
+suite's AGGREGATE-family expectations (row count, mean/median bounds,
+uniqueness, quantiles, monotonicity...) are additionally validated
+against each whole micro-batch — the drift checks a training-data feed
+needs to halt on — with a configurable reaction (``aggregate_policy``):
+record only, quarantine the batch wholesale, or fail the query.
 
 Exactly-once posture:
 - the GOOD path inherits the wrapped sink's guarantee (MergeSink /
@@ -27,19 +32,33 @@ Exactly-once posture:
   micro-batch FIRST deletes its own batch_id partition before appending —
   so at-least-once foreachBatch redelivery cannot double rows there
   either (the same dynamic-partition-overwrite idea the MergeSink uses
-  for data partitions, applied to the lineage key).
+  for data partitions, applied to the lineage key). The overwrite mode is
+  a per-write DataFrameWriter option, never a session conf flip, so a
+  concurrent writer on the same session is unaffected.
 
-The gate itself is a pure narrow projection (no UDF, no shuffle —
+The row gate itself is a pure narrow projection (no UDF, no shuffle —
 plan-asserted in tests/test_expectations.py), so its cost on the hot
-path is one codegen'd filter per side.
+path is one codegen'd filter per side; the per-batch aggregate pass is
+ONE shared 1-row agg job (plus ids-only grouped jobs only when the suite
+carries uniqueness/mode expectations).
 """
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.expectations import ExpectationSuite, quarantine_split
+from ..operators.expectations import (
+    _ROW_LEVEL,
+    ExpectationSuite,
+    quarantine_split,
+    validate,
+)
+
+#: reactions to a failed batch-level (aggregate-family) expectation
+AGGREGATE_POLICIES = ("record", "quarantine_batch", "fail", "ignore")
 
 
 class QualityGateSink:
@@ -49,13 +68,23 @@ class QualityGateSink:
 
     Parameters:
         sink: downstream sink receiving only rows that pass the suite.
-        suite: row-level expectations to enforce (aggregate/schema entries
-            are ignored by the gate; run ``validate`` out-of-band).
+        suite: expectations to enforce. Row-level entries gate rows;
+            every other entry (aggregates, uniqueness, quantiles,
+            monotonicity, schema) is validated per micro-batch and
+            handled per ``aggregate_policy``.
         quarantine_dir: parquet dir for failing rows, partitioned by
             ``__batch_id`` (replay-overwritten, see module docstring);
             None = drop failures, count them only.
-        metrics_dir: parquet dir for one (batch_id, rows_in, rows_good,
-            rows_quarantined) row per micro-batch; None = no metrics.
+        metrics_dir: parquet dir for one row per micro-batch
+            (src_batch_id, rows_in, rows_good, rows_quarantined,
+            agg_success, agg_results) — agg_results is the per-expectation
+            JSON of the batch-level validation; None = no metrics.
+        aggregate_policy: reaction to a failed batch-level expectation —
+            ``record`` (default: note it in metrics, deliver the batch),
+            ``quarantine_batch`` (the WHOLE batch goes to quarantine,
+            every row tagged with the failed expectations; nothing
+            reaches the sink), ``fail`` (raise — fails the streaming
+            query), or ``ignore`` (skip the aggregate pass entirely).
     """
 
     def __init__(
@@ -64,59 +93,145 @@ class QualityGateSink:
         suite: ExpectationSuite,
         quarantine_dir: str | None = None,
         metrics_dir: str | None = None,
+        aggregate_policy: str = "record",
     ) -> None:
+        if aggregate_policy not in AGGREGATE_POLICIES:
+            raise ValueError(
+                f"aggregate_policy must be one of {AGGREGATE_POLICIES}"
+            )
         self.sink = sink
         self.suite = suite
         self.quarantine_dir = quarantine_dir
         self.metrics_dir = metrics_dir
+        self.aggregate_policy = aggregate_policy
+        self._agg_suite = ExpectationSuite(
+            f"{suite.name}_batch",
+            [
+                e
+                for e in suite.expectations
+                if e.expectation_type not in _ROW_LEVEL
+            ],
+        )
 
     def _replay_safe_append(self, df: DataFrame, path: str, batch_id: int) -> None:
-        spark = df.sparkSession
-        prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # overwrite ONLY this batch's partition: a foreachBatch replay
-            # rewrites the identical rows instead of appending duplicates
-            df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-                "overwrite"
-            ).partitionBy("__batch_id").parquet(path)
-        finally:
-            if prior is None:
-                try:
-                    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-                except Exception:
-                    pass
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        # overwrite ONLY this batch's partition: a foreachBatch replay
+        # rewrites the identical rows instead of appending duplicates.
+        # partitionOverwriteMode rides the WRITE as an option (it takes
+        # precedence over the session conf), so no session state is
+        # flipped under concurrent writers.
+        df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "__batch_id"
+        ).parquet(path)
+
+    def _validate_batch(self, batch_df: DataFrame) -> dict | None:
+        """Run the non-row-level sub-suite against the whole micro-batch.
+        Returns the checkpoint dict, or None when there is nothing to run."""
+        if self.aggregate_policy == "ignore" or not self._agg_suite.expectations:
+            return None
+        return validate(batch_df, self._agg_suite)
+
+    @staticmethod
+    def _failed_names(res: dict) -> list[str]:
+        return [
+            "{}:{}".format(
+                r["expectation_config"]["expectation_type"],
+                r["expectation_config"]["kwargs"].get("column", ""),
+            )
+            for r in res["results"]
+            if not r["success"]
+        ]
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         good, bad = quarantine_split(batch_df, self.suite)
-        # one pass over the batch: counts come from the writes themselves
-        # (bad is tiny by construction in a healthy pipeline; localCheckpoint
-        # pins the split so good/bad don't rescan the source twice if the
-        # upstream batch frame is expensive) — batch frames in foreachBatch
-        # are already materialized micro-batches, so a second scan is cheap
-        # and we skip the checkpoint.
-        n_bad = 0
+
+        agg_res = self._validate_batch(batch_df)
+        if agg_res is not None and not agg_res["success"]:
+            failed = self._failed_names(agg_res)
+            if self.aggregate_policy == "fail":
+                raise RuntimeError(
+                    f"batch {batch_id} failed aggregate expectations: "
+                    + "; ".join(failed)
+                )
+            if self.aggregate_policy == "quarantine_batch":
+                # wholesale quarantine: every row of the batch, keeping its
+                # own row-level tags and appending the batch-level failures
+                agg_arr = F.array(*[F.lit(x) for x in failed])
+                bad = bad.withColumn(
+                    "failed_expectations",
+                    F.concat(F.col("failed_expectations"), agg_arr),
+                ).unionByName(good.withColumn("failed_expectations", agg_arr))
+                good = good.limit(0)
+
+        spark = batch_df.sparkSession
+        bad_flat = bad.withColumn(
+            "failed_expectations", F.concat_ws(";", "failed_expectations")
+        )
         if self.quarantine_dir is not None:
-            bad_flat = bad.withColumn(
-                "failed_expectations", F.concat_ws(";", "failed_expectations")
-            )
             self._replay_safe_append(bad_flat, self.quarantine_dir, batch_id)
-            n_bad = bad_flat.count()
-        else:
-            n_bad = bad.count()
         self.sink.write_batch(good, batch_id)
         if self.metrics_dir is not None:
-            spark = batch_df.sparkSession
-            n_good = good.count()
+            # metrics reflect COMMITTED rows: one scan for the batch total,
+            # and the quarantined count read back from the partition just
+            # written (never a re-evaluation of the split that could
+            # disagree with what landed on disk)
+            rows_in = batch_df.count()
+            if self.quarantine_dir is not None:
+                n_bad = (
+                    spark.read.parquet(self.quarantine_dir)
+                    .filter(F.col("__batch_id") == batch_id)
+                    .count()
+                )
+            else:
+                n_bad = bad_flat.count()
             metrics = spark.createDataFrame(
-                [(batch_id, n_good + n_bad, n_good, n_bad)],
+                [
+                    (
+                        batch_id,
+                        rows_in,
+                        rows_in - n_bad,
+                        n_bad,
+                        agg_res["success"] if agg_res is not None else None,
+                        json.dumps(
+                            [
+                                {
+                                    "expectation_type": r["expectation_config"][
+                                        "expectation_type"
+                                    ],
+                                    "column": r["expectation_config"][
+                                        "kwargs"
+                                    ].get("column"),
+                                    "success": r["success"],
+                                    "observed_value": _json_safe(
+                                        r["result"].get("observed_value")
+                                    ),
+                                    "unexpected_count": r["result"].get(
+                                        "unexpected_count"
+                                    ),
+                                }
+                                for r in agg_res["results"]
+                            ]
+                        )
+                        if agg_res is not None
+                        else None,
+                    )
+                ],
                 "batch_id long, rows_in long, rows_good long,"
-                " rows_quarantined long",
+                " rows_quarantined long, agg_success boolean,"
+                " agg_results string",
             )
             self._replay_safe_append(
                 metrics.withColumnRenamed("batch_id", "src_batch_id"),
                 self.metrics_dir,
                 batch_id,
             )
+
+
+def _json_safe(v):
+    """Observed values may be Decimals/Timestamps; stringify non-JSON types."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    return str(v)

@@ -109,6 +109,129 @@ def test_gate_splits_and_is_replay_idempotent(spark, tmp_path):
     assert sorted(main2["k"].dropna()) == ["a", "c"]
 
 
+def _run_gate(spark, tmp_path, gate, in_dir, ck="ck"):
+    sdf = spark.readStream.schema("k string, ts timestamp, v double").parquet(in_dir)
+    qy = (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / ck))
+        .foreachBatch(gate.write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+
+
+def test_gate_records_aggregate_expectations(spark, tmp_path):
+    # default policy: a failed batch-level expectation is recorded in the
+    # metrics lineage but the batch is still delivered
+    base = pd.Timestamp("2024-05-01")
+    in_dir = str(tmp_path / "in")
+    _write_input(spark, in_dir, [("a", base, 10.0), ("b", base, 20.0)])
+    s = ex.ExpectationSuite("gate")
+    s.add_expectation(
+        ex.build_expectation(
+            "expect_column_mean_to_be_between", {"column": "v", "max_value": 5}
+        )
+    )
+    s.add_expectation(
+        ex.build_expectation(
+            "expect_table_row_count_to_be_between", {"min_value": 1}
+        )
+    )
+    table, mdir = str(tmp_path / "table"), str(tmp_path / "metrics")
+    gate = QualityGateSink(MergeSink(table, ["ts", "k"]), s, metrics_dir=mdir)
+    _run_gate(spark, tmp_path, gate, in_dir)
+    assert len(spark.read.parquet(table).toPandas()) == 2  # delivered
+    met = spark.read.parquet(mdir).toPandas()
+    assert met.iloc[0]["agg_success"] == False  # noqa: E712 — numpy bool
+    import json
+
+    results = json.loads(met.iloc[0]["agg_results"])
+    by_type = {r["expectation_type"]: r for r in results}
+    assert not by_type["expect_column_mean_to_be_between"]["success"]
+    assert by_type["expect_column_mean_to_be_between"]["observed_value"] == 15.0
+    assert by_type["expect_table_row_count_to_be_between"]["success"]
+
+
+def test_gate_quarantines_whole_batch_on_aggregate_failure(spark, tmp_path):
+    base = pd.Timestamp("2024-05-01")
+    in_dir = str(tmp_path / "in")
+    _write_input(
+        spark, in_dir, [("a", base, 10.0), ("b", base, 500.0), ("c", base, 20.0)]
+    )
+    s = ex.ExpectationSuite("gate")
+    s.add_expectation(
+        ex.build_expectation(
+            "expect_column_values_to_be_between", {"column": "v", "max_value": 100}
+        )
+    )
+    s.add_expectation(
+        ex.build_expectation(
+            "expect_column_mean_to_be_between", {"column": "v", "max_value": 5}
+        )
+    )
+    table = str(tmp_path / "table")
+    qdir, mdir = str(tmp_path / "quarantine"), str(tmp_path / "metrics")
+    gate = QualityGateSink(
+        MergeSink(table, ["ts", "k"]),
+        s,
+        quarantine_dir=qdir,
+        metrics_dir=mdir,
+        aggregate_policy="quarantine_batch",
+    )
+    _run_gate(spark, tmp_path, gate, in_dir)
+    # nothing reaches the sink; ALL rows are quarantined (an empty merge
+    # may leave a footer-less table dir — unreadable counts as empty)
+    try:
+        n_main = len(spark.read.parquet(table).toPandas())
+    except Exception:
+        n_main = 0
+    assert n_main == 0
+    quar = spark.read.parquet(qdir).toPandas().sort_values("k")
+    assert len(quar) == 3
+    # every row carries the batch-level failure; the row-level failure is
+    # kept on the row that earned it
+    assert all(
+        "expect_column_mean_to_be_between:v" in f
+        for f in quar["failed_expectations"]
+    )
+    b_tags = quar[quar["k"] == "b"]["failed_expectations"].iloc[0]
+    assert "expect_column_values_to_be_between:v" in b_tags
+    met = spark.read.parquet(mdir).toPandas()
+    assert (
+        met.iloc[0]["rows_in"],
+        met.iloc[0]["rows_good"],
+        met.iloc[0]["rows_quarantined"],
+    ) == (3, 0, 3)
+    assert met.iloc[0]["agg_success"] == False  # noqa: E712
+
+
+def test_gate_fail_policy_fails_the_query(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    base = pd.Timestamp("2024-05-01")
+    in_dir = str(tmp_path / "in")
+    _write_input(spark, in_dir, [("a", base, 10.0)])
+    s = ex.ExpectationSuite("gate")
+    s.add_expectation(
+        ex.build_expectation(
+            "expect_table_row_count_to_be_between", {"max_value": 0}
+        )
+    )
+    gate = QualityGateSink(
+        MergeSink(str(tmp_path / "table"), ["ts", "k"]),
+        s,
+        aggregate_policy="fail",
+    )
+    with pytest.raises(StreamingQueryException, match="aggregate expectations"):
+        _run_gate(spark, tmp_path, gate, in_dir)
+
+
+def test_gate_rejects_unknown_policy(suite):
+    with pytest.raises(ValueError, match="aggregate_policy"):
+        QualityGateSink(None, suite, aggregate_policy="explode")
+
+
 def test_gate_without_quarantine_counts_only(spark, tmp_path, suite):
     base = pd.Timestamp("2024-05-01")
     in_dir = str(tmp_path / "in")
