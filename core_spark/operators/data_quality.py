@@ -185,7 +185,9 @@ def interval_filtering(
     many rows and processed in ceil(max_tag_rows / chunk_rows) fully
     distributed rounds, each chunk receiving the previous round's
     last-KEPT timestamp as carry-in — bit-identical to the single pass
-    (the keep-chain state is exactly that one timestamp), with per-task
+    (the keep-chain state is exactly that one timestamp, and both paths
+    order ties by the full (TS, VAL, ST) key so duplicate timestamps
+    pick the same representative), with per-task
     memory bounded by chunk_rows regardless of tag skew
     (tests/test_dq_chunking.py::test_interval_filtering_chunked_exact).
     Per round the driver holds one (tag, carry_ts) pair per distinct tag —
@@ -195,7 +197,12 @@ def interval_filtering(
     out_schema = f"{TAG} string, {TS} timestamp, {VAL} double, {ST} string"
 
     def _thin(pdf: pd.DataFrame, last_kept=None) -> pd.DataFrame:
-        pdf = pdf.sort_values(TS)
+        # full (TS, VAL, ST) sort key, NULLS FIRST to match Spark's ASC
+        # ordering: duplicate timestamps then have ONE deterministic order
+        # in both the single-pass and chunked paths, so the kept
+        # representative of a tie never depends on arrival order or on
+        # which side of a __chunk boundary the tie lands
+        pdf = pdf.sort_values([TS, VAL, ST], na_position="first")
         keep = []
         for t in pdf[TS]:
             if last_kept is None or (t - last_kept).total_seconds() >= min_interval_seconds:
@@ -212,7 +219,11 @@ def interval_filtering(
             lambda pdf: _thin(pdf), schema=out_schema
         )
 
-    w = Window.partitionBy(TAG).orderBy(TS)
+    # (TS, VAL, ST) ordering mirrors _thin's pandas sort exactly, so chunk
+    # assignment of tied timestamps is deterministic and identical to the
+    # single-pass tie order — the bit-identical guarantee holds WITH
+    # duplicate (tag, ts) rows, not just unique ones
+    w = Window.partitionBy(TAG).orderBy(TS, VAL, ST)
     # localCheckpoint (not persist): the chunk assignment must be computed
     # exactly once — a persisted block evicted between rounds would be
     # recomputed, and row_number over tied timestamps could renumber,

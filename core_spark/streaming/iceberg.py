@@ -55,12 +55,29 @@ def find_iceberg_jar() -> str | None:
         os.path.expanduser("~/.ivy2/cache/org.apache.iceberg"),
         os.path.join(spark_home, "jars"),
     ]
-    def _version_key(path: str) -> tuple:
-        # numeric-aware ordering: 1.10.0 > 1.9.1 (plain string sort gets
-        # this backwards) — compare the numeric runs of the basename
-        import re
+    import re
 
-        return tuple(int(x) for x in re.findall(r"\d+", os.path.basename(path)))
+    def _version_key(path: str) -> tuple:
+        # numeric-aware ordering of the ICEBERG version only: the basename
+        # is iceberg-spark-runtime-<spark>_<scala>-<iceberg>.jar, and
+        # comparing ALL numeric runs would let the Spark-line digits
+        # dominate (a 4.0 runtime for Iceberg 1.4 would beat a 3.5 runtime
+        # for Iceberg 1.10 even on Spark 3.5)
+        m = re.search(r"-(\d+(?:\.\d+)*)\.jar$", os.path.basename(path))
+        return (
+            tuple(int(x) for x in m.group(1).split(".")) if m else (0,)
+        )
+
+    # prefer jars built for the RUNNING Spark line: an
+    # iceberg-spark-runtime-4.0 jar on Spark 3.5 selects an incompatible
+    # runtime and degrades to the capability skip even when a usable 3.5
+    # jar sits next to it
+    try:
+        import pyspark
+
+        spark_line = ".".join(pyspark.__version__.split(".")[:2])
+    except Exception:
+        spark_line = None
 
     for root in roots:
         hits = glob.glob(
@@ -68,6 +85,14 @@ def find_iceberg_jar() -> str | None:
             recursive=True,
         )
         if hits:
+            if spark_line:
+                matched = [
+                    h
+                    for h in hits
+                    if f"-{spark_line}_" in os.path.basename(h)
+                ]
+                if matched:
+                    return max(matched, key=_version_key)
             return max(hits, key=_version_key)
     return None
 

@@ -90,6 +90,29 @@ def test_interval_filtering_chunked_exact(skewed):
     pd.testing.assert_frame_equal(got, ref, check_exact=True)
 
 
+def test_interval_filtering_ties_straddling_chunk_boundary(spark):
+    # duplicate (tag, ts) rows with DIFFERENT values, sized so the tie
+    # group straddles a __chunk boundary: both paths must order ties by
+    # the full (TS, VAL) key and keep the same physical representative
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(20):
+        t = base + pd.Timedelta(seconds=60 * i)
+        # four copies of every timestamp, values in descending insert order
+        for v in (9.0, 3.0, 7.0, 1.0):
+            rows.append(("t", t, v))
+    pdf = pd.DataFrame(rows, columns=["tag", "ts", "value"])
+    df = spark.createDataFrame(pdf).repartition(8)  # scatter arrival order
+    ref = _sorted(dq.interval_filtering(df, SPEC, 60.0, chunk_rows=None), ["value"])
+    # chunk_rows=6 is NOT a multiple of the tie-group size 4 -> boundaries
+    # cut through tie groups
+    got = _sorted(dq.interval_filtering(df, SPEC, 60.0, chunk_rows=6), ["value"])
+    pd.testing.assert_frame_equal(got, ref, check_exact=True)
+    # deterministic representative: the tie's MINIMUM value is first in
+    # (TS, VAL) order, so exactly the 1.0 rows are kept
+    assert set(ref["value"]) == {1.0}
+
+
 def test_interval_filtering_chunked_carry_skips_whole_chunks(spark):
     # min_interval larger than a whole chunk's span: interior chunks keep
     # ZERO rows and must pass the carry through unchanged

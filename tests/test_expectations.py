@@ -297,6 +297,26 @@ def test_find_iceberg_jar_version_order(tmp_path, monkeypatch):
     assert got is not None and got.endswith("1.10.0.jar")
 
 
+def test_find_iceberg_jar_prefers_running_spark_line(tmp_path, monkeypatch):
+    import pyspark
+
+    from core_spark.streaming import iceberg as ice
+
+    line = ".".join(pyspark.__version__.split(".")[:2])
+    jars = tmp_path / "jars"
+    jars.mkdir()
+    # a NEWER Iceberg built for a DIFFERENT Spark line must lose to the
+    # running line's jar (an incompatible runtime degrades to the skip)
+    (jars / "iceberg-spark-runtime-9.9_2.13-1.99.0.jar").write_bytes(b"jar")
+    (jars / f"iceberg-spark-runtime-{line}_2.13-1.4.0.jar").write_bytes(b"jar")
+    (jars / f"iceberg-spark-runtime-{line}_2.13-1.10.1.jar").write_bytes(b"jar")
+    monkeypatch.setattr(ice, "_REPO_ROOT", str(tmp_path))
+    monkeypatch.delenv("ICEBERG_JAR", raising=False)
+    got = ice.find_iceberg_jar()
+    assert got is not None
+    assert f"-{line}_" in got and got.endswith("1.10.1.jar")
+
+
 def test_quantile_expectation(df):
     r = _one(
         df,
