@@ -4043,17 +4043,67 @@ def q_stream_quality_gate(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- driver gate window (first 50 keys): round-3 rotation ----
-    # Slots 1-50 are the 49 oracle-backed entries the driver has never
-    # hashed (all exact in tools/check_oracles.py) plus one round-2
-    # anchor (ts_resample_avg) for cross-round continuity. The 49
-    # entries verified by the driver in CORRECTNESS_r02.json follow,
-    # then the 24 rows-only entries.
+    # ---- driver gate window (first 50 keys): round-4 rotation ----
+    # Slots 1-25: every registry entry the driver has NEVER hashed
+    # across r01-r03 (the round-3/4 expectations entries plus the
+    # rows-only tail), so after this round each key has been
+    # driver-checked at least once. Slots 26-50: oracle-backed
+    # anchors re-verified for cross-round continuity, including
+    # dq_interval_filtering whose tie ordering changed this round.
+    "dq_expectations": q_dq_expectations,
+    "dq_expectations_extended": q_dq_expectations_extended,
+    "stream_quality_gate": q_stream_quality_gate,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "dedup_winnow": q_dedup_winnow,
+    "audio_clip_energy": q_audio_clip_energy,
+    "audio_window_energy": q_audio_window_energy,
+    "audio_vad_stats": q_audio_vad_stats,
+    "audio_cmvn": q_audio_cmvn,
+    "audio_resample_norm": q_audio_resample_norm,
+    "dedup_audio_fingerprint": q_dedup_audio_fingerprint,
+    "audio_logmel_topk": q_audio_logmel_topk,
+    "stream_tumbling_energy": q_stream_tumbling_energy,
+    "stream_sessionize": q_stream_sessionize,
+    "media_image_stats": q_media_image_stats,
+    "media_frame_stats": q_media_frame_stats,
+    "stream_sliding_energy": q_stream_sliding_energy,
+    "stream_session_native": q_stream_session_native,
+    "dq_kmeans_binning": q_dq_kmeans_binning,
+    "ts_ar_auto": q_ts_ar_auto,
+    "sim_semantic_dedup": q_sim_semantic_dedup,
+    "audio_segment_clips": q_audio_segment_clips,
+    "audio_quality_gate": q_audio_quality_gate,
+    "audio_transcript_rate": q_audio_transcript_rate,
+    # ---- anchors (driver-green in r02/r03, re-checked in r04) ----
     "ts_resample_avg": q_ts_resample_avg,
-    "stream_sessions_events": q_stream_sessions_events,
-    "stream_dedup_events": q_stream_dedup_events,
+    "ts_raw": q_ts_raw,
+    "ts_interpolate_linear": q_ts_interpolate_linear,
+    "ts_twa_linear": q_ts_twa_linear,
+    "ts_ohlc": q_ts_ohlc,
+    "ts_latest": q_ts_latest,
+    "ts_asof_join": q_ts_asof_join,
+    "ts_pivot": q_ts_pivot,
+    "dq_ksigma": q_dq_ksigma,
+    "dq_impute_missing": q_dq_impute_missing,
+    "dq_interval_filtering": q_dq_interval_filtering,
+    "dq_gaussian_smooth": q_dq_gaussian_smooth,
+    "dq_normalize_zscore": q_dq_normalize_zscore,
+    "text_doc_stats": q_text_doc_stats,
+    "text_token_stats": q_text_token_stats,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_groups": q_dedup_groups,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_near_dup": q_sim_near_dup,
+    "emb_cmvn_stats": q_emb_cmvn_stats,
+    "stream_twa": q_stream_twa,
+    "stream_join_corrections": q_stream_join_corrections,
+    "stream_asof_join": q_stream_asof_join,
+    "stream_dedup_watermark": q_stream_dedup_watermark,
+    "transform_pcdm_split": q_transform_pcdm_split,
+    # ---- driver-verified in earlier rounds ----
+    "stream_sessions_events": q_stream_sessions_events,
+    "stream_dedup_events": q_stream_dedup_events,
     "ts_interpolate_at_time": q_ts_interpolate_at_time,
     "ts_uom_join": q_ts_uom_join,
     "qb_resample_uom": q_qb_resample_uom,
@@ -4063,9 +4113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_normalize_mean": q_dq_normalize_mean,
     "dq_denormalize": q_dq_denormalize,
     "dq_missing_pattern": q_dq_missing_pattern,
-    "text_token_stats": q_text_token_stats,
     "ts_raw_limit": q_ts_raw_limit,
-    "transform_pcdm_split": q_transform_pcdm_split,
     "transform_fledge_pcdm": q_transform_fledge_pcdm,
     "transform_edgex_pcdm": q_transform_edgex_pcdm,
     "transform_aio_pcdm": q_transform_aio_pcdm,
@@ -4090,56 +4138,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
     "text_contamination": q_text_contamination,
-    "stream_asof_join": q_stream_asof_join,
     "ts_exp_smooth": q_ts_exp_smooth,
-    "dq_interval_filtering": q_dq_interval_filtering,
-    "dq_impute_missing": q_dq_impute_missing,
-    "dq_gaussian_smooth": q_dq_gaussian_smooth,
-    "emb_cmvn_stats": q_emb_cmvn_stats,
-    "stream_join_corrections": q_stream_join_corrections,
     "stream_transcript_tokens": q_stream_transcript_tokens,
-    "stream_dedup_watermark": q_stream_dedup_watermark,
-    # ---- driver-verified in round 2 (CORRECTNESS_r02.json, all green) ----
-    "ts_raw": q_ts_raw,
     "ts_resample_last": q_ts_resample_last,
     "ts_resample_count": q_ts_resample_count,
     "ts_resample_filled": q_ts_resample_filled,
-    "ts_interpolate_linear": q_ts_interpolate_linear,
     "ts_interpolate_ffill": q_ts_interpolate_ffill,
     "ts_summary": q_ts_summary,
-    "ts_latest": q_ts_latest,
     "ts_percentiles": q_ts_percentiles,
     "ts_topk_window": q_ts_topk_window,
-    "ts_ohlc": q_ts_ohlc,
     "ts_plot_unpivot": q_ts_plot_unpivot,
-    "ts_twa_linear": q_ts_twa_linear,
     "ts_twa_step": q_ts_twa_step,
     "ts_circular_avg": q_ts_circular_avg,
     "ts_circular_sd": q_ts_circular_sd,
-    "ts_pivot": q_ts_pivot,
     "ts_linreg_trend": q_ts_linreg_trend,
     "ts_ar1_forecast": q_ts_ar1_forecast,
     "ml_knn": q_ml_knn,
     "qb_metadata": q_qb_metadata,
     "dq_tag_correlation": q_dq_tag_correlation,
     "dq_dim_reduction": q_dq_dim_reduction,
-    "dq_ksigma": q_dq_ksigma,
     "dq_missing_intervals": q_dq_missing_intervals,
     "dq_flatline_runs": q_dq_flatline_runs,
     "dq_flatline_filter": q_dq_flatline_filter,
     "dq_moving_average": q_dq_moving_average,
-    "dq_normalize_zscore": q_dq_normalize_zscore,
     "dq_out_of_range": q_dq_out_of_range,
     "dq_dedup_rows": q_dq_dedup_rows,
-    "text_doc_stats": q_text_doc_stats,
     "text_dedup_exact": q_text_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_groups": q_dedup_groups,
-    "ts_asof_join": q_ts_asof_join,
     "ts_gap_sessions": q_ts_gap_sessions,
     "ts_cep_funnel": q_ts_cep_funnel,
     "ts_cep_contiguous": q_ts_cep_contiguous,
-    "stream_twa": q_stream_twa,
     "stream_interpolate": q_stream_interpolate,
     "stream_ohlc": q_stream_ohlc,
     "stream_summary": q_stream_summary,
@@ -4149,34 +4176,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cep_funnel": q_stream_cep_funnel,
     "stream_cep_funnel_strict": q_stream_cep_funnel_strict,
     "stream_cep_chain": q_stream_cep_chain,
-    # ---- rows-only (no ANSI-SQL oracle): driver records rows-only check ----
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "dedup_winnow": q_dedup_winnow,
-    "audio_clip_energy": q_audio_clip_energy,
-    "audio_window_energy": q_audio_window_energy,
-    "audio_vad_stats": q_audio_vad_stats,
-    "audio_cmvn": q_audio_cmvn,
-    "audio_resample_norm": q_audio_resample_norm,
-    "dedup_audio_fingerprint": q_dedup_audio_fingerprint,
-    "audio_logmel_topk": q_audio_logmel_topk,
-    "stream_tumbling_energy": q_stream_tumbling_energy,
-    "stream_sessionize": q_stream_sessionize,
-    "media_image_stats": q_media_image_stats,
-    "media_frame_stats": q_media_frame_stats,
-    "stream_sliding_energy": q_stream_sliding_energy,
-    "stream_session_native": q_stream_session_native,
-    "dq_kmeans_binning": q_dq_kmeans_binning,
-    "ts_ar_auto": q_ts_ar_auto,
-    "sim_semantic_dedup": q_sim_semantic_dedup,
-    "audio_segment_clips": q_audio_segment_clips,
-    "audio_quality_gate": q_audio_quality_gate,
-    "audio_transcript_rate": q_audio_transcript_rate,
-    "dq_expectations": q_dq_expectations,
-    "dq_expectations_extended": q_dq_expectations_extended,
-    "stream_quality_gate": q_stream_quality_gate,
 }
 
 ORACLES: dict[str, str] = {

@@ -74,3 +74,26 @@ def test_rows_only_runs(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_coverage_totals_match_registry():
+    # COVERAGE.md's totals line is keyed to the registry so it cannot go
+    # stale: the literal counts in the doc must equal the live registry
+    import os
+    import re
+
+    from core_spark import registry
+
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    m = re.search(
+        r"Totals: (\d+) queries\(\) entries, (\d+) with DuckDB oracles", doc
+    )
+    assert m, "COVERAGE.md totals line missing"
+    assert int(m.group(1)) == len(registry.QUERIES)
+    assert int(m.group(2)) == len(registry.ORACLES)
+    m2 = re.search(r"(\d+) exact, (\d+) rows-only", doc)
+    assert m2
+    assert int(m2.group(1)) == len(registry.ORACLES)
+    assert int(m2.group(2)) == len(registry.QUERIES) - len(registry.ORACLES)
