@@ -5,7 +5,15 @@ pcdm_to_delta.py:193-253 recast to Iceberg SQL).
 This module is capability-gated: it needs an `iceberg-spark-runtime` jar on
 the session classpath plus a configured catalog (the sandbox ships neither,
 so tests/test_iceberg_sink.py skips cleanly — same gating convention as the
-transformWithStateInPandas path in streaming/cep.py). On a cluster:
+transformWithStateInPandas path in streaming/cep.py). Vendoring the jar
+into repo-local `jars/` was attempted in round 4 and is environment-blocked:
+the sandbox has no network route (DNS resolution for repo1.maven.org fails)
+and no copy of the jar anywhere on the image (`find / -name
+'*iceberg*jar'` comes back empty), so there is nothing to vendor from.
+`find_iceberg_jar()` below remains the zero-config bootstrap: any image
+that carries the jar (env var, repo `jars/`, ivy cache, Spark dist) runs
+the live MERGE INTO suite immediately, preferring the running Spark
+line's build. On a cluster:
 
     spark = (SparkSession.builder
         .config("spark.sql.extensions",

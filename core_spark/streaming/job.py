@@ -229,6 +229,17 @@ def main(argv=None) -> dict:
         return v[min(len(v) - 1, int(q_ * len(v)))] if v else None
 
     out_rows = sink.read(spark).count()
+    # state-store footprint from the progress log: the north star is
+    # 10^12 clips, so the evidence that matters is state bytes per key
+    # staying FLAT as input grows (bench.py's data-scaling phase reads
+    # these at 1x and 10x input)
+    state_rows = state_bytes = 0
+    for p in q.recentProgress or []:
+        ops = p.get("stateOperators") or []
+        rows = sum(op.get("numRowsTotal") or 0 for op in ops)
+        byts = sum(op.get("memoryUsedBytes") or 0 for op in ops)
+        state_rows = max(state_rows, rows)
+        state_bytes = max(state_bytes, byts)
     # steady-state throughput: total clips / total time spent INSIDE data
     # micro-batches. This excludes only stream start/stop and inter-batch
     # driver gaps (costs a long-running production stream amortizes to zero)
@@ -252,6 +263,8 @@ def main(argv=None) -> dict:
         "batch_ms_p50": pct(batch_ms, 0.50),
         "batch_ms_p99": pct(batch_ms, 0.99),
         "lineage_commits": len(sink.lineage()),
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
     }
     print(json.dumps(metrics))
     return metrics
