@@ -62,7 +62,10 @@ _ROW_LEVEL = {
     "expect_column_values_to_match_regex",
     "expect_column_values_to_not_match_regex",
     "expect_column_value_lengths_to_be_between",
+    "expect_column_value_lengths_to_equal",
     "expect_column_pair_values_a_to_be_greater_than_b",
+    "expect_column_pair_values_to_be_equal",
+    "expect_multicolumn_sum_to_equal",
 }
 # table/column aggregates: one scalar in the same shared agg pass
 _AGGREGATE = {
@@ -77,6 +80,16 @@ _AGGREGATE = {
 }
 # distinct/non-null ratio: two scalars in the same shared agg pass
 _PROPORTION = {"expect_column_proportion_of_unique_values_to_be_between"}
+# distinct-set checks: bounded scalars in the same shared agg pass —
+# countDistinct for the count form, an outside-the-set conditional sum for
+# the subset form, and a collect_set RESTRICTED to the required values
+# (≤|required| elements, bounded metadata) for the superset form
+_DISTINCT = {
+    "expect_column_unique_value_count_to_be_between",
+    "expect_column_distinct_values_to_be_in_set",
+    "expect_column_distinct_values_to_contain_set",
+    "expect_column_distinct_values_to_equal_set",
+}
 # mode(s): one grouped ids-only job per column (like uniqueness)
 _MODE = {"expect_column_most_common_value_to_be_in_set"}
 # order-dependent checks: one range-partitioned sorted pass per expectation
@@ -106,6 +119,7 @@ SUPPORTED_EXPECTATIONS = sorted(
     | _UNIQUE
     | _QUANTILE
     | _PROPORTION
+    | _DISTINCT
     | _MODE
     | _MONOTONIC
 )
@@ -214,6 +228,12 @@ def _row_skip(cfg: ExpectationConfiguration) -> Column:
         return F.lit(False)
     if t == "expect_column_pair_values_a_to_be_greater_than_b":
         return F.col(k["column_A"]).isNull() | F.col(k["column_B"]).isNull()
+    if t == "expect_column_pair_values_to_be_equal":
+        # GE default ignore_row_if = both_values_are_missing
+        return F.col(k["column_A"]).isNull() & F.col(k["column_B"]).isNull()
+    if t == "expect_multicolumn_sum_to_equal":
+        # GE default ignore_row_if = all_values_are_missing
+        return _all_null([F.col(c) for c in k["column_list"]])
     return F.col(k["column"]).isNull()
 
 
@@ -240,10 +260,25 @@ def _row_ok(cfg: ExpectationConfiguration) -> Column:
         return c.isNull() | ~c.rlike(k["regex"])
     if t == "expect_column_value_lengths_to_be_between":
         return c.isNull() | _between(F.length(c), k)
+    if t == "expect_column_value_lengths_to_equal":
+        return c.isNull() | (F.length(c) == F.lit(int(k["value"])))
     if t == "expect_column_pair_values_a_to_be_greater_than_b":
         a, b = F.col(k["column_A"]), F.col(k["column_B"])
         cmp = (a >= b) if k.get("or_equal") else (a > b)
         return a.isNull() | b.isNull() | cmp
+    if t == "expect_column_pair_values_to_be_equal":
+        # eqNullSafe: both-NULL compares equal (those rows are skipped
+        # anyway); NULL-vs-value compares unequal -> unexpected
+        return F.col(k["column_A"]).eqNullSafe(F.col(k["column_B"]))
+    if t == "expect_multicolumn_sum_to_equal":
+        s = F.col(k["column_list"][0])
+        for cn in k["column_list"][1:]:
+            s = s + F.col(cn)
+        # all-NULL rows are skipped; partial-NULL rows have an undefined
+        # sum and count as unexpected
+        return _all_null([F.col(cn) for cn in k["column_list"]]) | (
+            s.isNotNull() & (s == F.lit(k["sum_total"]))
+        )
     raise ValueError(t)
 
 
@@ -370,6 +405,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     schema_cfgs = [e for e in suite.expectations if e.expectation_type in _SCHEMA]
     quant_cfgs = [e for e in suite.expectations if e.expectation_type in _QUANTILE]
     prop_cfgs = [e for e in suite.expectations if e.expectation_type in _PROPORTION]
+    dist_cfgs = [e for e in suite.expectations if e.expectation_type in _DISTINCT]
     mode_cfgs = [e for e in suite.expectations if e.expectation_type in _MODE]
     mono_cfgs = [e for e in suite.expectations if e.expectation_type in _MONOTONIC]
 
@@ -411,6 +447,44 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
         c = F.col(cfg.kwargs["column"])
         exprs.append(F.countDistinct(c).alias(f"__pd{i}"))
         exprs.append(F.sum(c.isNotNull().cast("long")).alias(f"__pn{i}"))
+    for i, cfg in enumerate(dist_cfgs):
+        t, k = cfg.expectation_type, cfg.kwargs
+        c = F.col(k["column"])
+        if t == "expect_column_unique_value_count_to_be_between":
+            exprs.append(F.countDistinct(c).alias(f"__dv{i}"))
+            continue
+        vs = list(k["value_set"])
+        if t in (
+            "expect_column_distinct_values_to_be_in_set",
+            "expect_column_distinct_values_to_equal_set",
+        ):
+            exprs.append(
+                F.sum(
+                    F.when(c.isNotNull() & ~c.isin(vs), 1).otherwise(0)
+                ).alias(f"__do{i}")
+            )
+            # bounded sample of offending values (GE reports the full
+            # distinct list; at 100 TB that is unbounded, so 20 examples)
+            exprs.append(
+                F.slice(
+                    F.sort_array(
+                        F.collect_set(F.when(c.isNotNull() & ~c.isin(vs), c))
+                    ),
+                    1,
+                    20,
+                ).alias(f"__ds{i}")
+            )
+        if t in (
+            "expect_column_distinct_values_to_contain_set",
+            "expect_column_distinct_values_to_equal_set",
+        ):
+            # collect_set restricted to the REQUIRED values: <=|required|
+            # elements, bounded metadata
+            exprs.append(
+                F.sort_array(
+                    F.collect_set(F.when(c.isin(vs), c))
+                ).alias(f"__df{i}")
+            )
     for i, cfg in enumerate(mono_cfgs):
         # missing count rides the shared pass; violations need the sorted job
         exprs.append(
@@ -432,6 +506,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             or uniq_cfgs
             or quant_cfgs
             or prop_cfgs
+            or dist_cfgs
             or mono_cfgs
         )
         else None
@@ -480,6 +555,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     agg_idx = {id(cfg): i for i, cfg in enumerate(agg_cfgs)}
     quant_idx = {id(cfg): i for i, cfg in enumerate(quant_cfgs)}
     prop_idx = {id(cfg): i for i, cfg in enumerate(prop_cfgs)}
+    dist_idx = {id(cfg): i for i, cfg in enumerate(dist_cfgs)}
     mono_idx = {id(cfg): i for i, cfg in enumerate(mono_cfgs)}
 
     # mode(s): one grouped ids-only job per column; the grouped frame is
@@ -582,6 +658,36 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             distinct = int(row[f"__pd{i}"] or 0)
             obs = (distinct / nonnull) if nonnull else None
             emit(cfg, _scalar_ok(obs, k), {"observed_value": obs})
+        elif t in _DISTINCT:
+            i = dist_idx[id(cfg)]
+            if t == "expect_column_unique_value_count_to_be_between":
+                v = int(row[f"__dv{i}"] or 0)
+                emit(cfg, _scalar_ok(v, k), {"observed_value": v})
+            elif t == "expect_column_distinct_values_to_be_in_set":
+                out = int(row[f"__do{i}"] or 0)
+                emit(
+                    cfg,
+                    out == 0,
+                    {
+                        "observed_value": list(row[f"__ds{i}"] or []),
+                        "unexpected_count": out,
+                    },
+                )
+            elif t == "expect_column_distinct_values_to_contain_set":
+                found = list(row[f"__df{i}"] or [])
+                emit(
+                    cfg,
+                    set(found) >= set(k["value_set"]),
+                    {"observed_value": found},
+                )
+            else:  # expect_column_distinct_values_to_equal_set
+                found = list(row[f"__df{i}"] or [])
+                out = int(row[f"__do{i}"] or 0)
+                emit(
+                    cfg,
+                    out == 0 and set(found) == set(k["value_set"]),
+                    {"observed_value": found, "unexpected_count": out},
+                )
         elif t in _MODE:
             modes = mode_obs[k["column"]]
             vset = set(k["value_set"])

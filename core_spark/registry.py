@@ -3937,6 +3937,33 @@ UNION ALL
 SELECT 4, 'expect_column_values_to_be_decreasing', 'value',
        dec.u = 0, n.c, n.c - nn.c, dec.u, CAST(NULL AS DOUBLE)
 FROM n, nn, dec
+UNION ALL
+SELECT 5, 'expect_column_unique_value_count_to_be_between', 'event_type',
+       dv >= 4 AND dv <= 4, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(dv AS DOUBLE)
+FROM (SELECT count(DISTINCT event_type) AS dv FROM events)
+UNION ALL
+SELECT 6, 'expect_column_distinct_values_to_equal_set', 'event_type',
+       o = 0 AND f = 4, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), o,
+       CAST(NULL AS DOUBLE)
+FROM (SELECT count(*) AS o FROM events WHERE event_type IS NOT NULL
+      AND event_type NOT IN ('click', 'view', 'purchase', 'signup')),
+     (SELECT count(DISTINCT event_type) AS f FROM events
+      WHERE event_type IN ('click', 'view', 'purchase', 'signup'))
+UNION ALL
+SELECT 7, 'expect_column_value_lengths_to_equal', 'event_type',
+       u = 0, n.c, miss, u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM events WHERE event_type IS NOT NULL
+         AND length(event_type) <> 5),
+     (SELECT count(*) AS miss FROM events WHERE event_type IS NULL)
+UNION ALL
+SELECT 8, 'expect_column_pair_values_to_be_equal', 'event_id,user_id',
+       u = 0, n.c, miss, u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM events
+         WHERE NOT (event_id IS NULL AND user_id IS NULL)
+         AND (event_id IS DISTINCT FROM user_id)),
+     (SELECT count(*) AS miss FROM events
+      WHERE event_id IS NULL AND user_id IS NULL)
 """
 
 
@@ -3966,6 +3993,15 @@ def q_dq_expectations_extended(spark, sf_dir):
          {"column": "value", "order_by": "event_id"}),
         ("expect_column_values_to_be_decreasing",
          {"column": "value", "order_by": "event_id"}),
+        ("expect_column_unique_value_count_to_be_between",
+         {"column": "event_type", "min_value": 4, "max_value": 4}),
+        ("expect_column_distinct_values_to_equal_set",
+         {"column": "event_type",
+          "value_set": ["click", "view", "purchase", "signup"]}),
+        ("expect_column_value_lengths_to_equal",
+         {"column": "event_type", "value": 5}),
+        ("expect_column_pair_values_to_be_equal",
+         {"column_A": "event_id", "column_B": "user_id"}),
     ]:
         s.add_expectation(ex.build_expectation(t, k))
     return ex.validate_df(events, s).withColumn(

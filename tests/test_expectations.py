@@ -464,6 +464,102 @@ def test_monotonic_counts_partition_boundaries_exactly_once(spark):
     assert r["result"]["unexpected_count"] == 1
 
 
+def test_value_lengths_equal_and_pair_equal(spark):
+    pdf = pd.DataFrame(
+        {
+            "s": ["ab", "cd", "xyz", None],
+            "a": [1.0, 2.0, None, None],
+            "b": [1.0, 3.0, None, 4.0],
+        }
+    )
+    df2 = spark.createDataFrame(pdf)
+    r = _one(
+        df2, "expect_column_value_lengths_to_equal", {"column": "s", "value": 2}
+    )
+    assert r["result"]["unexpected_count"] == 1  # 'xyz'; NULL skipped
+    assert r["result"]["missing_count"] == 1
+    # pair equal: (1,1) ok, (2,3) bad, (NULL,NULL) skipped, (NULL,4) bad
+    r = _one(
+        df2,
+        "expect_column_pair_values_to_be_equal",
+        {"column_A": "a", "column_B": "b"},
+    )
+    assert r["result"]["unexpected_count"] == 2
+    assert r["result"]["missing_count"] == 1
+
+
+def test_multicolumn_sum_to_equal(spark):
+    pdf = pd.DataFrame(
+        {
+            "x": [1.0, 2.0, None, None],
+            "y": [9.0, 8.0, 10.0, None],
+        }
+    )
+    df2 = spark.createDataFrame(pdf)
+    r = _one(
+        df2,
+        "expect_multicolumn_sum_to_equal",
+        {"column_list": ["x", "y"], "sum_total": 10},
+    )
+    # rows: 10 ok, 10 ok, partial-NULL bad, all-NULL skipped
+    assert r["result"]["unexpected_count"] == 1
+    assert r["result"]["missing_count"] == 1
+    assert not r["success"]
+
+
+def test_distinct_value_expectations(df):
+    # tag distinct non-null = {a, b, c}
+    r = _one(
+        df,
+        "expect_column_unique_value_count_to_be_between",
+        {"column": "tag", "min_value": 3, "max_value": 3},
+    )
+    assert r["success"] and r["result"]["observed_value"] == 3
+    r = _one(
+        df,
+        "expect_column_distinct_values_to_be_in_set",
+        {"column": "tag", "value_set": ["a", "b", "c", "d"]},
+    )
+    assert r["success"]
+    r = _one(
+        df,
+        "expect_column_distinct_values_to_be_in_set",
+        {"column": "tag", "value_set": ["a", "b"]},
+    )
+    assert not r["success"]
+    assert r["result"]["observed_value"] == ["c"]  # the offending value
+    r = _one(
+        df,
+        "expect_column_distinct_values_to_contain_set",
+        {"column": "tag", "value_set": ["a", "c"]},
+    )
+    assert r["success"] and r["result"]["observed_value"] == ["a", "c"]
+    r = _one(
+        df,
+        "expect_column_distinct_values_to_contain_set",
+        {"column": "tag", "value_set": ["a", "z"]},
+    )
+    assert not r["success"]
+    r = _one(
+        df,
+        "expect_column_distinct_values_to_equal_set",
+        {"column": "tag", "value_set": ["a", "b", "c"]},
+    )
+    assert r["success"]
+    r = _one(
+        df,
+        "expect_column_distinct_values_to_equal_set",
+        {"column": "tag", "value_set": ["a", "b", "c", "d"]},
+    )
+    assert not r["success"]  # d never observed
+    r = _one(
+        df,
+        "expect_column_distinct_values_to_equal_set",
+        {"column": "tag", "value_set": ["a", "b"]},
+    )
+    assert not r["success"]  # c outside the set
+
+
 def test_mostly_denominator_is_nonnull_count(spark):
     # GE convention: success and unexpected_percent are computed over the
     # NON-null element count. 20 rows, 10 NULL, 2 bad of 10 non-null with
