@@ -640,7 +640,13 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
         "data scaling", margin=150
     ):
         small_n = max(20_000, n_clips // 10)
-        n_files_small = max(4, 336 // 10)
+        # same MICRO-BATCH STRUCTURE as the big run (3 triggers), each batch
+        # 10x smaller, same ~1.4k-clips/file shape: state rows then reflect
+        # the same watermark-eviction dynamics at both sizes, so the
+        # comparison isolates input volume (1 big batch vs 3 small ones
+        # would compare different concurrent-window populations)
+        fpt_small = max(2, 112 * small_n // n_clips)
+        n_files_small = 3 * fpt_small
         in_small = os.path.join(work, f"clips_input_{small_n}")
         try:
             if not os.path.isdir(in_small):
@@ -649,13 +655,13 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
                      "--cores", "32", "--mode", "tumbling",
                      "--n-clips", str(small_n),
                      "--work", os.path.join(work, "synth_small"),
-                     "--input", in_small, "--batches", "1",
-                     "--files-per-trigger", str(n_files_small), "--synth-only"]
+                     "--input", in_small, "--batches", "3",
+                     "--files-per-trigger", str(fpt_small), "--synth-only"]
                 )
             r_small = _run_job(
                 _job_cmd(
                     n_lo, small_n, os.path.join(work, "ds_small"), in_small,
-                    cpuset=_slice(0, 7),
+                    files_per_trigger=fpt_small, cpuset=_slice(0, 7),
                 ),
                 heap=heap,
             )
