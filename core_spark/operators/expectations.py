@@ -299,9 +299,9 @@ def _agg_expr(cfg: ExpectationConfiguration) -> Column:
     }[t]
 
 
-def _monotonic_counts(
+def _monotonic_summaries(
     df: DataFrame, cfg: ExpectationConfiguration
-) -> int:
+) -> DataFrame:
     """Adjacent-pair violation count for increasing/decreasing checks.
 
     GE evaluates monotonicity in the dataframe's own row order; a
@@ -363,11 +363,23 @@ def _monotonic_counts(
                 {"pid": [pid], "first": [first], "last": [last], "viol": [viol]}
             )
 
+    return sub.mapInPandas(
+        summarize, schema=f"pid int, first {vt}, last {vt}, viol long"
+    )
+
+
+def _monotonic_counts(df: DataFrame, cfg: ExpectationConfiguration) -> int:
+    k = cfg.kwargs
+    strictly = bool(k.get("strictly"))
+    decreasing = cfg.expectation_type == "expect_column_values_to_be_decreasing"
+
+    def _bad(prev, cur) -> bool:
+        if decreasing:
+            return cur >= prev if strictly else cur > prev
+        return cur <= prev if strictly else cur < prev
+
     summaries = sorted(
-        sub.mapInPandas(
-            summarize, schema=f"pid int, first {vt}, last {vt}, viol long"
-        ).collect(),
-        key=lambda r: r["pid"],
+        _monotonic_summaries(df, cfg).collect(), key=lambda r: r["pid"]
     )
     viol = sum(r["viol"] for r in summaries)
     for a, b in zip(summaries, summaries[1:]):

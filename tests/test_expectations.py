@@ -443,6 +443,25 @@ def test_monotonic_increasing_decreasing(spark):
         _one(df3, "expect_column_values_to_be_increasing", {"column": "x"})
 
 
+def test_monotonic_plan_is_range_partitioned_not_global(spark):
+    # the 100-TB shape: a RANGE exchange + per-partition sort, never the
+    # single-partition global-window plan (which serializes the whole
+    # column through one task)
+    pdf = pd.DataFrame({"o": range(100), "x": [float(i) for i in range(100)]})
+    df2 = spark.createDataFrame(pdf)
+    cfg = ex.build_expectation(
+        "expect_column_values_to_be_increasing", {"column": "x", "order_by": "o"}
+    )
+    plan = (
+        ex._monotonic_summaries(df2, cfg)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
 def test_monotonic_counts_partition_boundaries_exactly_once(spark):
     # scattered input, many range partitions: a perfectly sorted sequence
     # must report ZERO violations (each boundary pair counted 0 times) and
