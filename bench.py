@@ -1126,10 +1126,17 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
                 f" {ds['wall_ratio']}); state rows"
                 f" {ds['state_rows'][0]} -> {ds['state_rows'][1]} at"
                 f" {ds['state_bytes_per_row'][0]} ->"
-                f" {ds['state_bytes_per_row'][1]} bytes/row. Equal"
-                " steady rates = O(N) wall in input size; flat bytes/row"
-                " = bounded per-key state (the 10^12-clip posture:"
-                " state grows only with live keys, never with history).",
+                f" {ds['state_bytes_per_row'][1]} bytes/row."
+                " Wall grows at most linearly in input (a wall ratio at"
+                " or below 10 for 10x clips: per-micro-batch fixed costs"
+                " — planning, state commit, sink merge — amortize with"
+                " batch size, so the marginal cost per clip is flat or"
+                " falling). State rows track the LIVE window population"
+                " (the synthetic event-time span grows with N; in"
+                " production the watermark horizon, not input history,"
+                " bounds it) and bytes/row stays order-100s-of-bytes —"
+                " the 10^12-clip posture: state grows with live keys,"
+                " never with history.",
             ]
         ms = scaling.get("mode_sweep")
         if ms:
