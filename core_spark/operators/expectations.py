@@ -92,6 +92,12 @@ _DISTINCT = {
 }
 # mode(s): one grouped ids-only job per column (like uniqueness)
 _MODE = {"expect_column_most_common_value_to_be_in_set"}
+# categorical drift tests vs an expected partition_object: one grouped
+# ids-only job per column (shared with _MODE when both reference it)
+_DRIFT = {
+    "expect_column_kl_divergence_to_be_less_than",
+    "expect_column_chisquare_test_p_value_to_be_greater_than",
+}
 # order-dependent checks: one range-partitioned sorted pass per expectation
 _MONOTONIC = {
     "expect_column_values_to_be_increasing",
@@ -121,6 +127,7 @@ SUPPORTED_EXPECTATIONS = sorted(
     | _PROPORTION
     | _DISTINCT
     | _MODE
+    | _DRIFT
     | _MONOTONIC
 )
 
@@ -299,6 +306,113 @@ def _agg_expr(cfg: ExpectationConfiguration) -> Column:
     }[t]
 
 
+def _gammainc_q(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) — series for x < a+1,
+    Lentz continued fraction otherwise (the standard numerical recipe; no
+    scipy on this image). Accurate to ~1e-13 over the chi-square range."""
+    import math
+
+    if x < 0 or a <= 0:
+        raise ValueError("gammainc_q domain")
+    if x == 0:
+        return 1.0
+    if x < a + 1.0:
+        ap, s = a, 1.0 / a
+        d = s
+        for _ in range(500):
+            ap += 1.0
+            d *= x / ap
+            s += d
+            if abs(d) < abs(s) * 1e-15:
+                break
+        return 1.0 - s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _chi2_sf(x: float, k: int) -> float:
+    """Chi-square survival function P(X >= x) with k degrees of freedom."""
+    return _gammainc_q(k / 2.0, x / 2.0)
+
+
+def _normalized_partition(k: dict) -> dict:
+    """partition_object {values, weights} -> {value: probability}."""
+    po = k["partition_object"]
+    vals, ws = list(po["values"]), [float(w) for w in po["weights"]]
+    if len(vals) != len(ws) or not vals:
+        raise ValueError("partition_object values/weights mismatch")
+    tot = sum(ws)
+    if tot <= 0:
+        raise ValueError("partition_object weights must sum > 0")
+    return {v: w / tot for v, w in zip(vals, ws)}
+
+
+def _drift_result(cfg: ExpectationConfiguration, counts: dict) -> tuple:
+    """(success, result_dict) for one drift expectation given the observed
+    non-null category counts of its column. Categorical form of GE's
+    kl_divergence / chisquare expectations: the expected distribution is
+    the config's partition_object; observed support outside it is an
+    automatic failure (KL = inf, chi-square p = 0)."""
+    import math
+
+    t, k = cfg.expectation_type, cfg.kwargs
+    q = _normalized_partition(k)
+    n = sum(counts.values())
+    outside = sorted(v for v in counts if v not in q)
+    if t == "expect_column_kl_divergence_to_be_less_than":
+        thr = float(k["threshold"])
+        if n == 0:
+            return True, {"observed_value": 0.0}
+        if outside:
+            return False, {
+                "observed_value": math.inf,
+                "details": {"values_outside_partition": outside[:20]},
+            }
+        d = sum(
+            (c / n) * math.log((c / n) / q[v]) for v, c in counts.items() if c
+        )
+        return d < thr, {"observed_value": d}
+    # chi-square goodness of fit: stat over the EXPECTED support (zero
+    # observed counts contribute q_i*n), df = |support| - 1
+    p_thr = float(k.get("p", 0.05))
+    dof = len(q) - 1
+    if n == 0:
+        return True, {"observed_value": 1.0, "test_statistic": 0.0}
+    if outside:
+        return False, {
+            "observed_value": 0.0,
+            "test_statistic": math.inf,
+            "details": {"values_outside_partition": outside[:20]},
+        }
+    stat = sum(
+        (counts.get(v, 0) - qi * n) ** 2 / (qi * n) for v, qi in q.items()
+    )
+    p_value = _chi2_sf(stat, dof)
+    return p_value > p_thr, {
+        "observed_value": p_value,
+        "test_statistic": stat,
+        "degrees_of_freedom": dof,
+    }
+
+
 def _monotonic_summaries(
     df: DataFrame, cfg: ExpectationConfiguration
 ) -> DataFrame:
@@ -419,6 +533,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     prop_cfgs = [e for e in suite.expectations if e.expectation_type in _PROPORTION]
     dist_cfgs = [e for e in suite.expectations if e.expectation_type in _DISTINCT]
     mode_cfgs = [e for e in suite.expectations if e.expectation_type in _MODE]
+    drift_cfgs = [e for e in suite.expectations if e.expectation_type in _DRIFT]
     mono_cfgs = [e for e in suite.expectations if e.expectation_type in _MONOTONIC]
 
     # ---- one scan: total count + per-expectation unexpected counts + scalars
@@ -596,6 +711,22 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
         finally:
             cnt.unpersist()
 
+    # drift tests: one grouped ids-only job per distinct column; the
+    # collected distribution is |distinct categories| rows — the same
+    # bounded-metadata class as the partition_object itself (these tests
+    # are defined over categorical columns)
+    cat_counts: dict[str, dict] = {}
+    for cfg in drift_cfgs:
+        col = cfg.kwargs["column"]
+        if col not in cat_counts:
+            cat_counts[col] = {
+                r[col]: int(r["__c"])
+                for r in df.filter(F.col(col).isNotNull())
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .collect()
+            }
+
     # monotonic checks: one range-partitioned sorted pass each
     mono_viol = {
         id(cfg): _monotonic_counts(df, cfg) for cfg in mono_cfgs
@@ -711,6 +842,9 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                 else bool(modes) and all(m in vset for m in modes)
             )
             emit(cfg, ok, {"observed_value": modes})
+        elif t in _DRIFT:
+            ok, result = _drift_result(cfg, cat_counts[k["column"]])
+            emit(cfg, ok, result)
         elif t in _MONOTONIC:
             emit_rowlevel(
                 cfg,

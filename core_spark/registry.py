@@ -4009,6 +4009,75 @@ def q_dq_expectations_extended(spark, sf_dir):
     )
 
 
+SQL_DQ_DRIFT = """
+WITH c AS (SELECT event_type AS v, count(*) AS n FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+q(v, w) AS (VALUES ('click', 0.2), ('view', 0.2), ('purchase', 0.2),
+                   ('signup', 0.2), ('error', 0.2)),
+kl AS (SELECT sum((c.n / (SELECT t FROM tot))
+                  * ln((c.n / (SELECT t FROM tot)) / q.w)) AS d
+       FROM c JOIN q ON q.v = c.v),
+chi AS (SELECT sum(pow(coalesce(c.n, 0) - q.w * (SELECT t FROM tot), 2)
+                   / (q.w * (SELECT t FROM tot))) AS s
+        FROM q LEFT JOIN c ON c.v = q.v)
+SELECT 0 AS idx,
+       'expect_column_kl_divergence_to_be_less_than' AS expectation_type,
+       'event_type' AS "column", d < 0.01 AS success,
+       round(d, 6) AS statistic
+FROM kl
+UNION ALL
+-- p > 0.05 with df = 4 is exactly stat < chi2_{0.95,4} = 9.487729036781154
+-- (fixed public critical value), so the p-value test is SQL-replayable
+SELECT 1, 'expect_column_chisquare_test_p_value_to_be_greater_than',
+       'event_type', s < 9.487729036781154, round(s, 6)
+FROM chi
+"""
+
+
+def q_dq_drift_check(spark, sf_dir):
+    """Categorical drift tests vs an expected partition (the GE wrapper's
+    kl_divergence / chisquare expectation types, native): one grouped
+    ids-only job collects the observed category distribution (bounded
+    metadata — these tests are defined over categorical columns), then
+    KL(observed || expected) and the chi-square goodness-of-fit p-value
+    (own regularized-incomplete-gamma implementation, no scipy) are
+    driver-side arithmetic. Output = the test statistics; the chi-square
+    success is oracle-replayed through the fixed df=4 critical value."""
+    from .operators import expectations as ex
+
+    events = _load(spark, sf_dir, "events")
+    po = {
+        "values": ["click", "view", "purchase", "signup", "error"],
+        "weights": [0.2, 0.2, 0.2, 0.2, 0.2],
+    }
+    s = ex.ExpectationSuite("drift")
+    s.add_expectation(ex.build_expectation(
+        "expect_column_kl_divergence_to_be_less_than",
+        {"column": "event_type", "partition_object": po, "threshold": 0.01}))
+    s.add_expectation(ex.build_expectation(
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        {"column": "event_type", "partition_object": po, "p": 0.05}))
+    res = ex.validate(events, s)
+    rows = []
+    for i, r in enumerate(res["results"]):
+        stat = r["result"].get("test_statistic")
+        if stat is None:
+            stat = r["result"]["observed_value"]
+        rows.append((
+            i,
+            r["expectation_config"]["expectation_type"],
+            "event_type",
+            r["success"],
+            round(float(stat), 6),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "idx int, expectation_type string, column string, success boolean,"
+        " statistic double",
+    )
+
+
 def q_audio_transcript_rate(spark, sf_dir):
     """Text x audio consistency check: transcript tokens per second of
     detected speech (operators/audio_prep.transcript_rate_check).
@@ -4088,6 +4157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dq_interval_filtering whose tie ordering changed this round.
     "dq_expectations": q_dq_expectations,
     "dq_expectations_extended": q_dq_expectations_extended,
+    "dq_drift_check": q_dq_drift_check,
     "stream_quality_gate": q_stream_quality_gate,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
@@ -4319,4 +4389,5 @@ ORACLES: dict[str, str] = {
 # the generator (synth.clips_meta_sql / corrections_meta_sql)
 ORACLES["dq_expectations"] = SQL_DQ_EXPECTATIONS
 ORACLES["dq_expectations_extended"] = SQL_DQ_EXPECTATIONS_EXT
+ORACLES["dq_drift_check"] = SQL_DQ_DRIFT
 ORACLES.update(_synth_meta_oracles())

@@ -673,3 +673,109 @@ def test_profile_suite_respects_column_subset(spark, df):
     types = [e.expectation_type for e in s.expectations]
     assert "expect_column_values_to_not_be_null" not in types
     assert "expect_column_values_to_be_between" in types
+
+
+def test_iceberg_merge_sql_shapes():
+    # jar-free guard on the MERGE text the jar-gated suite executes live
+    from core_spark.streaming.sink import MergeSink
+
+    plain = MergeSink("/tmp/x", ["k1", "k2"])
+    sql = plain.iceberg_merge_sql("cat.db.t", "src")
+    assert sql.startswith("MERGE INTO cat.db.t t USING src s ON ")
+    assert "t.k1 = s.k1 AND t.k2 = s.k2" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+    cdc = MergeSink("/tmp/x", ["k"], op_col="op", delete_value="del")
+    sql = cdc.iceberg_merge_sql("cat.db.t", "src", data_cols=["k", "v"])
+    assert "WHEN MATCHED AND s.op = 'del' THEN DELETE" in sql
+    assert "WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v" in sql
+    assert "WHEN NOT MATCHED AND s.op <> 'del' THEN INSERT (k, v) VALUES (s.k, s.v)" in sql
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="data_cols"):
+        cdc.iceberg_merge_sql("cat.db.t", "src")
+
+
+def test_chi2_sf_matches_published_tables():
+    # standard chi-square critical values: sf(crit, df) == alpha
+    for crit, dof, alpha in [
+        (3.841458820694124, 1, 0.05),
+        (5.991464547107979, 2, 0.05),
+        (7.814727903251179, 3, 0.05),
+        (9.487729036781154, 4, 0.05),
+        (6.634896601021213, 1, 0.01),
+        (13.276704135987622, 4, 0.01),
+    ]:
+        assert abs(ex._chi2_sf(crit, dof) - alpha) < 1e-9
+    assert ex._chi2_sf(0.0, 3) == 1.0
+    assert ex._chi2_sf(1000.0, 3) < 1e-100
+
+
+def test_kl_divergence_expectation(spark):
+    import math
+
+    # observed: a x6, b x2, c x2 -> p = (.6, .2, .2)
+    pdf = pd.DataFrame({"cat": ["a"] * 6 + ["b"] * 2 + ["c"] * 2})
+    df2 = spark.createDataFrame(pdf)
+    po = {"values": ["a", "b", "c"], "weights": [1 / 3, 1 / 3, 1 / 3]}
+    expected_kl = (
+        0.6 * math.log(0.6 / (1 / 3)) + 2 * 0.2 * math.log(0.2 / (1 / 3))
+    )
+    r = _one(
+        df2,
+        "expect_column_kl_divergence_to_be_less_than",
+        {"column": "cat", "partition_object": po, "threshold": expected_kl + 0.01},
+    )
+    assert r["success"]
+    assert abs(r["result"]["observed_value"] - expected_kl) < 1e-12
+    r = _one(
+        df2,
+        "expect_column_kl_divergence_to_be_less_than",
+        {"column": "cat", "partition_object": po, "threshold": expected_kl - 0.01},
+    )
+    assert not r["success"]
+    # observed category outside the expected partition: automatic failure
+    r = _one(
+        df2,
+        "expect_column_kl_divergence_to_be_less_than",
+        {"column": "cat",
+         "partition_object": {"values": ["a", "b"], "weights": [0.5, 0.5]},
+         "threshold": 100.0},
+    )
+    assert not r["success"]
+    assert r["result"]["details"]["values_outside_partition"] == ["c"]
+
+
+def test_chisquare_expectation(spark):
+    # perfectly matching distribution: stat 0, p-value 1
+    pdf = pd.DataFrame({"cat": ["a"] * 50 + ["b"] * 50})
+    df2 = spark.createDataFrame(pdf)
+    po = {"values": ["a", "b"], "weights": [0.5, 0.5]}
+    r = _one(
+        df2,
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        {"column": "cat", "partition_object": po, "p": 0.05},
+    )
+    assert r["success"]
+    assert r["result"]["observed_value"] == 1.0
+    assert r["result"]["test_statistic"] == 0.0
+    # skewed 80/20 vs expected 50/50, n=100: stat = (30^2/50)*2 = 36,
+    # p = sf(36, 1) ~ 2e-9 -> fails
+    pdf = pd.DataFrame({"cat": ["a"] * 80 + ["b"] * 20})
+    r = _one(
+        spark.createDataFrame(pdf),
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        {"column": "cat", "partition_object": po, "p": 0.05},
+    )
+    assert not r["success"]
+    assert abs(r["result"]["test_statistic"] - 36.0) < 1e-9
+    # expected category never observed still contributes q*n to the stat
+    po3 = {"values": ["a", "b", "z"], "weights": [0.4, 0.4, 0.2]}
+    r = _one(
+        spark.createDataFrame(pdf),
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        {"column": "cat", "partition_object": po3, "p": 0.05},
+    )
+    assert not r["success"]
+    assert r["result"]["degrees_of_freedom"] == 2
