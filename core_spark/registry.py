@@ -4122,6 +4122,16 @@ def q_stream_quality_gate(spark, sf_dir):
         s.add_expectation(ex.build_expectation(
             "expect_column_mean_to_be_between",
             {"column": "value", "min_value": 0, "max_value": 1000}))
+        # per-batch distribution-drift halt: chi-square vs the feed's
+        # expected event-type mix (round 4) — the composition a
+        # training-data pipeline runs in front of its sink
+        s.add_expectation(ex.build_expectation(
+            "expect_column_chisquare_test_p_value_to_be_greater_than",
+            {"column": "event_type",
+             "partition_object": {
+                 "values": ["click", "view", "purchase", "signup", "error"],
+                 "weights": [0.2, 0.2, 0.2, 0.2, 0.2]},
+             "p": 0.001}))
         gate = QualityGateSink(
             MergeSink(os.path.join(work, "table"), ["ts", "event_id"]),
             s,

@@ -286,3 +286,90 @@ def test_tws_processor_matches_brute_force_any_batching(evs, within, n_batches):
     }
     assert got_map == expected
     assert not got.duplicated(subset=["a_ts"]).any()
+
+
+# ---- expectations engine vs a direct pandas reference implementation ----
+
+_opt_floats = st.lists(
+    st.one_of(
+        st.none(),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    xs=_opt_floats,
+    lo=st.floats(min_value=-50, max_value=0, allow_nan=False),
+    hi=st.floats(min_value=0, max_value=50, allow_nan=False),
+    mostly=st.sampled_from([0.5, 0.8, 0.9, 1.0]),
+)
+def test_between_mostly_matches_pandas_reference(spark, xs, lo, hi, mostly):
+    """GE semantics oracle: element_count is all rows, NULLs are missing,
+    success and unexpected_percent use the non-null denominator."""
+    import pandas as pd
+
+    from core_spark.operators import expectations as ex
+
+    pdf = pd.DataFrame({"x": pd.array(xs, dtype="float64")})
+    df = spark.createDataFrame(pdf)
+    r = ex.validate(
+        df,
+        ex.ExpectationSuite(
+            "p",
+            [
+                ex.build_expectation(
+                    "expect_column_values_to_be_between",
+                    {"column": "x", "min_value": lo, "max_value": hi,
+                     "mostly": mostly},
+                )
+            ],
+        ),
+    )["results"][0]
+    vals = [v for v in xs if v is not None]
+    missing = len(xs) - len(vals)
+    unexpected = sum(1 for v in vals if not (lo <= v <= hi))
+    ok = (1.0 - (unexpected / len(vals) if vals else 0.0)) >= mostly
+    assert r["result"]["element_count"] == len(xs)
+    assert r["result"]["missing_count"] == missing
+    assert r["result"]["unexpected_count"] == unexpected
+    assert r["success"] == ok
+
+
+@settings(max_examples=15, deadline=None)
+@given(xs=_opt_floats, strictly=st.booleans())
+def test_monotonic_matches_pandas_reference(spark, xs, strictly):
+    """Distributed monotonicity (range partitions + boundary combine) must
+    equal the serial adjacency count on the null-filtered ordered series,
+    at any partitioning of the input."""
+    import pandas as pd
+
+    from core_spark.operators import expectations as ex
+
+    pdf = pd.DataFrame(
+        {"o": range(len(xs)), "x": pd.array(xs, dtype="float64")}
+    )
+    df = spark.createDataFrame(pdf).repartition(5)
+    r = ex.validate(
+        df,
+        ex.ExpectationSuite(
+            "p",
+            [
+                ex.build_expectation(
+                    "expect_column_values_to_be_increasing",
+                    {"column": "x", "order_by": "o", "strictly": strictly},
+                )
+            ],
+        ),
+    )["results"][0]
+    vals = [v for v in xs if v is not None]
+    viol = sum(
+        1
+        for a, b in zip(vals, vals[1:])
+        if (b <= a if strictly else b < a)
+    )
+    assert r["result"]["unexpected_count"] == viol
+    assert r["result"]["missing_count"] == len(xs) - len(vals)
