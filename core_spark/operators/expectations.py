@@ -98,6 +98,9 @@ _DRIFT = {
     "expect_column_kl_divergence_to_be_less_than",
     "expect_column_chisquare_test_p_value_to_be_greater_than",
 }
+# continuous drift: binned KS test vs a bins/weights partition_object —
+# bucket counts from ONE conditional-sum set in the shared agg pass
+_KS = {"expect_column_ks_test_p_value_to_be_greater_than"}
 # order-dependent checks: one range-partitioned sorted pass per expectation
 _MONOTONIC = {
     "expect_column_values_to_be_increasing",
@@ -128,6 +131,7 @@ SUPPORTED_EXPECTATIONS = sorted(
     | _DISTINCT
     | _MODE
     | _DRIFT
+    | _KS
     | _MONOTONIC
 )
 
@@ -353,6 +357,27 @@ def _chi2_sf(x: float, k: int) -> float:
     return _gammainc_q(k / 2.0, x / 2.0)
 
 
+#: asymptotic Kolmogorov critical value: _ks_sf(K) = 0.05 exactly (bisected
+#: against the series below; the SQL oracle replays success through it)
+KS_CRITICAL_05 = 1.3580986393225505
+
+
+def _ks_sf(lam: float) -> float:
+    """Asymptotic Kolmogorov distribution survival function
+    Q_KS(lambda) = 2 * sum_{k>=1} (-1)^{k-1} exp(-2 k^2 lambda^2)."""
+    import math
+
+    if lam <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, 200):
+        t = (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        s += t
+        if abs(t) < 1e-18:
+            break
+    return max(0.0, min(1.0, 2.0 * s))
+
+
 def _normalized_partition(k: dict) -> dict:
     """partition_object {values, weights} -> {value: probability}."""
     po = k["partition_object"]
@@ -534,6 +559,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     dist_cfgs = [e for e in suite.expectations if e.expectation_type in _DISTINCT]
     mode_cfgs = [e for e in suite.expectations if e.expectation_type in _MODE]
     drift_cfgs = [e for e in suite.expectations if e.expectation_type in _DRIFT]
+    ks_cfgs = [e for e in suite.expectations if e.expectation_type in _KS]
     mono_cfgs = [e for e in suite.expectations if e.expectation_type in _MONOTONIC]
 
     # ---- one scan: total count + per-expectation unexpected counts + scalars
@@ -619,6 +645,21 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                 f"__mm{i}"
             )
         )
+    for i, cfg in enumerate(ks_cfgs):
+        # binned KS: the observed ECDF at every bin edge is a conditional
+        # cumulative count — |bins|+1 extra sums in the SAME shared pass,
+        # no grouped job and no sort anywhere
+        c = F.col(cfg.kwargs["column"])
+        po = cfg.kwargs["partition_object"]
+        if len(po["bins"]) != len(po["weights"]) + 1:
+            raise ValueError("KS partition_object needs len(bins) == len(weights)+1")
+        for j, edge in enumerate(po["bins"]):
+            exprs.append(
+                F.sum(
+                    F.when(c <= F.lit(float(edge)), 1).otherwise(0)
+                ).alias(f"__ks{i}_{j}")
+            )
+        exprs.append(F.sum(c.isNotNull().cast("long")).alias(f"__ksn{i}"))
     for i, cfg in enumerate(quant_cfgs):
         qs = [float(q) for q in cfg.kwargs["quantile_ranges"]["quantiles"]]
         exprs.append(
@@ -634,6 +675,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             or quant_cfgs
             or prop_cfgs
             or dist_cfgs
+            or ks_cfgs
             or mono_cfgs
         )
         else None
@@ -683,6 +725,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     quant_idx = {id(cfg): i for i, cfg in enumerate(quant_cfgs)}
     prop_idx = {id(cfg): i for i, cfg in enumerate(prop_cfgs)}
     dist_idx = {id(cfg): i for i, cfg in enumerate(dist_cfgs)}
+    ks_idx = {id(cfg): i for i, cfg in enumerate(ks_cfgs)}
     mono_idx = {id(cfg): i for i, cfg in enumerate(mono_cfgs)}
 
     # mode(s): one grouped ids-only job per column; the grouped frame is
@@ -845,6 +888,36 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
         elif t in _DRIFT:
             ok, result = _drift_result(cfg, cat_counts[k["column"]])
             emit(cfg, ok, result)
+        elif t in _KS:
+            import math
+
+            i = ks_idx[id(cfg)]
+            po = k["partition_object"]
+            edges = [float(b) for b in po["bins"]]
+            ws = [float(w) for w in po["weights"]]
+            wtot = sum(ws)
+            n_nn = int(row[f"__ksn{i}"] or 0)
+            if n_nn == 0:
+                emit(cfg, True, {"observed_value": 1.0, "test_statistic": 0.0})
+            else:
+                cum = 0.0
+                d = 0.0
+                for j in range(len(edges)):
+                    exp_cdf = cum / wtot
+                    obs_cdf = int(row[f"__ks{i}_{j}"] or 0) / n_nn
+                    d = max(d, abs(obs_cdf - exp_cdf))
+                    if j < len(ws):
+                        cum += ws[j]
+                p_value = _ks_sf(math.sqrt(n_nn) * d)
+                emit(
+                    cfg,
+                    p_value > float(k.get("p", 0.05)),
+                    {
+                        "observed_value": p_value,
+                        "test_statistic": d,
+                        "n": n_nn,
+                    },
+                )
         elif t in _MONOTONIC:
             emit_rowlevel(
                 cfg,

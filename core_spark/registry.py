@@ -4032,6 +4032,23 @@ UNION ALL
 SELECT 1, 'expect_column_chisquare_test_p_value_to_be_greater_than',
        'event_type', s < 9.487729036781154, round(s, 6)
 FROM chi
+UNION ALL
+-- binned KS vs an expected uniform[0,500]: p > 0.05 is exactly
+-- sqrt(n)*D < K_0.05 = 1.3580986393225505 (asymptotic Kolmogorov critical
+-- value; the engine's own series bisects to the same constant)
+SELECT 2, 'expect_column_ks_test_p_value_to_be_greater_than', 'value',
+       sqrt((SELECT CAST(count(value) AS DOUBLE) FROM events)) * d
+           < 1.3580986393225505,
+       round(d, 6)
+FROM (
+  SELECT max(abs(
+      (SELECT CAST(sum(CASE WHEN value <= e.edge THEN 1 ELSE 0 END)
+              AS DOUBLE) FROM events WHERE value IS NOT NULL)
+      / (SELECT CAST(count(value) AS DOUBLE) FROM events)
+      - e.cdf)) AS d
+  FROM (VALUES (0.0, 0.0), (125.0, 0.25), (250.0, 0.5), (375.0, 0.75),
+               (500.0, 1.0)) AS e(edge, cdf)
+)
 """
 
 
@@ -4058,6 +4075,16 @@ def q_dq_drift_check(spark, sf_dir):
     s.add_expectation(ex.build_expectation(
         "expect_column_chisquare_test_p_value_to_be_greater_than",
         {"column": "event_type", "partition_object": po, "p": 0.05}))
+    # continuous drift: binned KS on value vs an expected uniform[0, 500]
+    # (the real distribution is exponential-ish, so this fails decisively
+    # at every sf — the pass side is pinned by unit tests)
+    s.add_expectation(ex.build_expectation(
+        "expect_column_ks_test_p_value_to_be_greater_than",
+        {"column": "value",
+         "partition_object": {
+             "bins": [0.0, 125.0, 250.0, 375.0, 500.0],
+             "weights": [0.25, 0.25, 0.25, 0.25]},
+         "p": 0.05}))
     res = ex.validate(events, s)
     rows = []
     for i, r in enumerate(res["results"]):
@@ -4067,7 +4094,7 @@ def q_dq_drift_check(spark, sf_dir):
         rows.append((
             i,
             r["expectation_config"]["expectation_type"],
-            "event_type",
+            r["expectation_config"]["kwargs"]["column"],
             r["success"],
             round(float(stat), 6),
         ))

@@ -779,3 +779,59 @@ def test_chisquare_expectation(spark):
     )
     assert not r["success"]
     assert r["result"]["degrees_of_freedom"] == 2
+
+
+def test_ks_sf_known_values():
+    # Q_KS at its alpha=0.05 critical value, and limits
+    assert abs(ex._ks_sf(ex.KS_CRITICAL_05) - 0.05) < 1e-12
+    assert ex._ks_sf(0.0) == 1.0
+    assert ex._ks_sf(5.0) < 1e-20
+    # published: Q_KS(1.2238) ~ 0.10 (alpha=0.10 critical value 1.2238...)
+    assert abs(ex._ks_sf(1.2238478701970748) - 0.10) < 1e-9
+
+
+def test_ks_expectation_pass_and_fail(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    xs = rng.uniform(0.0, 10.0, 2000)
+    df2 = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    po = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0], "weights": [0.25] * 4}
+    r = _one(
+        df2,
+        "expect_column_ks_test_p_value_to_be_greater_than",
+        {"column": "x", "partition_object": po, "p": 0.05},
+    )
+    # uniform data vs uniform partition: edge ECDFs match to sampling noise
+    assert r["success"], r["result"]
+    assert r["result"]["test_statistic"] < 0.03
+    # the same data against a shifted expected distribution fails hard
+    po_bad = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0],
+              "weights": [0.7, 0.1, 0.1, 0.1]}
+    r = _one(
+        df2,
+        "expect_column_ks_test_p_value_to_be_greater_than",
+        {"column": "x", "partition_object": po_bad, "p": 0.05},
+    )
+    assert not r["success"]
+    assert r["result"]["observed_value"] < 1e-6
+    # hand-check D: at edge 2.5 expected CDF 0.7, observed ~0.25
+    assert abs(r["result"]["test_statistic"] - 0.45) < 0.03
+    # NULLs are excluded from n; all-NULL is vacuously successful
+    allnull = spark.createDataFrame(
+        pd.DataFrame({"x": [None, None]}), "x double"
+    )
+    r = _one(
+        allnull,
+        "expect_column_ks_test_p_value_to_be_greater_than",
+        {"column": "x", "partition_object": po, "p": 0.05},
+    )
+    assert r["success"] and r["result"]["observed_value"] == 1.0
+    with pytest.raises(ValueError, match="bins"):
+        _one(
+            df2,
+            "expect_column_ks_test_p_value_to_be_greater_than",
+            {"column": "x",
+             "partition_object": {"bins": [0.0, 1.0], "weights": [0.5, 0.5]},
+             "p": 0.05},
+        )
