@@ -438,10 +438,8 @@ def _drift_result(cfg: ExpectationConfiguration, counts: dict) -> tuple:
     }
 
 
-def _monotonic_summaries(
-    df: DataFrame, cfg: ExpectationConfiguration
-) -> DataFrame:
-    """Adjacent-pair violation count for increasing/decreasing checks.
+def _monotonic_summaries(df: DataFrame, column: str, order_by: str) -> DataFrame:
+    """Adjacent-pair violation summaries for increasing/decreasing checks.
 
     GE evaluates monotonicity in the dataframe's own row order; a
     distributed DataFrame has none, so this engine REQUIRES an
@@ -451,78 +449,85 @@ def _monotonic_summaries(
     Scale shape: NULL values are dropped (they are `missing`, counted in
     the shared agg pass), the (order, value) projection is
     repartitionByRange'd on the order column and sorted WITHIN partitions,
-    and one mapInPandas pass emits per-partition (violations, first, last)
-    summaries. Range partition ids are ascending in key order, so the
+    and one mapInPandas pass emits a per-partition summary carrying ALL
+    FOUR adjacent-violation counts (increasing/decreasing x strict/
+    non-strict) plus (first, last) — so ONE sorted pass serves every
+    monotonic expectation sharing (column, order_by), whatever its
+    direction. Range partition ids are ascending in key order, so the
     driver only compares the <=P partition-boundary pairs — bounded
     metadata, no global single-partition window anywhere."""
-    k = cfg.kwargs
-    order_by = k.get("order_by")
     if not order_by:
         raise ValueError(
-            f"{cfg.expectation_type} requires an 'order_by' kwarg: Spark "
+            "monotonic expectations require an 'order_by' kwarg: Spark "
             "DataFrames have no intrinsic row order"
         )
-    strictly = bool(k.get("strictly"))
-    decreasing = cfg.expectation_type == "expect_column_values_to_be_decreasing"
-    vt = df.schema[k["column"]].dataType.simpleString()
+    vt = df.schema[column].dataType.simpleString()
     sub = (
-        df.select(F.col(order_by).alias("__o"), F.col(k["column"]).alias("__v"))
+        df.select(F.col(order_by).alias("__o"), F.col(column).alias("__v"))
         .filter(F.col("__v").isNotNull())
         .repartitionByRange(F.col("__o"))
         .sortWithinPartitions("__o")
         .withColumn("__pid", F.spark_partition_id())
     )
 
-    def _bad(prev, cur) -> bool:
-        if decreasing:
-            return cur >= prev if strictly else cur > prev
-        return cur <= prev if strictly else cur < prev
-
     def summarize(batches):
-        pid, first, last, viol = None, None, None, 0
+        pid, first, last = None, None, None
+        vi = vis = vd = vds = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             if pid is None:
                 pid = int(pdf["__pid"].iloc[0])
             v = pdf["__v"].to_numpy()
-            if last is not None and _bad(last, v[0]):
-                viol += 1
+            if last is not None:  # pair across arrow-batch boundary
+                vi += int(v[0] < last)
+                vis += int(v[0] <= last)
+                vd += int(v[0] > last)
+                vds += int(v[0] >= last)
             if first is None:
                 first = v[0]
             prev, cur = v[:-1], v[1:]
-            if decreasing:
-                bad = (cur >= prev) if strictly else (cur > prev)
-            else:
-                bad = (cur <= prev) if strictly else (cur < prev)
-            viol += int(bad.sum())
+            vi += int((cur < prev).sum())
+            vis += int((cur <= prev).sum())
+            vd += int((cur > prev).sum())
+            vds += int((cur >= prev).sum())
             last = v[-1]
         if pid is not None:
             yield pd.DataFrame(
-                {"pid": [pid], "first": [first], "last": [last], "viol": [viol]}
+                {
+                    "pid": [pid],
+                    "first": [first],
+                    "last": [last],
+                    "viol_inc": [vi],
+                    "viol_inc_strict": [vis],
+                    "viol_dec": [vd],
+                    "viol_dec_strict": [vds],
+                }
             )
 
     return sub.mapInPandas(
-        summarize, schema=f"pid int, first {vt}, last {vt}, viol long"
+        summarize,
+        schema=(
+            f"pid int, first {vt}, last {vt}, viol_inc long,"
+            " viol_inc_strict long, viol_dec long, viol_dec_strict long"
+        ),
     )
 
 
-def _monotonic_counts(df: DataFrame, cfg: ExpectationConfiguration) -> int:
-    k = cfg.kwargs
-    strictly = bool(k.get("strictly"))
-    decreasing = cfg.expectation_type == "expect_column_values_to_be_decreasing"
-
-    def _bad(prev, cur) -> bool:
-        if decreasing:
-            return cur >= prev if strictly else cur > prev
-        return cur <= prev if strictly else cur < prev
-
-    summaries = sorted(
-        _monotonic_summaries(df, cfg).collect(), key=lambda r: r["pid"]
+def _monotonic_count_from(summaries, decreasing: bool, strictly: bool) -> int:
+    """Total violation count for one direction from collected summaries
+    (sorted by pid) plus the <=P boundary pairs."""
+    key = ("viol_dec" if decreasing else "viol_inc") + (
+        "_strict" if strictly else ""
     )
-    viol = sum(r["viol"] for r in summaries)
+    viol = sum(r[key] for r in summaries)
     for a, b in zip(summaries, summaries[1:]):
-        if _bad(a["last"], b["first"]):
+        prev, cur = a["last"], b["first"]
+        if decreasing:
+            bad = cur >= prev if strictly else cur > prev
+        else:
+            bad = cur <= prev if strictly else cur < prev
+        if bad:
             viol += 1
     return int(viol)
 
@@ -770,10 +775,27 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                 .collect()
             }
 
-    # monotonic checks: one range-partitioned sorted pass each
-    mono_viol = {
-        id(cfg): _monotonic_counts(df, cfg) for cfg in mono_cfgs
-    }
+    # monotonic checks: ONE range-partitioned sorted pass per distinct
+    # (column, order_by) — the summaries carry both directions and both
+    # strictness forms, so increasing + decreasing over the same ordering
+    # share a single job
+    mono_viol: dict[int, int] = {}
+    mono_groups: dict[tuple, list] = {}
+    for cfg in mono_cfgs:
+        key = (cfg.kwargs["column"], cfg.kwargs.get("order_by"))
+        mono_groups.setdefault(key, []).append(cfg)
+    for (col, order_by), cfgs in mono_groups.items():
+        summaries = sorted(
+            _monotonic_summaries(df, col, order_by).collect(),
+            key=lambda r: r["pid"],
+        )
+        for cfg in cfgs:
+            mono_viol[id(cfg)] = _monotonic_count_from(
+                summaries,
+                cfg.expectation_type
+                == "expect_column_values_to_be_decreasing",
+                bool(cfg.kwargs.get("strictly")),
+            )
 
     # uniqueness: one grouped job per distinct column set (GE counts EVERY
     # occurrence of a >1-multiplicity key as unexpected)

@@ -449,11 +449,8 @@ def test_monotonic_plan_is_range_partitioned_not_global(spark):
     # column through one task)
     pdf = pd.DataFrame({"o": range(100), "x": [float(i) for i in range(100)]})
     df2 = spark.createDataFrame(pdf)
-    cfg = ex.build_expectation(
-        "expect_column_values_to_be_increasing", {"column": "x", "order_by": "o"}
-    )
     plan = (
-        ex._monotonic_summaries(df2, cfg)
+        ex._monotonic_summaries(df2, "x", "o")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -835,3 +832,31 @@ def test_ks_expectation_pass_and_fail(spark):
              "partition_object": {"bins": [0.0, 1.0], "weights": [0.5, 0.5]},
              "p": 0.05},
         )
+
+
+def test_monotonic_directions_share_one_pass(spark):
+    # a suite with all four direction/strictness forms over the same
+    # ordering: the summaries carry every count, and each expectation
+    # reads its own — results must match the serial reference
+    pdf = pd.DataFrame(
+        {"o": range(6), "x": [1.0, 2.0, 2.0, 1.5, 3.0, 3.0]}
+    )
+    df2 = spark.createDataFrame(pdf).repartition(4)
+    s = ex.ExpectationSuite("m")
+    for t, strictly in [
+        ("expect_column_values_to_be_increasing", False),
+        ("expect_column_values_to_be_increasing", True),
+        ("expect_column_values_to_be_decreasing", False),
+        ("expect_column_values_to_be_decreasing", True),
+    ]:
+        s.add_expectation(
+            ex.build_expectation(
+                t, {"column": "x", "order_by": "o", "strictly": strictly}
+            )
+        )
+    res = ex.validate(df2, s)
+    got = [r["result"]["unexpected_count"] for r in res["results"]]
+    # pairs: (1,2)(2,2)(2,1.5)(1.5,3)(3,3)
+    # inc: 1.5<2 -> 1; inc strict: +(2,2)+(3,3) -> 3
+    # dec: rises at (1,2),(1.5,3) -> 2; dec strict: +(2,2)+(3,3) -> 4
+    assert got == [1, 3, 2, 4]
