@@ -229,7 +229,12 @@ class QualityGateSink:
 
 
 def _json_safe(v):
-    """Observed values may be Decimals/Timestamps; stringify non-JSON types."""
+    """Observed values may be Decimals/Timestamps/inf (a failed KL reports
+    infinity); stringify anything strict JSON cannot carry."""
+    import math
+
+    if isinstance(v, float) and not math.isfinite(v):
+        return str(v)
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, (list, tuple)):
