@@ -977,6 +977,9 @@ def profile_suite(
     name: str = "profiled",
     columns: list[str] | None = None,
     set_cardinality_max: int = 20,
+    drift: bool = False,
+    drift_p: float = 1e-3,
+    kl_threshold: float = 0.1,
 ) -> ExpectationSuite:
     """Auto-generate an expectation suite from observed data (the data-
     contract bootstrap GE's profiler provides): validate(df, profile_suite
@@ -991,16 +994,38 @@ def profile_suite(
     expectation when no NULLs were observed, [min, max] bounds for
     numerics, and an in-set expectation for low-cardinality strings;
     plus a table row-count floor of 1.
+
+    ``drift=True`` additionally learns DISTRIBUTION contracts, the piece a
+    training-data feed needs beyond ranges and sets:
+    - numerics get a binned KS expectation whose bins are the observed
+      deciles (exact percentiles riding the same shared agg; emitted only
+      when the 11 edges are strictly increasing — heavy ties make binned
+      KS ill-posed) with uniform expected weights and ``drift_p``;
+    - low-cardinality strings get a KL-divergence expectation whose
+      expected partition is the observed category mix (ONE extra grouped
+      ids-only job covering ALL categorical columns via a stacked
+      (column, value) union) with ``kl_threshold``.
+    Self-validation still passes by construction (observed == expected:
+    KL = 0, KS D <= ties/n); a shifted numeric distribution or a skewed
+    category mix in a later batch fails the contract. Wire the result
+    into QualityGateSink for a streaming drift halt.
     """
     dtypes = dict(df.dtypes)
     cols = [c for c in (columns or df.columns) if c in dtypes]
     exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    deciles = [j / 10.0 for j in range(11)]
     for i, c in enumerate(cols):
         exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null{i}"))
         exprs.append(F.approx_count_distinct(c).alias(f"__card{i}"))
         if dtypes[c] in _NUMERIC_TYPES:
             exprs.append(F.min(c).alias(f"__min{i}"))
             exprs.append(F.max(c).alias(f"__max{i}"))
+            if drift:
+                exprs.append(
+                    F.percentile(
+                        F.col(c), F.array(*[F.lit(q) for q in deciles])
+                    ).alias(f"__dec{i}")
+                )
     row = df.agg(*exprs).collect()[0]
 
     set_cols = [
@@ -1020,6 +1045,24 @@ def profile_suite(
             vals = sorted(srow[f"__s{i}"])
             if len(vals) <= set_cardinality_max:
                 sets[c] = vals
+
+    # drift contracts for categoricals: ONE grouped ids-only job covers
+    # every set column via a stacked (column, value) union — the collected
+    # result is sum-of-cardinalities rows, bounded metadata
+    cat_mix: dict[str, dict] = {}
+    if drift and sets:
+        stacked = None
+        for c in sets:
+            part = df.select(
+                F.lit(c).alias("__col"), F.col(c).alias("__val")
+            ).filter(F.col("__val").isNotNull())
+            stacked = part if stacked is None else stacked.unionByName(part)
+        for r in (
+            stacked.groupBy("__col", "__val")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        ):
+            cat_mix.setdefault(r["__col"], {})[r["__val"]] = int(r["__c"])
 
     suite = ExpectationSuite(name)
     suite.add_expectation(
@@ -1059,6 +1102,47 @@ def profile_suite(
                 build_expectation(
                     "expect_column_values_to_be_in_set",
                     {"column": c, "value_set": sets[c]},
+                )
+            )
+        if drift and dtypes[c] in _NUMERIC_TYPES:
+            # binned KS is only well-posed for quasi-continuous columns:
+            # require strictly increasing decile edges AND a cardinality
+            # probe >= 50 (a large atom between edges would make the
+            # self-validating ECDF deviate by its own mass)
+            edges = list(row[f"__dec{i}"] or [])
+            if (
+                (row[f"__card{i}"] or 0) >= 50
+                and len(edges) == 11
+                and all(b > a for a, b in zip(edges, edges[1:]))
+            ):
+                suite.add_expectation(
+                    build_expectation(
+                        "expect_column_ks_test_p_value_to_be_greater_than",
+                        {
+                            "column": c,
+                            "partition_object": {
+                                "bins": [float(e) for e in edges],
+                                "weights": [0.1] * 10,
+                            },
+                            "p": drift_p,
+                        },
+                    )
+                )
+        if drift and c in cat_mix and cat_mix[c]:
+            mix = cat_mix[c]
+            tot = sum(mix.values())
+            vals = sorted(mix)
+            suite.add_expectation(
+                build_expectation(
+                    "expect_column_kl_divergence_to_be_less_than",
+                    {
+                        "column": c,
+                        "partition_object": {
+                            "values": vals,
+                            "weights": [mix[v] / tot for v in vals],
+                        },
+                        "threshold": kl_threshold,
+                    },
                 )
             )
     return suite

@@ -860,3 +860,67 @@ def test_monotonic_directions_share_one_pass(spark):
     # inc: 1.5<2 -> 1; inc strict: +(2,2)+(3,3) -> 3
     # dec: rises at (1,2),(1.5,3) -> 2; dec strict: +(2,2)+(3,3) -> 4
     assert got == [1, 3, 2, 4]
+
+
+def test_profile_suite_drift_contracts(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "num": rng.normal(50.0, 10.0, 3000),
+            "cat": rng.choice(["a", "b", "c"], 3000, p=[0.6, 0.3, 0.1]),
+            "coarse": rng.integers(0, 5, 3000).astype(float),  # 5 atoms
+        }
+    )
+    df2 = spark.createDataFrame(pdf)
+    s = ex.profile_suite(df2, drift=True, set_cardinality_max=5)
+    types = [(e.expectation_type, e.kwargs.get("column")) for e in s.expectations]
+    # continuous numeric gets a KS contract; the 5-atom column must NOT
+    # (binned KS is ill-posed on heavy atoms)
+    assert ("expect_column_ks_test_p_value_to_be_greater_than", "num") in types
+    assert (
+        "expect_column_ks_test_p_value_to_be_greater_than", "coarse"
+    ) not in types
+    # categorical gets a KL contract at the observed mix
+    assert ("expect_column_kl_divergence_to_be_less_than", "cat") in types
+    # self-validation passes by construction
+    res = ex.validate(df2, s)
+    assert res["success"], [
+        (r["expectation_config"]["expectation_type"],
+         r["expectation_config"]["kwargs"].get("column"), r["result"])
+        for r in res["results"] if not r["success"]
+    ]
+    # a SHIFTED numeric distribution fails the KS contract even though it
+    # stays inside the learned [min, max] range
+    mn, mx = float(pdf["num"].min()), float(pdf["num"].max())
+    drifted = pd.DataFrame(
+        {
+            "num": np.clip(rng.normal(62.0, 10.0, 3000), mn, mx),
+            "cat": pdf["cat"],
+            "coarse": pdf["coarse"],
+        }
+    )
+    res2 = ex.validate(spark.createDataFrame(drifted, df2.schema), s)
+    failed = {
+        (r["expectation_config"]["expectation_type"],
+         r["expectation_config"]["kwargs"].get("column"))
+        for r in res2["results"] if not r["success"]
+    }
+    assert ("expect_column_ks_test_p_value_to_be_greater_than", "num") in failed
+    # a SKEWED category mix (same categories!) fails KL but not the in-set pin
+    skewed = pd.DataFrame(
+        {
+            "num": pdf["num"],
+            "cat": rng.choice(["a", "b", "c"], 3000, p=[0.1, 0.3, 0.6]),
+            "coarse": pdf["coarse"],
+        }
+    )
+    res3 = ex.validate(spark.createDataFrame(skewed, df2.schema), s)
+    failed3 = {
+        (r["expectation_config"]["expectation_type"],
+         r["expectation_config"]["kwargs"].get("column"))
+        for r in res3["results"] if not r["success"]
+    }
+    assert ("expect_column_kl_divergence_to_be_less_than", "cat") in failed3
+    assert ("expect_column_values_to_be_in_set", "cat") not in failed3
