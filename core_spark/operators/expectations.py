@@ -66,6 +66,8 @@ _ROW_LEVEL = {
     "expect_column_pair_values_a_to_be_greater_than_b",
     "expect_column_pair_values_to_be_equal",
     "expect_multicolumn_sum_to_equal",
+    "expect_column_values_to_match_strftime_format",
+    "expect_column_values_to_be_dateutil_parseable",
 }
 # table/column aggregates: one scalar in the same shared agg pass
 _AGGREGATE = {
@@ -92,6 +94,15 @@ _DISTINCT = {
 }
 # mode(s): one grouped ids-only job per column (like uniqueness)
 _MODE = {"expect_column_most_common_value_to_be_in_set"}
+#: driver-side cap on collected tied-mode samples (observed_value) — a
+#: near-unique column ties EVERY value at count 1; past the cap the success
+#: verdict comes from bounded executor-side probes, never a full collect
+_MODE_TIE_CAP = 20
+#: categorical drift tests collect the full observed distribution (that IS
+#: the statistic); a column whose approximate cardinality exceeds this cap
+#: is rejected up front with a clear error instead of OOMing the driver —
+#: raise it deliberately via validate(..., drift_cardinality_max=...)
+_DRIFT_CARDINALITY_MAX = 10_000
 # categorical drift tests vs an expected partition_object: one grouped
 # ids-only job per column (shared with _MODE when both reference it)
 _DRIFT = {
@@ -225,6 +236,103 @@ def _between(col: Column, k: dict) -> Column:
     return cond
 
 
+#: strftime directive -> Spark (java.time) datetime pattern fragment.
+#: Covers the directives GE's strftime expectation sees in practice;
+#: anything else is rejected up front with a clear error rather than
+#: silently mis-parsed.
+_STRFTIME_MAP = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%j": "DDD",
+    "%p": "a",
+    "%z": "xx",
+    "%%": "%",
+}
+
+
+def _strftime_to_spark(fmt: str) -> str:
+    """Translate a C-strftime format to the java.time pattern Spark's
+    to_timestamp/try_to_timestamp understand. Literal runs are quoted so
+    letters in them are never misread as pattern characters."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush():
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            d = fmt[i : i + 2]
+            if d not in _STRFTIME_MAP:
+                raise ValueError(f"unsupported strftime directive: {d!r}")
+            if d == "%%":
+                lit.append("%")
+            else:
+                flush()
+                out.append(_STRFTIME_MAP[d])
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+#: try_to_timestamp ladder for the dateutil-parseable expectation.
+#: DOCUMENTED DIVERGENCE from GE: the reference delegates to
+#: dateutil.parser.parse, whose fuzzy heuristics cannot run JVM-side;
+#: this engine accepts the fixed, documented set below (ISO-8601 via the
+#: formatless probe, plus the common slash/US/verbose date shapes) so the
+#: check stays one compiled narrow plan with zero Python in the hot path.
+_DATEUTIL_LADDER = [
+    None,  # Spark's default parser: ISO dates/timestamps incl. 'T' + zone
+    "yyyy/MM/dd HH:mm:ss",
+    "yyyy/MM/dd",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy",
+    "dd MMM yyyy",
+    "MMM dd yyyy",
+]
+
+
+def _row_condition(cfg: ExpectationConfiguration) -> Column | None:
+    """GE ``row_condition`` scoping (the reference wrapper passes any GE
+    kwargs straight through, great_expectations_data_quality.py:215):
+    returns the compiled boolean Column, or None when unconditioned.
+
+    ``condition_parser="spark"`` takes a Spark SQL boolean expression
+    verbatim; the GE parsers ("great_expectations" /
+    "great_expectations__experimental__") use GE's documented
+    ``col("name") <op> literal`` grammar, which differs from Spark SQL
+    only in the col() wrapper — translated here and handed to the same
+    compiler. The condition is evaluated as a per-expectation filter
+    INSIDE the shared agg pass (element_count, missing_count and
+    unexpected_count are all scoped to it), never as an extra job."""
+    rc = cfg.kwargs.get("row_condition")
+    if rc is None:
+        return None
+    parser = cfg.kwargs.get("condition_parser", "great_expectations")
+    if parser in ("great_expectations", "great_expectations__experimental__"):
+        import re
+
+        rc = re.sub(r'col\(\s*(["\'])(.*?)\1\s*\)', r"`\2`", rc)
+    elif parser != "spark":
+        raise ValueError(f"unsupported condition_parser: {parser!r}")
+    # NULL condition = row outside the domain, same as False
+    return F.coalesce(F.expr(rc), F.lit(False))
+
+
 def _row_skip(cfg: ExpectationConfiguration) -> Column:
     """GE's 'missing' condition: rows the expectation does not apply to.
     Value expectations skip NULLs (GE counts them as ``missing_count`` and
@@ -273,6 +381,17 @@ def _row_ok(cfg: ExpectationConfiguration) -> Column:
         return c.isNull() | _between(F.length(c), k)
     if t == "expect_column_value_lengths_to_equal":
         return c.isNull() | (F.length(c) == F.lit(int(k["value"])))
+    if t == "expect_column_values_to_match_strftime_format":
+        pat = _strftime_to_spark(k["strftime_format"])
+        return c.isNull() | F.try_to_timestamp(c, F.lit(pat)).isNotNull()
+    if t == "expect_column_values_to_be_dateutil_parseable":
+        probes = [
+            F.try_to_timestamp(c)
+            if fmt is None
+            else F.try_to_timestamp(c, F.lit(fmt))
+            for fmt in _DATEUTIL_LADDER
+        ]
+        return c.isNull() | F.coalesce(*probes).isNotNull()
     if t == "expect_column_pair_values_a_to_be_greater_than_b":
         a, b = F.col(k["column_A"]), F.col(k["column_B"])
         cmp = (a >= b) if k.get("or_equal") else (a > b)
@@ -295,9 +414,18 @@ def _row_ok(cfg: ExpectationConfiguration) -> Column:
 
 def _agg_expr(cfg: ExpectationConfiguration) -> Column:
     t, k = cfg.expectation_type, cfg.kwargs
+    cond = _row_condition(cfg)
     if t == "expect_table_row_count_to_be_between":
-        return F.count(F.lit(1))
+        return (
+            F.count(F.lit(1))
+            if cond is None
+            else F.sum(F.when(cond, 1).otherwise(0))
+        )
     c = F.col(k["column"])
+    if cond is not None:
+        # conditioned aggregate: NULL-out rows outside the domain; every
+        # aggregate below ignores NULLs, so this scopes it in-pass
+        c = F.when(cond, c)
     return {
         "expect_column_mean_to_be_between": F.avg(c),
         "expect_column_min_to_be_between": F.min(c),
@@ -384,6 +512,15 @@ def _normalized_partition(k: dict) -> dict:
     vals, ws = list(po["values"]), [float(w) for w in po["weights"]]
     if len(vals) != len(ws) or not vals:
         raise ValueError("partition_object values/weights mismatch")
+    if len(vals) < 2:
+        # a 1-value partition gives chi-square dof = 0 (the incomplete-
+        # gamma would raise an opaque domain error mid-validate) and a
+        # degenerate KL expected distribution — reject it up front
+        raise ValueError(
+            "categorical partition_object needs at least 2 values "
+            f"(got {len(vals)}): a single-category expected distribution "
+            "has zero chi-square degrees of freedom"
+        )
     tot = sum(ws)
     if tot <= 0:
         raise ValueError("partition_object weights must sum > 0")
@@ -462,11 +599,18 @@ def _monotonic_summaries(df: DataFrame, column: str, order_by: str) -> DataFrame
             "DataFrames have no intrinsic row order"
         )
     vt = df.schema[column].dataType.simpleString()
+    # the value column is the SECONDARY sort key: rows with duplicate
+    # order_by keys are evaluated in ascending value order, making the
+    # violation count deterministic on tied keys (the tie convention —
+    # non-strict checks never count a tie-group's internal order as a
+    # violation; strict checks deterministically count its equal-value
+    # adjacencies). Without it, Spark's arbitrary within-tie order makes
+    # counts vary run to run.
     sub = (
         df.select(F.col(order_by).alias("__o"), F.col(column).alias("__v"))
         .filter(F.col("__v").isNotNull())
-        .repartitionByRange(F.col("__o"))
-        .sortWithinPartitions("__o")
+        .repartitionByRange(F.col("__o"), F.col("__v"))
+        .sortWithinPartitions("__o", "__v")
         .withColumn("__pid", F.spark_partition_id())
     )
 
@@ -550,11 +694,21 @@ def _scalar_ok(value, k: dict) -> bool:
     return True
 
 
-def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
+def validate(
+    df: DataFrame,
+    suite: ExpectationSuite,
+    drift_cardinality_max: int = _DRIFT_CARDINALITY_MAX,
+) -> dict:
     """Validate *df* against every expectation in *suite*; GE checkpoint
     result shape. One shared agg job for all row-level + aggregate
     expectations; one grouped job per distinct uniqueness column-set;
-    schema expectations cost nothing."""
+    schema expectations cost nothing.
+
+    ``drift_cardinality_max`` bounds the categorical drift tests: their
+    statistic needs the full observed category distribution on the
+    driver, so a column whose approximate distinct count (probed in the
+    SAME shared agg pass, zero extra jobs) exceeds the cap raises a clear
+    error instead of collecting unboundedly."""
     row_cfgs = [e for e in suite.expectations if e.expectation_type in _ROW_LEVEL]
     agg_cfgs = [e for e in suite.expectations if e.expectation_type in _AGGREGATE]
     uniq_cfgs = [e for e in suite.expectations if e.expectation_type in _UNIQUE]
@@ -567,17 +721,34 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     ks_cfgs = [e for e in suite.expectations if e.expectation_type in _KS]
     mono_cfgs = [e for e in suite.expectations if e.expectation_type in _MONOTONIC]
 
+    # row_condition scoping is defined for the row-level and aggregate
+    # families; anywhere else it would silently mean "unscoped", so reject
+    for cfg in suite.expectations:
+        if (
+            cfg.kwargs.get("row_condition") is not None
+            and cfg.expectation_type not in _ROW_LEVEL
+            and cfg.expectation_type not in _AGGREGATE
+        ):
+            raise ValueError(
+                "row_condition is supported for row-level and aggregate "
+                f"expectations only, not {cfg.expectation_type}"
+            )
+
     # ---- one scan: total count + per-expectation unexpected counts + scalars
     exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for i, cfg in enumerate(row_cfgs):
-        exprs.append(
-            F.sum(F.when(~_row_ok(cfg), 1).otherwise(0)).alias(f"__u{i}")
-        )
+        cond = _row_condition(cfg)
+        bad, skip = ~_row_ok(cfg), _row_skip(cfg)
+        if cond is not None:
+            # scoped domain: the condition filters INSIDE the same shared
+            # pass — element_count, missing and unexpected all restrict to
+            # the conditioned rows (GE's row_condition semantics)
+            bad, skip = cond & bad, cond & skip
+            exprs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"__e{i}"))
+        exprs.append(F.sum(F.when(bad, 1).otherwise(0)).alias(f"__u{i}"))
         # per-expectation missing count, same shared pass: GE's success and
         # unexpected_percent denominators are (element_count - missing)
-        exprs.append(
-            F.sum(F.when(_row_skip(cfg), 1).otherwise(0)).alias(f"__m{i}")
-        )
+        exprs.append(F.sum(F.when(skip, 1).otherwise(0)).alias(f"__m{i}"))
     # uniqueness missing counts ride the same shared pass (the grouped job
     # below already excludes NULL keys; GE reports them as missing)
     uniq_sets: list[tuple] = []
@@ -621,17 +792,11 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                     F.when(c.isNotNull() & ~c.isin(vs), 1).otherwise(0)
                 ).alias(f"__do{i}")
             )
-            # bounded sample of offending values (GE reports the full
-            # distinct list; at 100 TB that is unbounded, so 20 examples)
-            exprs.append(
-                F.slice(
-                    F.sort_array(
-                        F.collect_set(F.when(c.isNotNull() & ~c.isin(vs), c))
-                    ),
-                    1,
-                    20,
-                ).alias(f"__ds{i}")
-            )
+            # offending-value EXAMPLES are gathered only on the failure
+            # path, by a bounded distinct+TakeOrdered follow-up job — a
+            # collect_set here would build an unbounded aggregation
+            # buffer on a high-cardinality failing column (GE reports the
+            # full distinct list; this engine reports 20 examples)
         if t in (
             "expect_column_distinct_values_to_contain_set",
             "expect_column_distinct_values_to_equal_set",
@@ -650,6 +815,13 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                 f"__mm{i}"
             )
         )
+    # cardinality probe for every drift column rides the shared pass so
+    # the guard below costs zero extra jobs
+    drift_cols = list(
+        dict.fromkeys(cfg.kwargs["column"] for cfg in drift_cfgs)
+    )
+    for i, c in enumerate(drift_cols):
+        exprs.append(F.approx_count_distinct(c).alias(f"__dcard{i}"))
     for i, cfg in enumerate(ks_cfgs):
         # binned KS: the observed ECDF at every bin edge is a conditional
         # cumulative count — |bins|+1 extra sums in the SAME shared pass,
@@ -682,6 +854,7 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             or dist_cfgs
             or ks_cfgs
             or mono_cfgs
+            or drift_cfgs
         )
         else None
     )
@@ -704,22 +877,24 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             }
         )
 
-    def emit_rowlevel(cfg, unexpected, missing=0):
-        # GE convention: element_count is ALL rows, missing (NULL-skipped)
-        # rows are reported separately, and success / unexpected_percent
-        # are computed over the NON-missing count — a half-NULL column must
+    def emit_rowlevel(cfg, unexpected, missing=0, element_count=None):
+        # GE convention: element_count is ALL rows (of the row_condition-
+        # scoped domain when one is set), missing (NULL-skipped) rows are
+        # reported separately, and success / unexpected_percent are
+        # computed over the NON-missing count — a half-NULL column must
         # not dilute the unexpected fraction. Zero applicable rows is
         # vacuously successful (GE's behavior for all-NULL columns).
+        ec = n if element_count is None else int(element_count)
         mostly = cfg.kwargs.get("mostly", 1.0)
-        nonnull = n - int(missing)
+        nonnull = ec - int(missing)
         pct = (unexpected / nonnull * 100.0) if nonnull else 0.0
         emit(
             cfg,
             (1.0 - (unexpected / nonnull if nonnull else 0.0)) >= mostly,
             {
-                "element_count": n,
+                "element_count": ec,
                 "missing_count": int(missing),
-                "missing_percent": round(missing / n * 100.0, 6) if n else 0.0,
+                "missing_percent": round(missing / ec * 100.0, 6) if ec else 0.0,
                 "unexpected_count": int(unexpected),
                 "unexpected_percent": round(pct, 6),
             },
@@ -734,12 +909,18 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
     mono_idx = {id(cfg): i for i, cfg in enumerate(mono_cfgs)}
 
     # mode(s): one grouped ids-only job per column; the grouped frame is
-    # persisted so the max-count and tie-collection jobs scan it, not df
-    mode_obs: dict[str, list] = {}
+    # persisted so the max-count / tie-count / tie-sample jobs scan it,
+    # not df. Driver memory is BOUNDED at _MODE_TIE_CAP sample values per
+    # column (TakeOrdered on the executors): a pathological near-unique
+    # column where every value ties at count 1 costs a capped sample plus
+    # one bounded in-set probe per ties_okay expectation — never a
+    # full-distinct-set collect.
+    mode_groups: dict[str, list] = {}
     for cfg in mode_cfgs:
-        col = cfg.kwargs["column"]
-        if col in mode_obs:
-            continue
+        mode_groups.setdefault(cfg.kwargs["column"], []).append(cfg)
+    mode_obs: dict[str, tuple] = {}  # col -> (sorted sample, tie_count)
+    mode_anyin: dict[int, bool] = {}  # id(cfg) -> any tied mode in set
+    for col, cfgs in mode_groups.items():
         cnt = (
             df.filter(F.col(col).isNotNull())
             .groupBy(col)
@@ -748,32 +929,53 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
         )
         try:
             mx = cnt.agg(F.max("__c")).collect()[0][0]
-            mode_obs[col] = (
-                sorted(
-                    r[col]
-                    for r in cnt.filter(F.col("__c") == mx).collect()
-                )
-                if mx is not None
-                else []
-            )
+            if mx is None:
+                mode_obs[col] = ([], 0)
+                continue
+            tied = cnt.filter(F.col("__c") == mx)
+            tie_n = tied.count()
+            sample = [
+                r[col]
+                for r in tied.orderBy(col).limit(_MODE_TIE_CAP).collect()
+            ]
+            mode_obs[col] = (sample, tie_n)
+            if tie_n > _MODE_TIE_CAP:
+                # the sample may miss in-set modes; one bounded probe per
+                # ties_okay expectation decides "any tied mode in set"
+                for cfg in cfgs:
+                    if cfg.kwargs.get("ties_okay"):
+                        vs = list(cfg.kwargs["value_set"])
+                        mode_anyin[id(cfg)] = (
+                            tied.filter(F.col(col).isin(vs)).limit(1).count()
+                            > 0
+                        )
         finally:
             cnt.unpersist()
 
     # drift tests: one grouped ids-only job per distinct column; the
-    # collected distribution is |distinct categories| rows — the same
-    # bounded-metadata class as the partition_object itself (these tests
-    # are defined over categorical columns)
+    # collected distribution is |distinct categories| rows — bounded
+    # because the guard above rejected any column whose probed
+    # cardinality exceeds drift_cardinality_max (the "these tests are
+    # defined over categorical columns" assumption, now ENFORCED)
+    for i, col in enumerate(drift_cols):
+        card = int(row[f"__dcard{i}"] or 0)
+        if card > drift_cardinality_max:
+            raise ValueError(
+                f"drift expectation on column {col!r}: approximate "
+                f"cardinality {card} exceeds drift_cardinality_max="
+                f"{drift_cardinality_max}; categorical drift tests need "
+                "the full observed distribution on the driver — pick a "
+                "categorical column or raise the cap explicitly"
+            )
     cat_counts: dict[str, dict] = {}
-    for cfg in drift_cfgs:
-        col = cfg.kwargs["column"]
-        if col not in cat_counts:
-            cat_counts[col] = {
-                r[col]: int(r["__c"])
-                for r in df.filter(F.col(col).isNotNull())
-                .groupBy(col)
-                .agg(F.count(F.lit(1)).alias("__c"))
-                .collect()
-            }
+    for col in drift_cols:
+        cat_counts[col] = {
+            r[col]: int(r["__c"])
+            for r in df.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        }
 
     # monotonic checks: ONE range-partitioned sorted pass per distinct
     # (column, order_by) — the summaries carry both directions and both
@@ -834,12 +1036,19 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
         if t in _ROW_LEVEL:
             i = row_idx[id(cfg)]
             emit_rowlevel(
-                cfg, int(row[f"__u{i}"] or 0), int(row[f"__m{i}"] or 0)
+                cfg,
+                int(row[f"__u{i}"] or 0),
+                int(row[f"__m{i}"] or 0),
+                element_count=(
+                    int(row[f"__e{i}"] or 0)
+                    if k.get("row_condition") is not None
+                    else None
+                ),
             )
         elif t in _AGGREGATE:
             v = row[f"__a{agg_idx[id(cfg)]}"]
             if t == "expect_table_row_count_to_be_between":
-                v = int(v)
+                v = int(v or 0)
             emit(cfg, _scalar_ok(v, k), {"observed_value": v})
         elif t in _QUANTILE:
             obs = list(row[f"__q{quant_idx[id(cfg)]}"] or [])
@@ -873,13 +1082,27 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                 emit(cfg, _scalar_ok(v, k), {"observed_value": v})
             elif t == "expect_column_distinct_values_to_be_in_set":
                 out = int(row[f"__do{i}"] or 0)
+                obs: list = []
+                if out:
+                    # failure path only: 20 smallest offending distinct
+                    # values via distinct + TakeOrdered — spilling hash
+                    # aggregate on the executors, 20 rows on the driver
+                    ccol = F.col(k["column"])
+                    obs = [
+                        r["__v"]
+                        for r in df.filter(
+                            ccol.isNotNull() & ~ccol.isin(list(k["value_set"]))
+                        )
+                        .select(ccol.alias("__v"))
+                        .distinct()
+                        .orderBy("__v")
+                        .limit(20)
+                        .collect()
+                    ]
                 emit(
                     cfg,
                     out == 0,
-                    {
-                        "observed_value": list(row[f"__ds{i}"] or []),
-                        "unexpected_count": out,
-                    },
+                    {"observed_value": obs, "unexpected_count": out},
                 )
             elif t == "expect_column_distinct_values_to_contain_set":
                 found = list(row[f"__df{i}"] or [])
@@ -897,16 +1120,26 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
                     {"observed_value": found, "unexpected_count": out},
                 )
         elif t in _MODE:
-            modes = mode_obs[k["column"]]
+            modes, tie_n = mode_obs[k["column"]]
             vset = set(k["value_set"])
-            # GE: observed_value is the list of most-common values; with
-            # ties_okay any mode in the set succeeds, else all must be
-            ok = (
-                any(m in vset for m in modes)
-                if k.get("ties_okay")
-                else bool(modes) and all(m in vset for m in modes)
-            )
-            emit(cfg, ok, {"observed_value": modes})
+            # GE semantics: with ties_okay, ANY tied mode in the set
+            # succeeds; without it, success requires a SINGLE (untied)
+            # mode that is in the set — tied data always fails.
+            if k.get("ties_okay"):
+                ok = (
+                    mode_anyin[id(cfg)]
+                    if tie_n > _MODE_TIE_CAP
+                    else any(m in vset for m in modes)
+                )
+            else:
+                ok = tie_n == 1 and bool(modes) and modes[0] in vset
+            result = {"observed_value": modes}
+            if tie_n > _MODE_TIE_CAP:
+                result["details"] = {
+                    "tie_count": tie_n,
+                    "observed_value_truncated": True,
+                }
+            emit(cfg, ok, result)
         elif t in _DRIFT:
             ok, result = _drift_result(cfg, cat_counts[k["column"]])
             emit(cfg, ok, result)
@@ -965,6 +1198,11 @@ def validate(df: DataFrame, suite: ExpectationSuite) -> dict:
             "success_percent": round(ok / len(results) * 100.0, 6)
             if results
             else None,
+            # the shared pass already counted the rows; callers that need
+            # the frame's row count (the streaming gate's metrics) read it
+            # here instead of running their own count job. None when the
+            # suite was schema-only and no job ran at all.
+            "batch_row_count": n if row is not None else None,
         },
     }
 
@@ -1145,6 +1383,29 @@ def profile_suite(
                     },
                 )
             )
+    # make "self-validation passes by construction" LITERAL for the KS
+    # contracts: the decile/cardinality guards above do not exclude an
+    # atom of mass <10% straddling a decile edge (the observed CDF at
+    # that edge is then off by the atom's mass and sqrt(n)*D can clear
+    # the critical value on the profiled batch itself), so replay the
+    # learned KS contracts against the profiled frame — one extra shared
+    # agg pass — and drop any that fail before emitting the suite
+    if drift:
+        ks_exps = [
+            e for e in suite.expectations if e.expectation_type in _KS
+        ]
+        if ks_exps:
+            probe = ExpectationSuite("__ks_self_check")
+            probe.expectations = list(ks_exps)
+            res = validate(df, probe)
+            failed = {
+                id(e)
+                for e, r in zip(ks_exps, res["results"])
+                if not r["success"]
+            }
+            suite.expectations = [
+                e for e in suite.expectations if id(e) not in failed
+            ]
     return suite
 
 
@@ -1163,27 +1424,44 @@ def quarantine_split(
     check stays one narrow JVM-side projection — no UDF, no extra scan, no
     shuffle; works identically on batch and streaming frames.
     """
-    row_cfgs = [e for e in suite.expectations if e.expectation_type in _ROW_LEVEL]
-    if not row_cfgs:
+    tagged = tag_rows(df, suite)
+    if tagged is None:
         return df, df.limit(0).withColumn(
             "failed_expectations", F.array().cast("array<string>")
         )
-    tags = [
-        F.when(
-            ~_row_ok(cfg),
-            F.lit(f"{cfg.expectation_type}:{cfg.kwargs.get('column', '')}"),
-        )
-        for cfg in row_cfgs
-    ]
-    tagged = df.withColumn(
-        "failed_expectations",
-        F.filter(F.array(*tags), lambda x: x.isNotNull()),
-    )
     good = tagged.filter(F.size("failed_expectations") == 0).drop(
         "failed_expectations"
     )
     bad = tagged.filter(F.size("failed_expectations") > 0)
     return good, bad
+
+
+def tag_rows(df: DataFrame, suite: ExpectationSuite) -> DataFrame | None:
+    """The tagging projection under ``quarantine_split``, exposed so a
+    caller (the streaming quality gate) can persist/localCheckpoint ONE
+    tagged frame and derive the good split, the bad split and every count
+    from that single evaluation. Returns None when the suite has no
+    row-level expectations (nothing to tag)."""
+    row_cfgs = [e for e in suite.expectations if e.expectation_type in _ROW_LEVEL]
+    if not row_cfgs:
+        return None
+
+    def _tag(cfg):
+        bad = ~_row_ok(cfg)
+        cond = _row_condition(cfg)
+        if cond is not None:
+            # a row outside the expectation's row_condition domain is not
+            # violated by it — same scoping as validate()'s shared pass
+            bad = cond & bad
+        return F.when(
+            bad, F.lit(f"{cfg.expectation_type}:{cfg.kwargs.get('column', '')}")
+        )
+
+    tags = [_tag(cfg) for cfg in row_cfgs]
+    return df.withColumn(
+        "failed_expectations",
+        F.filter(F.array(*tags), lambda x: x.isNotNull()),
+    )
 
 
 def validate_df(df: DataFrame, suite: ExpectationSuite) -> DataFrame:

@@ -3062,10 +3062,18 @@ def q_dq_kmeans_binning(spark, sf_dir):
 def q_ts_ar_auto(spark, sf_dir):
     """Auto-order AR(p) by AICc (ts.ar_auto_forecast, reference
     auto_arima.py:23): per-tag applyInPandas closed-form fits. Rows-only;
-    order-recovery and AR(1)-agreement tests in tests/test_trend_corr.py."""
-    return ts.ar_auto_forecast(
+    order-recovery and AR(1)-agreement tests in tests/test_trend_corr.py.
+    The coef/forecast array<double> columns are projected to JSON strings
+    here so the driver's canonicalizer (pandas sort over every column) can
+    hash the output — list cells are unsortable."""
+    out = ts.ar_auto_forecast(
         _load(spark, sf_dir, "events"), EVENTS_SPEC, 21600, max_p=3,
         start=START, end=END,
+    )
+    return out.select(
+        "tagname", "p", "aicc",
+        F.to_json("coef").alias("coef_json"),
+        F.to_json("forecast").alias("forecast_json"),
     )
 
 
@@ -3924,9 +3932,9 @@ FROM (SELECT CAST(count(DISTINCT event_type) AS DOUBLE) / count(event_type)
       AS p FROM events)
 UNION ALL
 SELECT 2, 'expect_column_most_common_value_to_be_in_set', 'event_type',
-       (SELECT count(*) FROM modes
-        WHERE v NOT IN ('click', 'view', 'purchase', 'signup')) = 0
-       AND (SELECT count(*) FROM modes) > 0,
+       (SELECT count(*) FROM modes) = 1
+       AND (SELECT count(*) FROM modes
+            WHERE v IN ('click', 'view', 'purchase', 'signup')) = 1,
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE)
 UNION ALL

@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from ..operators.expectations import (
     _ROW_LEVEL,
     ExpectationSuite,
-    quarantine_split,
+    tag_rows,
     validate,
 )
 
@@ -144,9 +144,33 @@ class QualityGateSink:
         ]
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        good, bad = quarantine_split(batch_df, self.suite)
+        # ONE materialization serves everything downstream: the tagged
+        # frame is persisted, so the batch-level validation, the
+        # quarantine write, the good write and the metrics counts all
+        # scan the cached split instead of re-evaluating the source
+        # micro-batch (previously the rows_in count alone was a third
+        # full pass over the batch).
+        tagged = tag_rows(batch_df, self.suite)
+        if tagged is None:
+            tagged = batch_df.withColumn(
+                "failed_expectations", F.array().cast("array<string>")
+            )
+        tagged = tagged.persist()
+        try:
+            self._write_batch_tagged(tagged, batch_id)
+        finally:
+            tagged.unpersist()
 
-        agg_res = self._validate_batch(batch_df)
+    def _write_batch_tagged(self, tagged: DataFrame, batch_id: int) -> None:
+        good = tagged.filter(F.size("failed_expectations") == 0).drop(
+            "failed_expectations"
+        )
+        bad = tagged.filter(F.size("failed_expectations") > 0)
+
+        # the aggregate pass runs over the cached tagged frame (minus the
+        # tag column, so schema expectations see the batch's own shape) —
+        # its shared agg is what materializes the cache
+        agg_res = self._validate_batch(tagged.drop("failed_expectations"))
         if agg_res is not None and not agg_res["success"]:
             failed = self._failed_names(agg_res)
             if self.aggregate_policy == "fail":
@@ -158,13 +182,13 @@ class QualityGateSink:
                 # wholesale quarantine: every row of the batch, keeping its
                 # own row-level tags and appending the batch-level failures
                 agg_arr = F.array(*[F.lit(x) for x in failed])
-                bad = bad.withColumn(
+                bad = tagged.withColumn(
                     "failed_expectations",
                     F.concat(F.col("failed_expectations"), agg_arr),
-                ).unionByName(good.withColumn("failed_expectations", agg_arr))
+                )
                 good = good.limit(0)
 
-        spark = batch_df.sparkSession
+        spark = tagged.sparkSession
         bad_flat = bad.withColumn(
             "failed_expectations", F.concat_ws(";", "failed_expectations")
         )
@@ -172,11 +196,18 @@ class QualityGateSink:
             self._replay_safe_append(bad_flat, self.quarantine_dir, batch_id)
         self.sink.write_batch(good, batch_id)
         if self.metrics_dir is not None:
-            # metrics reflect COMMITTED rows: one scan for the batch total,
-            # and the quarantined count read back from the partition just
-            # written (never a re-evaluation of the split that could
-            # disagree with what landed on disk)
-            rows_in = batch_df.count()
+            # metrics reflect COMMITTED rows. rows_in comes free from the
+            # aggregate pass's shared agg (batch_row_count) when it ran;
+            # otherwise one count over the CACHED frame. The quarantined
+            # count of record stays the read-back of the partition just
+            # written (never a re-evaluation that could disagree with
+            # what landed on disk).
+            rows_in = (
+                agg_res["statistics"]["batch_row_count"]
+                if agg_res is not None
+                and agg_res["statistics"]["batch_row_count"] is not None
+                else tagged.count()
+            )
             if self.quarantine_dir is not None:
                 n_bad = (
                     spark.read.parquet(self.quarantine_dir)

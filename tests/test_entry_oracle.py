@@ -71,6 +71,25 @@ def test_rows_only_runs(spark, name):
     assert df.count() >= 0
 
 
+def test_no_complex_output_types(spark):
+    # The driver's canonicalizer sorts every output column with pandas;
+    # array/map/struct cells are unhashable there and crash the gate
+    # (CORRECTNESS_r04 ts_ar_auto). Every registry entry must therefore
+    # project complex columns to scalars (to_json / explode) before return.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name, q in entry_mod.queries().items():
+        schema = q(spark, SF_DIR).schema
+        complex_cols = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, f"driver-unhashable output columns: {bad}"
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -371,19 +371,15 @@ def test_median_and_proportion_of_unique(df):
 
 def test_most_common_value_in_set(df):
     # tag counts: a=2, b=2, c=1 -> modes [a, b] (ties sorted)
+    # GE semantics: without ties_okay, TIED data always fails — success
+    # requires a single untied mode that is in the set
     r = _one(
         df,
         "expect_column_most_common_value_to_be_in_set",
         {"column": "tag", "value_set": ["a", "b"]},
     )
-    assert r["success"] and r["result"]["observed_value"] == ["a", "b"]
-    # default: ALL modes must be in the set
-    r = _one(
-        df,
-        "expect_column_most_common_value_to_be_in_set",
-        {"column": "tag", "value_set": ["a"]},
-    )
     assert not r["success"]
+    assert r["result"]["observed_value"] == ["a", "b"]
     # ties_okay: ANY mode in the set suffices
     r = _one(
         df,
@@ -391,6 +387,13 @@ def test_most_common_value_in_set(df):
         {"column": "tag", "value_set": ["a"], "ties_okay": True},
     )
     assert r["success"]
+    # ties_okay with no tied mode in the set fails
+    r = _one(
+        df,
+        "expect_column_most_common_value_to_be_in_set",
+        {"column": "tag", "value_set": ["c"], "ties_okay": True},
+    )
+    assert not r["success"]
 
 
 def test_monotonic_increasing_decreasing(spark):
@@ -924,3 +927,310 @@ def test_profile_suite_drift_contracts(spark):
     }
     assert ("expect_column_kl_divergence_to_be_less_than", "cat") in failed3
     assert ("expect_column_values_to_be_in_set", "cat") not in failed3
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def test_mode_tie_collect_is_bounded(spark):
+    # near-unique column: EVERY value ties at count 1 — the old collect of
+    # all tied modes would pull the full distinct set onto the driver;
+    # bounded path caps the sample and decides via executor-side probes
+    pdf = pd.DataFrame({"u": [f"v{i:04d}" for i in range(200)]})
+    df2 = spark.createDataFrame(pdf)
+    # without ties_okay: tied data always fails (GE semantics)
+    r = _one(
+        df2,
+        "expect_column_most_common_value_to_be_in_set",
+        {"column": "u", "value_set": ["v0000"]},
+    )
+    assert not r["success"]
+    assert len(r["result"]["observed_value"]) <= ex._MODE_TIE_CAP
+    assert r["result"]["details"]["tie_count"] == 200
+    assert r["result"]["details"]["observed_value_truncated"]
+    # ties_okay + a member anywhere in the tied set (even one the capped
+    # sample cannot contain) succeeds via the bounded in-set probe
+    r = _one(
+        df2,
+        "expect_column_most_common_value_to_be_in_set",
+        {"column": "u", "value_set": ["v0199"], "ties_okay": True},
+    )
+    assert r["success"]
+    r = _one(
+        df2,
+        "expect_column_most_common_value_to_be_in_set",
+        {"column": "u", "value_set": ["nope"], "ties_okay": True},
+    )
+    assert not r["success"]
+
+
+def test_drift_cardinality_guard(spark):
+    pdf = pd.DataFrame({"u": [f"v{i:04d}" for i in range(500)]})
+    df2 = spark.createDataFrame(pdf)
+    s = _suite(
+        (
+            "expect_column_kl_divergence_to_be_less_than",
+            {
+                "column": "u",
+                "partition_object": {"values": ["a", "b"], "weights": [0.5, 0.5]},
+                "threshold": 0.1,
+            },
+        )
+    )
+    with pytest.raises(ValueError, match="drift_cardinality_max"):
+        ex.validate(df2, s, drift_cardinality_max=100)
+    # raising the cap restores the normal (failing: support outside) result
+    res = ex.validate(df2, s, drift_cardinality_max=10_000)
+    assert not res["results"][0]["success"]
+
+
+def test_single_category_partition_rejected(spark, df):
+    with pytest.raises(ValueError, match="at least 2 values"):
+        _one(
+            df,
+            "expect_column_chisquare_test_p_value_to_be_greater_than",
+            {
+                "column": "tag",
+                "partition_object": {"values": ["a"], "weights": [1.0]},
+                "p": 0.05,
+            },
+        )
+
+
+def test_distinct_in_set_failure_examples_bounded(spark):
+    # failing high-cardinality column: examples are the 20 smallest
+    # offending distinct values, gathered by the failure-path job only
+    pdf = pd.DataFrame({"u": ["ok"] * 5 + [f"bad{i:03d}" for i in range(50)]})
+    df2 = spark.createDataFrame(pdf)
+    r = _one(
+        df2,
+        "expect_column_distinct_values_to_be_in_set",
+        {"column": "u", "value_set": ["ok"]},
+    )
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 50
+    assert r["result"]["observed_value"] == [f"bad{i:03d}" for i in range(20)]
+    # success path gathers no examples
+    r = _one(
+        df2.filter("u = 'ok'"),
+        "expect_column_distinct_values_to_be_in_set",
+        {"column": "u", "value_set": ["ok"]},
+    )
+    assert r["success"] and r["result"]["observed_value"] == []
+
+
+def test_monotonic_tied_order_keys_deterministic(spark):
+    # duplicate order_by keys: the engine's documented tie convention is
+    # ascending value order within a tie — the violation count must match
+    # the pandas reference under the same (o, v) sort, and must be stable
+    # across shuffles/partitionings
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        o = rng.integers(0, 5, 40)
+        v = rng.integers(0, 4, 40).astype(float)
+        pdf = pd.DataFrame({"o": o, "v": v})
+        ref = pdf.sort_values(["o", "v"], kind="mergesort").reset_index(drop=True)
+        exp = {}
+        for strictly in (False, True):
+            cur, prev = ref["v"].values[1:], ref["v"].values[:-1]
+            exp[("inc", strictly)] = int(
+                (cur <= prev).sum() if strictly else (cur < prev).sum()
+            )
+            exp[("dec", strictly)] = int(
+                (cur >= prev).sum() if strictly else (cur > prev).sum()
+            )
+        for parts in (1, 7):
+            df2 = spark.createDataFrame(pdf).repartition(parts)
+            s = ex.ExpectationSuite("m")
+            for t, strictly in [
+                ("expect_column_values_to_be_increasing", False),
+                ("expect_column_values_to_be_increasing", True),
+                ("expect_column_values_to_be_decreasing", False),
+                ("expect_column_values_to_be_decreasing", True),
+            ]:
+                s.add_expectation(
+                    ex.build_expectation(
+                        t, {"column": "v", "order_by": "o", "strictly": strictly}
+                    )
+                )
+            res = ex.validate(df2, s)
+            got = [r["result"]["unexpected_count"] for r in res["results"]]
+            want = [
+                exp[("inc", False)], exp[("inc", True)],
+                exp[("dec", False)], exp[("dec", True)],
+            ]
+            assert got == want, (trial, parts, got, want)
+
+
+def test_profile_suite_drops_self_failing_ks_contract(spark):
+    # an atom of mass 8% straddling the p40 decile: the old guards
+    # (cardinality >= 50, strictly increasing edges) pass, but the learned
+    # KS contract fails on the profiled batch itself — profile_suite must
+    # self-validate and drop it
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(0.0, 41.9, 1440)
+    hi = rng.uniform(42.1, 100.0, 2240)
+    xs = np.concatenate([lo, np.full(320, 42.0), hi])
+    df2 = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    suite = ex.profile_suite(df2, drift=True)
+    res = ex.validate(df2, suite)
+    assert res["success"], [
+        r["expectation_config"]["expectation_type"]
+        for r in res["results"] if not r["success"]
+    ]
+    # and it was genuinely the self-check that removed it: no KS contract
+    # on the atom column survives
+    assert not [
+        e for e in suite.expectations
+        if e.expectation_type == "expect_column_ks_test_p_value_to_be_greater_than"
+    ]
+    # a clean continuous column still earns its KS contract
+    clean = spark.createDataFrame(
+        pd.DataFrame({"x": rng.uniform(0.0, 100.0, 4000)})
+    )
+    suite2 = ex.profile_suite(clean, drift=True)
+    assert [
+        e for e in suite2.expectations
+        if e.expectation_type == "expect_column_ks_test_p_value_to_be_greater_than"
+    ]
+    assert ex.validate(clean, suite2)["success"]
+
+
+def test_row_condition_scopes_row_level(spark, df):
+    # GE parser: col("tag") == "a" restricts the domain to 2 rows
+    r = _one(
+        df,
+        "expect_column_values_to_be_between",
+        {
+            "column": "v", "min_value": 0, "max_value": 5,
+            "row_condition": 'col("tag") == "a"',
+            "condition_parser": "great_expectations__experimental__",
+        },
+    )
+    assert r["success"]
+    assert r["result"]["element_count"] == 2
+    assert r["result"]["unexpected_count"] == 0
+    # spark parser: same condition as a Spark SQL expression; v=10 at
+    # tag=b violates the bound INSIDE the domain
+    r = _one(
+        df,
+        "expect_column_values_to_be_between",
+        {
+            "column": "v", "min_value": 0, "max_value": 5,
+            "row_condition": "tag = 'b'",
+            "condition_parser": "spark",
+        },
+    )
+    assert not r["success"]
+    assert r["result"]["element_count"] == 2
+    assert r["result"]["unexpected_count"] == 1
+    # missing_count is scoped too: the NULL v sits at tag=c
+    r = _one(
+        df,
+        "expect_column_values_to_not_be_null",
+        {"column": "v", "row_condition": "tag = 'c'",
+         "condition_parser": "spark"},
+    )
+    assert not r["success"] and r["result"]["element_count"] == 1
+
+
+def test_row_condition_scopes_aggregates(spark, df):
+    # conditioned mean: v over tag='b' -> (2 + 10) / 2 = 6
+    r = _one(
+        df,
+        "expect_column_mean_to_be_between",
+        {"column": "v", "min_value": 5.9, "max_value": 6.1,
+         "row_condition": "tag = 'b'", "condition_parser": "spark"},
+    )
+    assert r["success"] and r["result"]["observed_value"] == 6.0
+    # conditioned row count
+    r = _one(
+        df,
+        "expect_table_row_count_to_be_between",
+        {"min_value": 2, "max_value": 2,
+         "row_condition": 'col("tag") == "a"'},
+    )
+    assert r["success"] and r["result"]["observed_value"] == 2
+
+
+def test_row_condition_rejected_elsewhere(df):
+    with pytest.raises(ValueError, match="row_condition"):
+        _one(
+            df,
+            "expect_column_values_to_be_unique",
+            {"column": "tag", "row_condition": "v > 0",
+             "condition_parser": "spark"},
+        )
+
+
+def test_row_condition_quarantine_split(spark, df):
+    s = _suite(
+        (
+            "expect_column_values_to_be_between",
+            {"column": "v", "min_value": 0, "max_value": 5,
+             "row_condition": "tag = 'b'", "condition_parser": "spark"},
+        )
+    )
+    good, bad = ex.quarantine_split(df, s)
+    # only the in-domain violator (tag=b, v=10) is quarantined; the
+    # out-of-domain v=10... there is none — all other rows pass through
+    assert bad.count() == 1
+    brow = bad.collect()[0]
+    assert brow["tag"] == "b" and brow["v"] == 10.0
+    assert good.count() == 5
+
+
+def test_strftime_format_expectation(spark):
+    pdf = pd.DataFrame(
+        {"d": ["2024-01-02", "2024-13-40", "02/03/2024", None]}
+    )
+    df2 = spark.createDataFrame(pdf)
+    r = _one(
+        df2,
+        "expect_column_values_to_match_strftime_format",
+        {"column": "d", "strftime_format": "%Y-%m-%d"},
+    )
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 2  # bad month + wrong shape
+    assert r["result"]["missing_count"] == 1
+    r = _one(
+        df2,
+        "expect_column_values_to_match_strftime_format",
+        {"column": "d", "strftime_format": "%m/%d/%Y"},
+    )
+    assert r["result"]["unexpected_count"] == 2
+    with pytest.raises(ValueError, match="strftime"):
+        _one(
+            df2,
+            "expect_column_values_to_match_strftime_format",
+            {"column": "d", "strftime_format": "%Q"},
+        )
+
+
+def test_dateutil_parseable_expectation(spark):
+    pdf = pd.DataFrame(
+        {
+            "d": [
+                "2024-01-02T03:04:05",
+                "2024-01-02",
+                "2024/05/06",
+                "01/02/2024",
+                "15 Mar 2024",
+                "definitely not a date",
+                None,
+            ]
+        }
+    )
+    df2 = spark.createDataFrame(pdf)
+    r = _one(
+        df2,
+        "expect_column_values_to_be_dateutil_parseable",
+        {"column": "d"},
+    )
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 1
+    assert r["result"]["missing_count"] == 1

@@ -252,3 +252,46 @@ def test_gate_without_quarantine_counts_only(spark, tmp_path, suite):
     assert met.iloc[0]["rows_quarantined"] == 1
     main = spark.read.parquet(table).toPandas()
     assert list(main["k"]) == ["a"]
+def test_gate_single_materialization_job_budget(spark, tmp_path, suite):
+    # the round-5 one-materialization contract: the tagged frame is
+    # persisted, the aggregate pass's shared agg supplies rows_in, and the
+    # old standalone `batch_df.count()` job is gone. Two pins:
+    # (1) the SOURCE is evaluated exactly once — counted by an
+    #     accumulator in a mapPartitions the batch frame is built over;
+    # (2) the per-batch job count stays at the measured one-materialization
+    #     budget (re-adding the standalone count job would exceed it).
+    suite.add_expectation(
+        ex.build_expectation(
+            "expect_table_row_count_to_be_between", {"min_value": 1}
+        )
+    )
+    sc = spark.sparkContext
+    evals = sc.accumulator(0)
+
+    def _emit(_):
+        evals.add(1)
+        base = pd.Timestamp("2024-05-01").to_pydatetime()
+        return iter([("a", base, 1.0), ("b", base, 500.0)])
+
+    batch = spark.createDataFrame(
+        sc.parallelize([0], 1).mapPartitions(_emit),
+        "k string, ts timestamp, v double",
+    )
+    gate = QualityGateSink(
+        MergeSink(str(tmp_path / "t"), ["ts", "k"]),
+        suite,
+        quarantine_dir=str(tmp_path / "q"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    tracker = sc.statusTracker()
+    sc.setJobGroup("gate_budget", "gate job budget")
+    try:
+        gate.write_batch(batch, 0)
+        jobs = tracker.getJobIdsForGroup("gate_budget") or []
+    finally:
+        sc.setJobGroup(None, None)
+    assert evals.value == 1, f"source evaluated {evals.value} times, want 1"
+    assert len(jobs) <= 14, f"job budget blown: {len(jobs)}"
+    m = spark.read.parquet(str(tmp_path / "m")).toPandas()
+    assert int(m["rows_in"].iloc[0]) == 2
+    assert int(m["rows_quarantined"].iloc[0]) == 1
