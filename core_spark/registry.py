@@ -4017,6 +4017,107 @@ def q_dq_expectations_extended(spark, sf_dir):
     )
 
 
+SQL_DQ_EXPECTATIONS_COND = """
+WITH ck AS (SELECT count(*) AS ec,
+                   count(*) FILTER (WHERE value IS NULL) AS miss,
+                   count(*) FILTER (WHERE value IS NOT NULL
+                                    AND NOT (value >= 0 AND value <= 50)) AS u
+            FROM events WHERE event_type = 'click'),
+vw AS (SELECT avg(value) AS m FROM events WHERE event_type = 'view'),
+n AS (SELECT count(*) AS c FROM events),
+d1 AS (SELECT CASE WHEN event_id % 7 = 0 THEN '2024-13-40'
+                   ELSE strftime(ts, '%Y-%m-%d') END AS d FROM events),
+d2 AS (SELECT CASE
+           WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+           WHEN event_id % 4 = 1 THEN strftime(ts, '%m/%d/%Y')
+           WHEN event_id % 4 = 2 THEN strftime(ts, '%Y/%m/%d')
+           ELSE 'not a date ' || CAST(event_id AS VARCHAR) END AS d
+       FROM events)
+SELECT 0 AS idx, 'expect_column_values_to_be_between' AS expectation_type,
+       'value' AS "column",
+       CASE WHEN ec - miss = 0 THEN TRUE
+            ELSE 1.0 - CAST(u AS DOUBLE) / (ec - miss) >= 0.6 END AS success,
+       ec AS element_count, miss AS missing_count, u AS unexpected_count,
+       CAST(NULL AS DOUBLE) AS observed_value
+FROM ck
+UNION ALL
+SELECT 1, 'expect_column_mean_to_be_between', 'value',
+       m >= 0 AND m <= 1000, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), round(m, 6)
+FROM vw
+UNION ALL
+SELECT 2, 'expect_column_values_to_match_strftime_format', 'd',
+       u = 0, n.c, CAST(0 AS BIGINT), u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM d1
+         WHERE try_strptime(d, '%Y-%m-%d') IS NULL)
+UNION ALL
+SELECT 3, 'expect_column_values_to_be_dateutil_parseable', 'd',
+       CASE WHEN n.c = 0 THEN TRUE
+            ELSE 1.0 - CAST(u AS DOUBLE) / n.c >= 0.7 END,
+       n.c, CAST(0 AS BIGINT), u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM d2
+         WHERE coalesce(try_strptime(d, '%Y-%m-%dT%H:%M:%S'),
+                        try_strptime(d, '%m/%d/%Y'),
+                        try_strptime(d, '%Y/%m/%d')) IS NULL)
+"""
+
+
+def q_dq_expectations_conditioned(spark, sf_dir):
+    """Round-5 GE surface: ``row_condition`` scoping (both the spark and
+    the GE condition parsers — the reference wrapper passes any GE kwargs
+    through, great_expectations_data_quality.py:215) compiled into the
+    SAME shared agg pass as unconditioned expectations, plus the
+    strftime-format and dateutil-parseable datetime contract checks as
+    try_to_timestamp probes in the compiled narrow plan. The frame carries
+    two derived string-date columns with deterministic corruption (every
+    7th event_id malformed; every 4th unparseable) so both datetime checks
+    exercise their failure paths; the oracle replays everything as plain
+    SQL including the scoped element/missing/unexpected counts."""
+    from .operators import expectations as ex
+
+    events = _load(spark, sf_dir, "events")
+    frame = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit("2024-13-40"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+        .alias("d"),
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+        )
+        .when(F.col("event_id") % 4 == 1, F.date_format("ts", "MM/dd/yyyy"))
+        .when(F.col("event_id") % 4 == 2, F.date_format("ts", "yyyy/MM/dd"))
+        .otherwise(F.concat(F.lit("not a date "), F.col("event_id")))
+        .alias("d2"),
+    )
+    s = ex.ExpectationSuite("events_conditioned")
+    for t, k in [
+        ("expect_column_values_to_be_between",
+         {"column": "value", "min_value": 0, "max_value": 50, "mostly": 0.6,
+          "row_condition": "event_type = 'click'",
+          "condition_parser": "spark"}),
+        ("expect_column_mean_to_be_between",
+         {"column": "value", "min_value": 0, "max_value": 1000,
+          "row_condition": 'col("event_type") == "view"',
+          "condition_parser": "great_expectations__experimental__"}),
+        ("expect_column_values_to_match_strftime_format",
+         {"column": "d", "strftime_format": "%Y-%m-%d"}),
+        ("expect_column_values_to_be_dateutil_parseable",
+         {"column": "d2", "mostly": 0.7}),
+    ]:
+        s.add_expectation(ex.build_expectation(t, k))
+    out = ex.validate_df(frame, s).withColumn(
+        "observed_value", F.round("observed_value", 6)
+    )
+    # validate_df reports the dateutil/strftime checks under their real
+    # column names; align the second date column to the oracle's 'd' label
+    return out.withColumn(
+        "column", F.when(F.col("column") == "d2", "d").otherwise(F.col("column"))
+    )
+
+
 SQL_DQ_DRIFT = """
 WITH c AS (SELECT event_type AS v, count(*) AS n FROM events
            WHERE event_type IS NOT NULL GROUP BY 1),
@@ -4202,6 +4303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dq_interval_filtering whose tie ordering changed this round.
     "dq_expectations": q_dq_expectations,
     "dq_expectations_extended": q_dq_expectations_extended,
+    "dq_expectations_conditioned": q_dq_expectations_conditioned,
     "dq_drift_check": q_dq_drift_check,
     "stream_quality_gate": q_stream_quality_gate,
     "sim_lsh_topk": q_sim_lsh_topk,
@@ -4434,5 +4536,6 @@ ORACLES: dict[str, str] = {
 # the generator (synth.clips_meta_sql / corrections_meta_sql)
 ORACLES["dq_expectations"] = SQL_DQ_EXPECTATIONS
 ORACLES["dq_expectations_extended"] = SQL_DQ_EXPECTATIONS_EXT
+ORACLES["dq_expectations_conditioned"] = SQL_DQ_EXPECTATIONS_COND
 ORACLES["dq_drift_check"] = SQL_DQ_DRIFT
 ORACLES.update(_synth_meta_oracles())

@@ -1234,3 +1234,17 @@ def test_dateutil_parseable_expectation(spark):
     assert not r["success"]
     assert r["result"]["unexpected_count"] == 1
     assert r["result"]["missing_count"] == 1
+
+
+def test_strftime_quarantine_split(spark):
+    pdf = pd.DataFrame({"d": ["2024-01-02", "garbage", "2024-02-03"]})
+    df2 = spark.createDataFrame(pdf)
+    s = _suite(
+        (
+            "expect_column_values_to_match_strftime_format",
+            {"column": "d", "strftime_format": "%Y-%m-%d"},
+        )
+    )
+    good, bad = ex.quarantine_split(df2, s)
+    assert good.count() == 2 and bad.count() == 1
+    assert bad.collect()[0]["d"] == "garbage"
