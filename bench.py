@@ -745,8 +745,9 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
     # calibration) — they record the absolute clips/sec this host can push
     # through the engine, comparable with the r01 artifact. A CAPACITY
     # number must survive throttle windows (a single rep once landed at
-    # 8.2k clips/sec in a window where the same fleet does ~29k), so two
-    # reps run and the better one is kept, both recorded.
+    # 8.2k clips/sec in a window where the same fleet does ~29k), so every
+    # spec-form fleet rep (3+ with the probe-gated pairs) doubles as a
+    # capacity rep and the best one is kept, all recorded.
     peak = None
     specform_pair = None
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_PEAK") and not _over_deadline(
@@ -767,7 +768,9 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
         # interleaved probe already detects a throttle window (r04's rep0
         # probe read 0.46x of its own lo window while the membw control
         # showed 0.77 is the honest whole-host ceiling), so a pair whose
-        # probe_fleet/probe_lo falls below 0.7 is recorded as discarded
+        # probe_fleet/probe_lo falls outside [0.7, 1.43] — EITHER window
+        # throttled relative to the other, deflating OR inflating the
+        # ratio — is recorded as discarded
         # and re-run once (max 1 retry, deadline permitting) — the median
         # is taken over CLEAN pairs only, read against the
         # same-invocation membw ceiling. The probe shares core 31 with
@@ -864,20 +867,31 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
                     "probe_fleet": fprobe,
                     "probe_ratio": pratio,
                 }
-                if pratio is not None and pratio < 0.7 and sf_retries_left > 0:
-                    # the pair's own probe says the fleet window ran on a
-                    # throttled host (way below the measured membw
-                    # ceiling): keep the evidence, exclude it from the
-                    # median, and spend the retry budget on a clean pair
+                # SYMMETRIC gate: ratio < 0.7 = the FLEET window was
+                # throttled (deflates efficiency, the r04 rep0 failure);
+                # ratio > 1/0.7 = the LO window was throttled (INFLATES
+                # efficiency — gating only the unflattering direction
+                # would bias the median up). Either way the pair's two
+                # windows saw very different host speed, so it is not a
+                # paired measurement; keep the evidence, exclude it from
+                # the median, spend the retry budget on a clean pair.
+                dirty = pratio is not None and not (0.7 <= pratio <= 1 / 0.7)
+                if dirty and sf_retries_left > 0:
                     sf_retries_left -= 1
                     pair["discarded_throttle_window"] = True
                     sf_discarded.append(pair)
                     print(
                         f"  spec-form pair rep={prep} DISCARDED "
-                        f"(probe_ratio={pratio} < 0.7), re-running",
+                        f"(probe_ratio={pratio} outside [0.7, 1.43]),"
+                        " re-running",
                         file=sys.stderr,
                     )
                 else:
+                    if dirty:
+                        # retry budget exhausted: keep it but flag it so
+                        # the artifact shows the median includes a
+                        # mismatched-window pair
+                        pair["throttle_window_unretried"] = True
                     sf_pairs.append(pair)
         peak = dict(best, rep_rates=peak_rates) if best else None
         if sf_pairs:
@@ -1111,7 +1125,8 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
         if pk:
             lines += [
                 f"- PEAK whole-host throughput ({pk['n_executors']}x"
-                f" local[{pk['cores_per_executor']}] fleet, best of 2 — a"
+                f" local[{pk['cores_per_executor']}] fleet, best of"
+                f" {len(pk.get('rep_rates') or []) or '?'} reps — a"
                 " capacity number, outside the linear-CPU envelope, so not"
                 " scaling evidence): "
                 f"{pk['clips_per_sec']} clips/sec whole-run,"
@@ -1144,7 +1159,8 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             )
             disc = sf.get("discarded_pairs") or []
             disc_txt = (
-                " Discarded (probe_ratio < 0.7 = measured throttle window,"
+                " Discarded (probe_ratio outside [0.7, 1.43] = the two"
+                " windows saw measurably different host speed,"
                 " re-run, kept for the record): "
                 + "; ".join(
                     f"rep{p['rep']}: raw {p['efficiency_raw']}"
@@ -1161,7 +1177,7 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
                 " fully interleaved lo/fleet pairs, whole host at the 4x"
                 f" level): efficiency raw {sf['efficiency_raw']}"
                 f" (median of {len(sf.get('pairs', []))} CLEAN pairs,"
-                " each probe-gated at ratio >= 0.7)"
+                " each probe-gated at ratio within [0.7, 1.43])"
                 f" / probe-normalized {sf['efficiency_normalized']}."
                 + disc_txt
                 + f" Pairs: {pair_txt}. Read against the host's OWN"
