@@ -233,13 +233,34 @@ def main(argv=None) -> dict:
     # 10^12 clips, so the evidence that matters is state bytes per key
     # staying FLAT as input grows (bench.py's data-scaling phase reads
     # these at 1x and 10x input)
-    state_rows = state_bytes = 0
+    # memoryUsedBytes counts the HDFS-backed provider's whole loaded-map
+    # cache (up to maxBatchesToRetainInMemory=2 retained versions + map
+    # overhead); stateOnCurrentVersionSizeBytes is the LIVE version's
+    # payload alone — the number whose per-row size must stay flat for
+    # the 10^12-clip posture. Both are recorded, per batch, so the
+    # bytes/row curve in the bench artifact separates payload growth
+    # (would be a leak) from provider-cache shape (is not).
+    # all three headline numbers come from the SAME batch — the one with
+    # the largest live row count. Taking independent maxes (the old form)
+    # could pair batch A's rows with batch B's bytes and report a
+    # bytes/row no batch ever had.
+    state_rows = state_bytes = state_cur_bytes = 0
+    state_series = []
     for p in q.recentProgress or []:
         ops = p.get("stateOperators") or []
         rows = sum(op.get("numRowsTotal") or 0 for op in ops)
         byts = sum(op.get("memoryUsedBytes") or 0 for op in ops)
-        state_rows = max(state_rows, rows)
-        state_bytes = max(state_bytes, byts)
+        cur = sum(
+            (op.get("customMetrics") or {}).get(
+                "stateOnCurrentVersionSizeBytes"
+            )
+            or 0
+            for op in ops
+        )
+        if ops:
+            state_series.append([rows, byts, cur])
+        if rows > state_rows:
+            state_rows, state_bytes, state_cur_bytes = rows, byts, cur
     # steady-state throughput: total clips / total time spent INSIDE data
     # micro-batches. This excludes only stream start/stop and inter-batch
     # driver gaps (costs a long-running production stream amortizes to zero)
@@ -265,6 +286,8 @@ def main(argv=None) -> dict:
         "lineage_commits": len(sink.lineage()),
         "state_rows": state_rows,
         "state_bytes": state_bytes,
+        "state_cur_bytes": state_cur_bytes,
+        "state_series": state_series,
     }
     print(json.dumps(metrics))
     return metrics
