@@ -66,6 +66,7 @@ BATCH_QUERIES = [
     "dq_expectations",
     # round-4 expectation types incl. the range-partitioned monotonicity pass
     "dq_expectations_extended",
+    "dq_expectations_conditioned",
 ]
 
 
@@ -1107,7 +1108,9 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             "fsync-contending on this host's one real disk would measure the",
             "sandbox, not the engine. Fleet jobs rendezvous on a file barrier",
             "after their untimed warm-up, so every measured phase runs under",
-            f"full {ne}-way contention. The {reps} reps are INTERLEAVED",
+            f"full {ne}-way contention. The"
+            f" {len(scaling.get('pair_efficiencies_raw') or [])} measured"
+            " pairs are INTERLEAVED",
             "(lo, fleet, lo, fleet, ...) and the headline efficiency is the",
             "median of RAW per-pair ratios fleet_i/(4*lo_i), so slow host",
             "drift cancels within each pair. All measured inside one bench.py",
@@ -1263,11 +1266,14 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
             lines += [
                 "",
                 "Window-close latency (HEADLINE, latency mode): same job +"
-                " input, trigger-size sweep descending 28 -> 14 -> 7 files"
-                " per micro-batch until p99 beats the reference's 10 s"
-                " processingTime cadence (delta.py:103-104) or the knee is"
-                " found; production equivalent is maxFilesPerTrigger / a"
-                " processingTime trigger sized to the ingest rate."
+                " input, trigger-size sweep over the knee candidates"
+                " (14 then 7 files per micro-batch, with the"
+                " throughput-end 28-file point last and budget-optional)"
+                " against the reference's 10 s processingTime cadence"
+                " (delta.py:103-104); every point is recorded and the"
+                " headline is the lowest-p99 point; production equivalent"
+                " is maxFilesPerTrigger / a processingTime trigger sized"
+                " to the ingest rate."
                 f" Headline point (fpt={lat.get('files_per_trigger')}):"
                 f" 1x local[{lo}] sustains"
                 f" {lat['clips_per_sec']} clips/sec across"

@@ -1243,10 +1243,17 @@ def profile_suite(
       expected partition is the observed category mix (ONE extra grouped
       ids-only job covering ALL categorical columns via a stacked
       (column, value) union) with ``kl_threshold``.
-    Self-validation still passes by construction (observed == expected:
-    KL = 0, KS D <= ties/n); a shifted numeric distribution or a skewed
-    category mix in a later batch fails the contract. Wire the result
-    into QualityGateSink for a streaming drift halt.
+    Self-validation passes by construction and is ENFORCED for the KS
+    contracts: the decile/cardinality guards cannot exclude an atom of
+    mass <10% straddling a decile edge (the observed CDF at that edge is
+    then off by the atom's mass), so with ``drift=True`` the learned KS
+    contracts are replayed against the profiled frame itself (one extra
+    shared-agg pass) and any that fail are dropped before the suite is
+    returned. KL contracts are exact by construction (observed mix ==
+    expected mix, d = 0) and need no replay. A shifted numeric
+    distribution or a skewed category mix in a later batch fails the
+    contract. Wire the result into QualityGateSink for a streaming
+    drift halt.
     """
     dtypes = dict(df.dtypes)
     cols = [c for c in (columns or df.columns) if c in dtypes]
