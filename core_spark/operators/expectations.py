@@ -68,7 +68,15 @@ _ROW_LEVEL = {
     "expect_multicolumn_sum_to_equal",
     "expect_column_values_to_match_strftime_format",
     "expect_column_values_to_be_dateutil_parseable",
+    "expect_column_values_to_match_like_pattern",
+    "expect_column_values_to_not_match_like_pattern",
+    "expect_column_pair_values_to_be_in_set",
+    "expect_column_values_to_be_json_parseable",
 }
+# z-scores: the mean/stddev ride the SHARED agg pass; the per-row check
+# then needs those scalars, so ALL z-score expectations share ONE extra
+# conditional-sum pass (2 scans total however many there are)
+_ZSCORE = {"expect_column_value_z_scores_to_be_less_than"}
 # table/column aggregates: one scalar in the same shared agg pass
 _AGGREGATE = {
     "expect_table_row_count_to_be_between",
@@ -121,7 +129,10 @@ _MONOTONIC = {
 _SCHEMA = {
     "expect_column_to_exist",
     "expect_column_values_to_be_of_type",
+    "expect_column_values_to_be_in_type_list",
     "expect_table_column_count_to_equal",
+    "expect_table_columns_to_match_ordered_list",
+    "expect_table_columns_to_match_set",
 }
 _UNIQUE = {
     "expect_column_values_to_be_unique",
@@ -144,6 +155,7 @@ SUPPORTED_EXPECTATIONS = sorted(
     | _DRIFT
     | _KS
     | _MONOTONIC
+    | _ZSCORE
 )
 
 
@@ -347,7 +359,10 @@ def _row_skip(cfg: ExpectationConfiguration) -> Column:
         return F.lit(False)
     if t == "expect_column_pair_values_a_to_be_greater_than_b":
         return F.col(k["column_A"]).isNull() | F.col(k["column_B"]).isNull()
-    if t == "expect_column_pair_values_to_be_equal":
+    if t in (
+        "expect_column_pair_values_to_be_equal",
+        "expect_column_pair_values_to_be_in_set",
+    ):
         # GE default ignore_row_if = both_values_are_missing
         return F.col(k["column_A"]).isNull() & F.col(k["column_B"]).isNull()
     if t == "expect_multicolumn_sum_to_equal":
@@ -392,6 +407,22 @@ def _row_ok(cfg: ExpectationConfiguration) -> Column:
             for fmt in _DATEUTIL_LADDER
         ]
         return c.isNull() | F.coalesce(*probes).isNotNull()
+    if t == "expect_column_values_to_match_like_pattern":
+        return c.isNull() | c.like(k["like_pattern"])
+    if t == "expect_column_values_to_not_match_like_pattern":
+        return c.isNull() | ~c.like(k["like_pattern"])
+    if t == "expect_column_values_to_be_json_parseable":
+        return c.isNull() | F.try_parse_json(c).isNotNull()
+    if t == "expect_column_pair_values_to_be_in_set":
+        a, b = F.col(k["column_A"]), F.col(k["column_B"])
+        pairs = list(k["value_pairs_set"])
+        if not pairs:
+            raise ValueError("value_pairs_set must be non-empty")
+        hit = F.lit(False)
+        for pa, pb in pairs:
+            hit = hit | (a.eqNullSafe(F.lit(pa)) & b.eqNullSafe(F.lit(pb)))
+        # both-NULL rows are skipped; any other row must match a pair
+        return (a.isNull() & b.isNull()) | hit
     if t == "expect_column_pair_values_a_to_be_greater_than_b":
         a, b = F.col(k["column_A"]), F.col(k["column_B"])
         cmp = (a >= b) if k.get("or_equal") else (a > b)
@@ -720,6 +751,7 @@ def validate(
     drift_cfgs = [e for e in suite.expectations if e.expectation_type in _DRIFT]
     ks_cfgs = [e for e in suite.expectations if e.expectation_type in _KS]
     mono_cfgs = [e for e in suite.expectations if e.expectation_type in _MONOTONIC]
+    z_cfgs = [e for e in suite.expectations if e.expectation_type in _ZSCORE]
 
     # row_condition scoping is defined for the row-level and aggregate
     # families; anywhere else it would silently mean "unscoped", so reject
@@ -815,6 +847,16 @@ def validate(
                 f"__mm{i}"
             )
         )
+    # z-score stats (mean, SAMPLE stddev — GE's convention) ride the
+    # shared pass; the per-row threshold check needs those scalars, so
+    # all z-score expectations share one extra conditional-sum pass below
+    z_cols = list(dict.fromkeys(cfg.kwargs["column"] for cfg in z_cfgs))
+    for i, c in enumerate(z_cols):
+        exprs.append(F.avg(F.col(c)).alias(f"__zm{i}"))
+        exprs.append(F.stddev_samp(F.col(c)).alias(f"__zs{i}"))
+        exprs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__zn{i}")
+        )
     # cardinality probe for every drift column rides the shared pass so
     # the guard below costs zero extra jobs
     drift_cols = list(
@@ -855,6 +897,7 @@ def validate(
             or ks_cfgs
             or mono_cfgs
             or drift_cfgs
+            or z_cfgs
         )
         else None
     )
@@ -967,6 +1010,40 @@ def validate(
                 "the full observed distribution on the driver — pick a "
                 "categorical column or raise the cap explicitly"
             )
+    # z-score pass 2: ONE agg shared by every z-score expectation,
+    # thresholds applied against the pass-1 mean/stddev literals
+    z_unexpected: dict[int, int] = {}
+    if z_cfgs:
+        z_stats = {
+            c: (row[f"__zm{i}"], row[f"__zs{i}"]) for i, c in enumerate(z_cols)
+        }
+        z_exprs = []
+        for j, cfg in enumerate(z_cfgs):
+            c = F.col(cfg.kwargs["column"])
+            mu, sd = z_stats[cfg.kwargs["column"]]
+            thr = float(cfg.kwargs["threshold"])
+            if mu is None or sd is None or sd == 0.0:
+                # zero-variance / empty column: every z-score is 0 (GE's
+                # backends divide by NaN and fail rows; a constant column
+                # is better read as z=0), nothing can exceed a positive
+                # threshold
+                bad = F.lit(False)
+            else:
+                z = (c - F.lit(float(mu))) / F.lit(float(sd))
+                bad = (
+                    F.abs(z) >= F.lit(thr)
+                    if cfg.kwargs.get("double_sided", True)
+                    else z >= F.lit(thr)
+                )
+            z_exprs.append(
+                F.sum(F.when(c.isNotNull() & bad, 1).otherwise(0)).alias(
+                    f"__zu{j}"
+                )
+            )
+        zrow = df.agg(*z_exprs).collect()[0]
+        for j, cfg in enumerate(z_cfgs):
+            z_unexpected[id(cfg)] = int(zrow[f"__zu{j}"] or 0)
+
     cat_counts: dict[str, dict] = {}
     for col in drift_cols:
         cat_counts[col] = {
@@ -1179,10 +1256,36 @@ def validate(
                 mono_viol[id(cfg)],
                 int(row[f"__mm{mono_idx[id(cfg)]}"] or 0),
             )
+        elif t in _ZSCORE:
+            i = z_cols.index(k["column"])
+            emit_rowlevel(
+                cfg, z_unexpected[id(cfg)], int(row[f"__zn{i}"] or 0)
+            )
         elif t == "expect_column_to_exist":
             emit(cfg, k["column"] in dtypes, {"observed_value": list(dtypes)})
         elif t == "expect_table_column_count_to_equal":
             emit(cfg, len(dtypes) == k["value"], {"observed_value": len(dtypes)})
+        elif t == "expect_table_columns_to_match_ordered_list":
+            cols_now = list(df.columns)
+            emit(
+                cfg,
+                cols_now == list(k["column_list"]),
+                {"observed_value": cols_now},
+            )
+        elif t == "expect_table_columns_to_match_set":
+            cols_set = set(df.columns)
+            want = set(k["column_set"])
+            # GE: exact_match=True (default) -> sets equal; False -> the
+            # expected set need only be a subset of the observed columns
+            ok = (
+                cols_set == want
+                if k.get("exact_match", True)
+                else want <= cols_set
+            )
+            emit(cfg, ok, {"observed_value": sorted(cols_set)})
+        elif t == "expect_column_values_to_be_in_type_list":
+            obs = dtypes.get(k["column"])
+            emit(cfg, obs in list(k["type_list"]), {"observed_value": obs})
         else:  # expect_column_values_to_be_of_type
             obs = dtypes.get(k["column"])
             emit(cfg, obs == k["type_"], {"observed_value": obs})

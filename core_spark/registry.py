@@ -4059,6 +4059,41 @@ FROM n, (SELECT count(*) AS u FROM d2
          WHERE coalesce(try_strptime(d, '%Y-%m-%dT%H:%M:%S'),
                         try_strptime(d, '%m/%d/%Y'),
                         try_strptime(d, '%Y/%m/%d')) IS NULL)
+UNION ALL
+SELECT 4, 'expect_column_values_to_match_like_pattern', 'event_type',
+       u = 0, n.c, CAST(0 AS BIGINT), u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM events
+         WHERE event_type IS NOT NULL AND event_type NOT LIKE '%c%')
+UNION ALL
+SELECT 5, 'expect_column_values_to_be_json_parseable', 'j',
+       CASE WHEN n.c = 0 THEN TRUE
+            ELSE 1.0 - CAST(u AS DOUBLE) / n.c >= 0.75 END,
+       n.c, CAST(0 AS BIGINT), u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM
+         (SELECT CASE WHEN event_id % 5 = 0 THEN 'not json'
+                      ELSE '{"k": ' || CAST(event_id AS VARCHAR) || '}'
+                 END AS j FROM events)
+         WHERE NOT json_valid(j))
+UNION ALL
+SELECT 6, 'expect_column_value_z_scores_to_be_less_than', 'value',
+       u = 0, n.c, miss, u, CAST(NULL AS DOUBLE)
+FROM n,
+     (SELECT count(*) AS u FROM events,
+        (SELECT avg(value) AS m, stddev_samp(value) AS s FROM events) st
+      WHERE value IS NOT NULL AND abs((value - st.m) / st.s) >= 3.0),
+     (SELECT count(*) AS miss FROM events WHERE value IS NULL)
+UNION ALL
+SELECT 7, 'expect_column_pair_values_to_be_in_set', 'event_type,par',
+       u = 0, n.c, CAST(0 AS BIGINT), u, CAST(NULL AS DOUBLE)
+FROM n, (SELECT count(*) AS u FROM
+         (SELECT event_type AS a,
+                 CASE WHEN event_id % 2 = 0 THEN 'e' ELSE 'o' END AS b
+          FROM events)
+         WHERE NOT (a IS NULL AND b IS NULL)
+         AND (a, b) NOT IN (
+           ('click','e'), ('click','o'), ('view','e'), ('view','o'),
+           ('purchase','e'), ('purchase','o'), ('signup','e'),
+           ('signup','o'), ('error','e')))
 """
 
 
@@ -4091,7 +4126,18 @@ def q_dq_expectations_conditioned(spark, sf_dir):
         .when(F.col("event_id") % 4 == 2, F.date_format("ts", "yyyy/MM/dd"))
         .otherwise(F.concat(F.lit("not a date "), F.col("event_id")))
         .alias("d2"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("not json"))
+        .otherwise(F.concat(F.lit('{"k": '), F.col("event_id"), F.lit("}")))
+        .alias("j"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("e"))
+        .otherwise(F.lit("o"))
+        .alias("par"),
     )
+    pairs = [
+        (t, p)
+        for t in ("click", "view", "purchase", "signup")
+        for p in ("e", "o")
+    ] + [("error", "e")]
     s = ex.ExpectationSuite("events_conditioned")
     for t, k in [
         ("expect_column_values_to_be_between",
@@ -4106,6 +4152,15 @@ def q_dq_expectations_conditioned(spark, sf_dir):
          {"column": "d", "strftime_format": "%Y-%m-%d"}),
         ("expect_column_values_to_be_dateutil_parseable",
          {"column": "d2", "mostly": 0.7}),
+        ("expect_column_values_to_match_like_pattern",
+         {"column": "event_type", "like_pattern": "%c%"}),
+        ("expect_column_values_to_be_json_parseable",
+         {"column": "j", "mostly": 0.75}),
+        ("expect_column_value_z_scores_to_be_less_than",
+         {"column": "value", "threshold": 3, "double_sided": True}),
+        ("expect_column_pair_values_to_be_in_set",
+         {"column_A": "event_type", "column_B": "par",
+          "value_pairs_set": pairs}),
     ]:
         s.add_expectation(ex.build_expectation(t, k))
     out = ex.validate_df(frame, s).withColumn(

@@ -1248,3 +1248,127 @@ def test_strftime_quarantine_split(spark):
     good, bad = ex.quarantine_split(df2, s)
     assert good.count() == 2 and bad.count() == 1
     assert bad.collect()[0]["d"] == "garbage"
+
+
+def test_like_patterns(df):
+    r = _one(
+        df,
+        "expect_column_values_to_match_like_pattern",
+        {"column": "tag", "like_pattern": "a%"},
+    )
+    assert not r["success"] and r["result"]["unexpected_count"] == 3  # b,b,c
+    r = _one(
+        df,
+        "expect_column_values_to_not_match_like_pattern",
+        {"column": "tag", "like_pattern": "c%"},
+    )
+    assert not r["success"] and r["result"]["unexpected_count"] == 1
+
+
+def test_pair_values_in_set(spark):
+    pdf = pd.DataFrame(
+        {"a": ["x", "x", "y", None], "b": ["1", "2", "1", None]}
+    )
+    df2 = spark.createDataFrame(pdf)
+    r = _one(
+        df2,
+        "expect_column_pair_values_to_be_in_set",
+        {"column_A": "a", "column_B": "b",
+         "value_pairs_set": [("x", "1"), ("y", "1")]},
+    )
+    # (x,2) violates; both-NULL row is skipped (missing)
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 1
+    assert r["result"]["missing_count"] == 1
+
+
+def test_json_parseable(spark):
+    pdf = pd.DataFrame({"j": ['{"a": 1}', "[1,2,3]", "not json", None]})
+    df2 = spark.createDataFrame(pdf)
+    r = _one(
+        df2, "expect_column_values_to_be_json_parseable", {"column": "j"}
+    )
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 1
+    assert r["result"]["missing_count"] == 1
+
+
+def test_schema_list_and_set_checks(df):
+    r = _one(
+        df,
+        "expect_table_columns_to_match_ordered_list",
+        {"column_list": ["tag", "v", "lo"]},
+    )
+    assert r["success"]
+    r = _one(
+        df,
+        "expect_table_columns_to_match_ordered_list",
+        {"column_list": ["v", "tag", "lo"]},
+    )
+    assert not r["success"]
+    r = _one(
+        df,
+        "expect_table_columns_to_match_set",
+        {"column_set": ["lo", "v", "tag"]},
+    )
+    assert r["success"]
+    r = _one(
+        df,
+        "expect_table_columns_to_match_set",
+        {"column_set": ["v"], "exact_match": False},
+    )
+    assert r["success"]
+    r = _one(
+        df,
+        "expect_table_columns_to_match_set",
+        {"column_set": ["v"]},
+    )
+    assert not r["success"]
+    r = _one(
+        df,
+        "expect_column_values_to_be_in_type_list",
+        {"column": "v", "type_list": ["double", "float"]},
+    )
+    assert r["success"]
+
+
+def test_zscore_expectation(spark):
+    import numpy as np
+
+    xs = [10.0] * 98 + [10.5, 100.0]  # one far outlier
+    df2 = spark.createDataFrame(pd.DataFrame({"x": xs}))
+    mu, sd = np.mean(xs), np.std(xs, ddof=1)
+    # the outlier's |z| is ~9.8; threshold 3 catches exactly it
+    assert abs((100.0 - mu) / sd) > 3 > abs((10.5 - mu) / sd)
+    r = _one(
+        df2,
+        "expect_column_value_z_scores_to_be_less_than",
+        {"column": "x", "threshold": 3, "double_sided": True},
+    )
+    assert not r["success"]
+    assert r["result"]["unexpected_count"] == 1
+    # mostly makes 99/100 pass
+    r = _one(
+        df2,
+        "expect_column_value_z_scores_to_be_less_than",
+        {"column": "x", "threshold": 3, "double_sided": True, "mostly": 0.98},
+    )
+    assert r["success"]
+    # single-sided: only z >= t (not -z) counts
+    low = spark.createDataFrame(
+        pd.DataFrame({"x": [10.0] * 98 + [10.5, -100.0]})
+    )
+    r = _one(
+        low,
+        "expect_column_value_z_scores_to_be_less_than",
+        {"column": "x", "threshold": 3, "double_sided": False},
+    )
+    assert r["success"]
+    # constant column: z = 0 everywhere, vacuously fine
+    const = spark.createDataFrame(pd.DataFrame({"x": [5.0] * 10}))
+    r = _one(
+        const,
+        "expect_column_value_z_scores_to_be_less_than",
+        {"column": "x", "threshold": 3},
+    )
+    assert r["success"]
