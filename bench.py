@@ -727,6 +727,49 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
         except Exception as exc:
             print(f"  data scaling failed: {exc}", file=sys.stderr)
 
+    # stateful-mode sweep (one pinned run each): the scaling pairs exercise
+    # the tumbling hash-aggregate path; these runs put a throughput number
+    # on the OTHER stateful operator families the pipeline ships —
+    # applyInPandasWithState gap-sessionization and the watermarked
+    # stream-stream correction join. They are INFORMATIONAL, so to fit
+    # the budget ahead of the graded spec-form phase they reuse the
+    # data-scaling phase's mid-size input (~n/3 clips, already
+    # synthesized) when it exists — each record carries its own n_clips
+    # so cross-round comparisons read the rate against the right input.
+    modes = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_MODES"):
+        mid_n = max(30_000, n_clips // 3)
+        mid_dir = os.path.join(work, f"clips_input_{mid_n}")
+        if os.path.isdir(mid_dir):
+            m_clips, m_dir = mid_n, mid_dir
+            m_fpt = max(2, 112 * mid_n // n_clips)
+        else:
+            m_clips, m_dir, m_fpt = n_clips, in_dir, 112
+        for m in ("sessions", "join"):
+            if _over_deadline(f"mode sweep {m}", margin=120):
+                break
+            try:
+                r = _run_job(
+                    _job_cmd(
+                        n_lo, m_clips, os.path.join(work, f"mode_{m}"),
+                        m_dir, files_per_trigger=m_fpt,
+                        cpuset=_slice(0, 7), mode=m,
+                    ),
+                    heap=heap,
+                )
+            except Exception as exc:  # informational, like the peak runs
+                print(f"  mode sweep {m} failed: {exc}", file=sys.stderr)
+                continue
+            modes[m] = {
+                "n_clips": m_clips,
+                "clips_per_sec": r["clips_per_sec"],
+                "clips_per_sec_steady": r["clips_per_sec_steady"],
+                "batch_ms_p99": r["batch_ms_p99"],
+                "rows_out": r["rows_out"],
+            }
+            print(f"  mode sweep 1x local[{n_lo}] {m}: {modes[m]}", file=sys.stderr)
+            _shutil.rmtree(os.path.join(work, f"mode_{m}"), ignore_errors=True)
+
     # peak-throughput runs: 4x local[6] = the whole host. NOT part of the
     # scaling evidence (beyond the host's linear-CPU envelope, see
     # calibration) — they record the absolute clips/sec this host can push
@@ -908,36 +951,6 @@ def run_scaling(n_clips: int, deadline: float | None = None) -> dict:
                 "membw_eff_6_to_24": membw.get("membw_eff_6_to_24"),
             }
             print(f"  spec-form pairs: {specform_pair}", file=sys.stderr)
-
-    # stateful-mode sweep (one pinned run each): the scaling pairs exercise
-    # the tumbling hash-aggregate path; these runs put a throughput number
-    # on the OTHER stateful operator families the pipeline ships —
-    # applyInPandasWithState gap-sessionization and the watermarked
-    # stream-stream correction join — over the same input.
-    modes = {}
-    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_MODES"):
-        for m in ("sessions", "join"):
-            if _over_deadline(f"mode sweep {m}", margin=120):
-                break
-            try:
-                r = _run_job(
-                    _job_cmd(
-                        n_lo, n_clips, os.path.join(work, f"mode_{m}"), in_dir,
-                        cpuset=_slice(0, 7), mode=m,
-                    ),
-                    heap=heap,
-                )
-            except Exception as exc:  # informational, like the peak runs
-                print(f"  mode sweep {m} failed: {exc}", file=sys.stderr)
-                continue
-            modes[m] = {
-                "clips_per_sec": r["clips_per_sec"],
-                "clips_per_sec_steady": r["clips_per_sec_steady"],
-                "batch_ms_p99": r["batch_ms_p99"],
-                "rows_out": r["rows_out"],
-            }
-            print(f"  mode sweep 1x local[{n_lo}] {m}: {modes[m]}", file=sys.stderr)
-            _shutil.rmtree(os.path.join(work, f"mode_{m}"), ignore_errors=True)
 
     # extra scaling pairs (median tighteners) — last, fully optional
     for rep in range(3, repeats):
@@ -1249,9 +1262,12 @@ def write_bench_md(sf: str, times: dict, scaling: dict | None) -> None:
         ms = scaling.get("mode_sweep")
         if ms:
             lines += [
-                "- stateful-mode sweep (one pinned 1x run each, same input):"
+                "- stateful-mode sweep (one pinned 1x run each;"
+                " informational, run on the data-scaling mid-size input"
+                " when available — each record names its input size):"
                 + "".join(
                     f" {m}={v['clips_per_sec']} clips/sec"
+                    f" @ {v.get('n_clips', '?')} clips"
                     f" (p99 {v['batch_ms_p99']} ms, {v['rows_out']} rows);"
                     for m, v in ms.items()
                 )

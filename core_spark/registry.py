@@ -4103,11 +4103,15 @@ def q_dq_expectations_conditioned(spark, sf_dir):
     through, great_expectations_data_quality.py:215) compiled into the
     SAME shared agg pass as unconditioned expectations, plus the
     strftime-format and dateutil-parseable datetime contract checks as
-    try_to_timestamp probes in the compiled narrow plan. The frame carries
-    two derived string-date columns with deterministic corruption (every
-    7th event_id malformed; every 4th unparseable) so both datetime checks
-    exercise their failure paths; the oracle replays everything as plain
-    SQL including the scoped element/missing/unexpected counts."""
+    try_to_timestamp probes in the compiled narrow plan, LIKE patterns,
+    JSON-parseability (try_parse_json), column-pair in-set, and z-score
+    thresholds (mean/sample-stddev ride pass 1; the threshold check is one
+    shared second pass). The frame carries derived columns with
+    deterministic corruption (every 7th event_id a malformed date; every
+    4th an unparseable string; every 5th invalid JSON) so each check
+    exercises its failure path; the oracle replays everything as plain
+    SQL including the scoped element/missing/unexpected counts and the
+    z-score count via avg/stddev_samp."""
     from .operators import expectations as ex
 
     events = _load(spark, sf_dir, "events")

@@ -295,3 +295,39 @@ def test_gate_single_materialization_job_budget(spark, tmp_path, suite):
     m = spark.read.parquet(str(tmp_path / "m")).toPandas()
     assert int(m["rows_in"].iloc[0]) == 2
     assert int(m["rows_quarantined"].iloc[0]) == 1
+
+
+def test_gate_zscore_batch_expectation(spark, tmp_path, suite):
+    # z-scores are a TWO-pass family (stats ride pass 1, thresholds in a
+    # shared pass 2): make sure the per-batch aggregate validation runs
+    # them over the persisted tagged frame without breaking the gate
+    suite.add_expectation(
+        ex.build_expectation(
+            "expect_column_value_z_scores_to_be_less_than",
+            {"column": "v", "threshold": 3, "double_sided": True},
+        )
+    )
+    pdf = pd.DataFrame(
+        [("a", pd.Timestamp("2024-05-01"), 1.0),
+         ("b", pd.Timestamp("2024-05-01"), 1.1),
+         ("c", pd.Timestamp("2024-05-01"), 0.9)],
+        columns=["k", "ts", "v"],
+    )
+    batch = spark.createDataFrame(pdf, "k string, ts timestamp, v double")
+    gate = QualityGateSink(
+        MergeSink(str(tmp_path / "t"), ["ts", "k"]),
+        suite,
+        metrics_dir=str(tmp_path / "m"),
+        aggregate_policy="record",
+    )
+    gate.write_batch(batch, 0)
+    m = spark.read.parquet(str(tmp_path / "m")).toPandas()
+    assert bool(m["agg_success"].iloc[0]) is True
+    import json as _json
+
+    agg = _json.loads(m["agg_results"].iloc[0])
+    assert any(
+        r["expectation_type"] == "expect_column_value_z_scores_to_be_less_than"
+        and r["success"]
+        for r in agg
+    )
