@@ -166,3 +166,43 @@ def shingle_hashes_of_norm(norm: Column, k: int = 3) -> Column:
     return F.array_sort(
         F.transform(shingles_of_norm(norm, k), lambda s: F.xxhash64(s))
     )
+
+
+# ---------------------------------------------------------------- PII scrub
+
+#: (category, pattern, replacement) in APPLICATION ORDER. Patterns are
+#: written in the Java-regex/RE2 common subset (non-capturing groups, \b,
+#: \d, bounded repeats — no backrefs, no lookaround) so the identical
+#: pattern string runs in Spark and in the DuckDB oracle. Order matters:
+#: emails go first (their local parts can contain digit runs), SSN (3-2-4)
+#: and card (4x4) shapes are disjoint from phone (3-3-4), and IPv4 runs
+#: last over whatever digit.dot runs survive.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b(?:\d{4}[- ]){3}\d{4}\b", "<CARD>"),
+    ("phone", r"\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IPV4>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII hit counts on the RAW text (counts are
+    per-pattern, so a token matched by two categories counts in both —
+    the scrub itself applies patterns in order, documented above)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Training-data PII redaction: chained JVM-side regexp_replace in
+    PII_PATTERNS order — emails, SSNs, card numbers, phone numbers, IPv4
+    addresses each collapse to a typed placeholder token. Zero UDFs, one
+    narrow projection; the same chain is writable in ANSI SQL (DuckDB
+    regexp_replace with the 'g' flag) for the oracle."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -848,3 +848,57 @@ def winnow_pairs(
     return shared.select(
         "doc_id_a", "doc_id_b", "shared_fps", containment.alias("containment")
     ).filter(F.col("containment") >= threshold)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level exact deduplication (the Dolma/RefinedWeb
+    preprocessing step): every line keeps only its FIRST occurrence across
+    the whole corpus — first = minimal (id, position) — and each document
+    is reassembled from its surviving lines in original order. Documents
+    whose every line already appeared earlier vanish entirely (fully
+    deduplicated), matching the usual drop-empty-docs convention.
+
+    Scale shape: lines are identified by xxhash64, so the winner-election
+    groupBy shuffles (hash, id, pos) triples — never the line text (the
+    same ids-only discipline as the MinHash/SimHash families; 64-bit
+    collisions would merge distinct lines at ~2^-64 per pair, the
+    documented hash-identity stance). The rejoin is a hash equi-join on
+    the same key, and reassembly is one grouped collect_list bounded by
+    each document's own line count. ``delim`` is used as a Java regex for
+    the split and as a literal for the rejoin — single-character
+    delimiters like newline behave identically in both roles.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__h", F.xxhash64("__line"))
+    winners = lines.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))
+        ).alias("__w")
+    )
+    kept = (
+        lines.join(winners, "__h")
+        .filter(
+            (F.col(id_col) == F.col("__w.i"))
+            & (F.col("__pos") == F.col("__w.p"))
+        )
+        .drop("__w", "__h")
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            delim,
+        ).alias(text_col),
+    )

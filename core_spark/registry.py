@@ -3713,6 +3713,106 @@ FROM documents
 """
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """Training-data PII redaction (functions.text.pii_scrub): chained
+    JVM-side regexp_replace over the five PII_PATTERNS categories plus
+    per-category hit counts — zero UDFs, one narrow projection. The
+    documents text is word-salad, so deterministic PII is injected per
+    doc_id (an email + phone on every row, SSN/IPv4 on every 3rd) so each
+    pattern exercises real hits; the oracle replays the identical pattern
+    strings through DuckDB regexp_extract_all / regexp_replace('g') and
+    compares the scrubbed text by md5."""
+    docs = _load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789 ip 10.0.0.1")
+        ).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", t.alias("t"))
+    counts = tx.pii_counts(F.col("t"))
+    return base.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ssn"].alias("n_ssn"),
+        counts["card"].alias("n_card"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.md5(tx.pii_scrub(F.col("t"))).alias("scrub_md5"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    scrub = "t"
+    for _, pat, repl in tx.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    count_cols = ",\n  ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat, _ in tx.PII_PATTERNS
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ssn 123-45-6789 ip 10.0.0.1' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  {count_cols},
+  md5({scrub}) AS scrub_md5
+FROM b
+"""
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level exact dedup (operators.dedup.line_dedup, the
+    Dolma/RefinedWeb preprocessing step): first occurrence of every line
+    wins (minimal (doc_id, pos)), docs reassembled from surviving lines in
+    order. The single-line documents text is segmented into 5-word lines
+    first (same regexp_replace in both engines) so cross-document line
+    collisions actually occur; the engine elects winners by xxhash64 with
+    ids-only shuffle payloads while the oracle groups by the line text
+    itself — identical results absent 64-bit collisions (the documented
+    hash-identity stance shared with the MinHash/SimHash families)."""
+    docs = _load(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"((?:\S+ ){4}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    out = dd.line_dedup(lined, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines_kept", F.md5("text").alias("text_md5")
+    )
+
+
+SQL_TEXT_LINE_DEDUP = r"""
+WITH b AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS t
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS pos
+  FROM b),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lines)
+SELECT doc_id,
+       count(*) AS n_lines_kept,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
 def q_text_contamination(spark, sf_dir):
     """Benchmark contamination (operators/sampling.contamination_check):
     a deterministic 2% hash-slice of the corpus plays the held-out eval
@@ -4450,6 +4550,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
     "text_contamination": q_text_contamination,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_line_dedup": q_text_line_dedup,
     "ts_exp_smooth": q_ts_exp_smooth,
     "stream_transcript_tokens": q_stream_transcript_tokens,
     "ts_resample_last": q_ts_resample_last,
@@ -4588,6 +4690,8 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_split": SQL_SAMPLE_SPLIT,
     "text_contamination": SQL_TEXT_CONTAMINATION,
+    "text_pii_scrub": _pii_scrub_sql(),
+    "text_line_dedup": SQL_TEXT_LINE_DEDUP,
     "stream_asof_join": SQL_STREAM_ASOF_JOIN,
 }
 

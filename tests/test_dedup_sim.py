@@ -243,3 +243,59 @@ def test_cosine_near_dup_lsh_recall_vs_exact(spark):
     assert len(exact) >= 15  # the plants are above threshold
     assert lsh <= exact  # precision exact by construction
     assert len(lsh) / len(exact) >= 0.9  # multi-table OR recall
+
+
+def test_line_dedup_first_occurrence(spark):
+    from core_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),       # beta dies (doc1 pos1 wins)
+            (3, "gamma\nbeta"),       # both die
+            (4, "epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines_kept"], r["text"])
+        for r in dd.line_dedup(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (3, "alpha\nbeta\ngamma")  # untouched, order kept
+    assert out[2] == (1, "delta")
+    assert 3 not in out  # fully deduplicated docs vanish
+    assert out[4] == (1, "epsilon")
+
+
+def test_pii_scrub_and_counts(spark):
+    import pandas as pd
+
+    from core_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    raw = (
+        "mail me at john.doe+x@corp.example.org, call (555) 123-4567, "
+        "ssn 987-65-4321, card 1234-5678-9012-3456, host 192.168.0.12"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"t": [raw, "clean text"]}))
+    counts = tx.pii_counts(F.col("t"))
+    row = (
+        df.select(
+            tx.pii_scrub(F.col("t")).alias("s"),
+            *[v.alias(k) for k, v in counts.items()],
+        )
+        .collect()
+    )
+    hit, clean = (row[0], row[1]) if "clean" not in row[0]["s"] else (row[1], row[0])
+    assert "<EMAIL>" in hit["s"] and "<PHONE>" in hit["s"]
+    assert "<SSN>" in hit["s"] and "<CARD>" in hit["s"] and "<IPV4>" in hit["s"]
+    # nothing PII-shaped survives
+    import re
+
+    assert not re.search(r"\d{3}-\d{2}-\d{4}", hit["s"])
+    assert "@" not in hit["s"]
+    assert (hit["email"], hit["ssn"], hit["card"], hit["phone"], hit["ipv4"]) == (
+        1, 1, 1, 1, 1,
+    )
+    assert clean["s"] == "clean text"
+    assert sum(clean[k] for k in ("email", "ssn", "card", "phone", "ipv4")) == 0
