@@ -206,3 +206,40 @@ def pii_scrub(text: Column) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+# ------------------------------------------------------- repetition signals
+
+
+def repetition_metrics(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition quality signals, all JVM-side array
+    expressions (no UDFs, no shuffle — per-row arithmetic):
+
+    - ``frac_dup_words``: 1 - distinct/total over whitespace tokens — the
+      word-level repetition fraction;
+    - ``frac_dup_2grams``: same over consecutive word 2-grams (repeated
+      phrasing that word-level dedup misses);
+    - ``words``: the token count the fractions are normalized by (0-word
+      texts yield NULL fractions, matching SQL NULL division).
+
+    A high dup fraction flags boilerplate/spam documents for the quality
+    gate; thresholds are the caller's policy (Gopher used ~0.3 for
+    2-grams).
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    n = F.size(toks)
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+    ng = F.size(grams)
+    return {
+        "words": n,
+        "frac_dup_words": F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(toks)) / n
+        ),
+        "frac_dup_2grams": F.when(
+            ng > 0, 1.0 - F.size(F.array_distinct(grams)) / ng
+        ),
+    }

@@ -3813,6 +3813,48 @@ GROUP BY doc_id
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals
+    (functions.text.repetition_metrics): duplicate-word and
+    duplicate-2gram fractions as pure JVM array expressions — per-row
+    arithmetic, zero shuffle, zero UDFs. The oracle rebuilds the token
+    and consecutive-2gram streams with unnest + generate_subscripts and a
+    pos+1 self-join; fractions rounded to 6 places on both sides."""
+    docs = _load(spark, sf_dir, "documents")
+    m = tx.repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["words"].alias("words"),
+        F.round(m["frac_dup_words"], 6).alias("frac_dup_words"),
+        F.round(m["frac_dup_2grams"], 6).alias("frac_dup_2grams"),
+    )
+
+
+SQL_TEXT_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+  FROM documents),
+aw AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS d
+  FROM w GROUP BY doc_id),
+g AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+ag AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d
+  FROM g GROUP BY doc_id)
+SELECT aw.doc_id,
+       aw.n AS words,
+       round(CASE WHEN aw.n > 0
+             THEN 1.0 - CAST(aw.d AS DOUBLE) / aw.n END, 6) AS frac_dup_words,
+       round(CASE WHEN ag.n > 0
+             THEN 1.0 - CAST(ag.d AS DOUBLE) / ag.n END, 6) AS frac_dup_2grams
+FROM aw LEFT JOIN ag ON ag.doc_id = aw.doc_id
+"""
+
+
 def q_text_contamination(spark, sf_dir):
     """Benchmark contamination (operators/sampling.contamination_check):
     a deterministic 2% hash-slice of the corpus plays the held-out eval
@@ -4551,6 +4593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split": q_sample_split,
     "text_contamination": q_text_contamination,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_repetition": q_text_repetition,
     "text_line_dedup": q_text_line_dedup,
     "ts_exp_smooth": q_ts_exp_smooth,
     "stream_transcript_tokens": q_stream_transcript_tokens,
@@ -4691,6 +4734,7 @@ ORACLES: dict[str, str] = {
     "sample_split": SQL_SAMPLE_SPLIT,
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_pii_scrub": _pii_scrub_sql(),
+    "text_repetition": SQL_TEXT_REPETITION,
     "text_line_dedup": SQL_TEXT_LINE_DEDUP,
     "stream_asof_join": SQL_STREAM_ASOF_JOIN,
 }

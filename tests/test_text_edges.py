@@ -55,3 +55,33 @@ def test_quality_threshold_partition_is_total(texts):
     hi = q.filter(F.col("q") >= 0.5).count()
     lo = q.filter(F.col("q") < 0.5).count()
     assert hi + lo == texts.count()
+
+
+def test_repetition_metrics(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from core_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "t": [
+                    "a b a b a",      # words: 5, distinct 2; 2grams: [a b, b a, a b, b a] -> 4, distinct 2
+                    "x y z",          # no repetition
+                    "solo",           # 1 word, 0 2-grams -> NULL 2gram frac
+                    "   ",            # whitespace-only -> 0 words, NULLs
+                ]
+            }
+        )
+    )
+    m = tx.repetition_metrics(F.col("t"))
+    rows = df.select(
+        m["words"].alias("w"),
+        F.round(m["frac_dup_words"], 6).alias("fw"),
+        F.round(m["frac_dup_2grams"], 6).alias("fg"),
+    ).collect()
+    assert (rows[0]["w"], rows[0]["fw"], rows[0]["fg"]) == (5, 0.6, 0.5)
+    assert (rows[1]["w"], rows[1]["fw"], rows[1]["fg"]) == (3, 0.0, 0.0)
+    assert rows[2]["w"] == 1 and rows[2]["fw"] == 0.0 and rows[2]["fg"] is None
+    assert rows[3]["w"] == 0 and rows[3]["fw"] is None and rows[3]["fg"] is None
