@@ -149,3 +149,83 @@ def contamination_check(
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    context_len: int,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid end
+    to end in deterministic ``id_col`` order into a single token stream,
+    which is cut into fixed ``context_len`` windows ("packs"). Each doc
+    gets its global token offset and the pack span it lands in — the
+    assignment a training loader needs to build batches without padding
+    waste (docs crossing a boundary are split across the two packs, the
+    standard pretraining convention).
+
+    Scale shape — a GLOBAL running sum without a global window: rows are
+    range-partitioned and sorted by id, per-partition token totals
+    (one tiny groupBy, ≤P rows) are prefix-summed on the driver and
+    joined back as per-partition base offsets (broadcast), and the
+    within-partition running sum is a window PARTITIONED BY the range
+    partition id — every partition computes independently, nothing
+    serializes through one task (the same boundary-combine discipline as
+    the monotonicity expectations; the naive ``Window.orderBy(id)`` form
+    would drag 100 TB through a single partition).
+    """
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    from pyspark.sql import Window
+
+    d = (
+        df.select(F.col(id_col), F.col(tokens_col))
+        .repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    part = (
+        d.groupBy("__pid")
+        .agg(F.sum(tokens_col).alias("__t"))
+        .collect()
+    )
+    base, acc = {}, 0
+    for r in sorted(part, key=lambda r: r["__pid"]):
+        base[r["__pid"]] = acc
+        acc += int(r["__t"] or 0)
+    base_df = d.sparkSession.createDataFrame(
+        [(p, b) for p, b in base.items()], "__pid int, __base long"
+    )
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    out = (
+        d.join(F.broadcast(base_df), "__pid")
+        .withColumn(
+            "token_offset",
+            F.col("__base")
+            + F.coalesce(
+                F.sum(tokens_col).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            # integral division: float floor would lose exactness past
+            # 2^53 total tokens, which a 10^12-doc stream exceeds
+            "pack_first",
+            F.expr(f"token_offset div {int(context_len)}"),
+        )
+        .withColumn(
+            "pack_last",
+            F.when(
+                F.col(tokens_col) > 0,
+                F.expr(
+                    f"(token_offset + {tokens_col} - 1)"
+                    f" div {int(context_len)}"
+                ),
+            ).otherwise(F.col("pack_first")),
+        )
+        .drop("__pid", "__base")
+    )
+    return out

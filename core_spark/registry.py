@@ -3855,6 +3855,46 @@ FROM aw LEFT JOIN ag ON ag.doc_id = aw.doc_id
 """
 
 
+def q_text_sequence_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing
+    (operators.sampling.sequence_pack): every doc gets its global token
+    offset in deterministic doc_id order plus the 2048-token pack span it
+    lands in. The global running sum is computed WITHOUT a global window
+    (range partitions + driver prefix of <=P partial sums + per-partition
+    windows — the monotonicity boundary-combine discipline); pack ids use
+    integral division so exactness survives past 2^53 total tokens. The
+    oracle is the plain one-window cumsum SQL (fine at oracle scale)."""
+    from .operators import sampling as sp
+
+    docs = _load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sp.sequence_pack(t, "doc_id", "n_tokens", 2048).select(
+        "doc_id", "n_tokens", "token_offset", "pack_first", "pack_last"
+    )
+
+
+SQL_TEXT_SEQUENCE_PACK = r"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS token_offset
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(token_offset AS BIGINT) AS token_offset,
+       token_offset // 2048 AS pack_first,
+       CASE WHEN n_tokens > 0
+            THEN (token_offset + n_tokens - 1) // 2048
+            ELSE token_offset // 2048 END AS pack_last
+FROM o
+"""
+
+
 def q_text_contamination(spark, sf_dir):
     """Benchmark contamination (operators/sampling.contamination_check):
     a deterministic 2% hash-slice of the corpus plays the held-out eval
@@ -4594,6 +4634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_contamination": q_text_contamination,
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition": q_text_repetition,
+    "text_sequence_pack": q_text_sequence_pack,
     "text_line_dedup": q_text_line_dedup,
     "ts_exp_smooth": q_ts_exp_smooth,
     "stream_transcript_tokens": q_stream_transcript_tokens,
@@ -4735,6 +4776,7 @@ ORACLES: dict[str, str] = {
     "text_contamination": SQL_TEXT_CONTAMINATION,
     "text_pii_scrub": _pii_scrub_sql(),
     "text_repetition": SQL_TEXT_REPETITION,
+    "text_sequence_pack": SQL_TEXT_SEQUENCE_PACK,
     "text_line_dedup": SQL_TEXT_LINE_DEDUP,
     "stream_asof_join": SQL_STREAM_ASOF_JOIN,
 }

@@ -172,3 +172,50 @@ def test_semantic_dedup_deterministic_across_runs(spark):
     a = sorted(tuple(r) for r in semantic_dedup(emb, 0.95, n_lists=8).collect())
     b = sorted(tuple(r) for r in semantic_dedup(emb, 0.95, n_lists=8).collect())
     assert a == b
+
+
+def test_sequence_pack_prefix_sums(spark):
+    import pandas as pd
+
+    from core_spark.operators import sampling as sp
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "n_tokens": [(i * 37) % 900 for i in range(100)]}
+    )
+    # expected: plain prefix sum in doc_id order
+    exp_off = pdf["n_tokens"].cumsum().shift(1, fill_value=0).tolist()
+    for parts in (1, 7):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        out = (
+            sp.sequence_pack(df, "doc_id", "n_tokens", 512)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert [r["token_offset"] for r in out] == exp_off, parts
+        for r in out:
+            assert r["pack_first"] == r["token_offset"] // 512
+            if r["n_tokens"] > 0:
+                assert (
+                    r["pack_last"]
+                    == (r["token_offset"] + r["n_tokens"] - 1) // 512
+                )
+            else:
+                # zero-token docs sit at a boundary without claiming a pack
+                assert r["pack_last"] == r["pack_first"]
+
+
+def test_sequence_pack_no_global_window(spark):
+    import pandas as pd
+
+    from core_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(50), "n_tokens": [5] * 50})
+    )
+    plan = sp.sequence_pack(df, "doc_id", "n_tokens", 64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the running sum must be windowed per range-partition id, never an
+    # unpartitioned global Window (single-task serialization at scale)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, line
