@@ -3887,10 +3887,12 @@ o AS (
   FROM t)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(token_offset AS BIGINT) AS token_offset,
-       token_offset // 2048 AS pack_first,
-       CASE WHEN n_tokens > 0
+       -- the windowed sum is HUGEINT in DuckDB; without the casts the
+       -- pack ids surface as float64 in pandas and hash-mismatch
+       CAST(token_offset // 2048 AS BIGINT) AS pack_first,
+       CAST(CASE WHEN n_tokens > 0
             THEN (token_offset + n_tokens - 1) // 2048
-            ELSE token_offset // 2048 END AS pack_last
+            ELSE token_offset // 2048 END AS BIGINT) AS pack_last
 FROM o
 """
 
